@@ -1,0 +1,39 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver's parquet testdata (TESTDATA.md).
+  *
+  * Plain `spark.read.parquet` — the vectorized parquet reader plus
+  * Catalyst column pruning / predicate pushdown handle projection and
+  * selection at the scan, which is the behavior that matters at 100 TB
+  * (never read columns or row groups a query doesn't need).
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader only
+    * accepts as a raw long (`spark.sql.legacy.parquet.nanosAsLong`, set by
+    * Verify/Bench/tests). Convert to a microsecond timestamp here with
+    * exact integer division so every query sees a real timestamp column. */
+  private def nanosToTimestamp(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr(s"$c div 1000")))
+      case _ => df
+    }
+
+  def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame =
+    nanosToTimestamp(table(spark, dir, "events"), "ts")
+  def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}

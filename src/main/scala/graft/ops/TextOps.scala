@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, counting, quality scoring, language ID, fingerprinting.
+  * Everything is built from codegen'd built-ins / higher-order functions —
+  * no UDFs — so the hot path stays inside whole-stage codegen and scales
+  * linearly with no shuffle (all per-row).
+  */
+object TextOps {
+
+  /** Whitespace tokenization (single-space separated corpus). */
+  def tokens(text: Column): Column = split(text, " ", -1)
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** Adjacent word bigrams; empty array for single-token docs. */
+  def wordBigrams(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+  }
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    val stops = filter(t, tok => tok.isInCollection(stopwords))
+    size(stops) / size(t)
+  }
+
+  /** Heuristic quality score in [0,1]: non-stopword density × length
+    * credit (docs shorter than `fullCreditTokens` are discounted). */
+  def qualityScore(text: Column, stopwords: Seq[String],
+                   fullCreditTokens: Int = 200): Column =
+    (lit(1.0) - stopwordRatio(text, stopwords)) *
+      (least(tokenCount(text), lit(fullCreditTokens)) / lit(fullCreditTokens.toDouble))
+
+  /** BPE-ish token-count estimate without a tokenizer model: word count
+    * plus a subword surcharge of ~1 token per 6 chars of long words. */
+  def estimatedBpeTokens(text: Column): Column = {
+    val longWordChars =
+      aggregate(tokens(text), lit(0L),
+        (acc, tok) => acc + when(length(tok) > 6, length(tok).cast("long") - 6).otherwise(0L))
+    tokenCount(text) + (longWordChars / lit(6)).cast("long")
+  }
+
+  /** Order-sensitive 64-bit document fingerprint: polynomial rolling hash
+    * over per-token xxhash64 values (detects reordering that set-based
+    * hashes miss). Pure column arithmetic — distributable, no state. */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, tok) => acc * lit(31L) + xxhash64(tok))
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword-overlap
+    * language-ID heuristic. Real deployments plug in fastText-style models;
+    * the *engine shape* (argmax over per-language scores, one pass, no
+    * shuffle) is what matters here. */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "y", "es", "en", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "zu", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Predicted language = argmax over profile-overlap scores; ties broken
+    * deterministically by greatest language code (struct max semantics). */
+  def languageId(text: Column): Column = {
+    val t = tokens(text)
+    val scored = LangProfiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
+      struct(size(filter(t, tok => tok.isInCollection(stops))).as("score"),
+             lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
+  }
+}

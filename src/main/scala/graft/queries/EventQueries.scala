@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.etl.InvoiceFeaturizer.decimalHour
+import graft.model.Tables
+import QueryUtil._
+
+/** Time-windowed surface over the `events` table — the batch twins of the
+  * reference's streaming windows (A3 `reduceByKeyAndWindow` at
+  * `InvoicePipeline.scala:72-80`) plus sessionization. The streaming
+  * variants of these queries live in StreamingQueries; keeping the batch
+  * twin oracle-checked pins the window semantics themselves.
+  */
+object EventQueries {
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling-window counts (window → one hash aggregate on trunc(ts)).
+    "ev01_tumbling_hour_counts" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"), sumMoney($"value").as("sum_value"))
+        .orderBy($"hour_start", $"event_type")
+    },
+
+    // Sliding-window counts — the A3 8-minute/1-minute window as a batch
+    // query via `window()`. Each event lands in 8 windows (slide factor);
+    // Spark expands then hash-aggregates, no per-window state kept.
+    "ev02_sliding_window_counts" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .filter($"event_type" === "purchase")
+        .groupBy(window($"ts", "8 minutes", "1 minute"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          $"n")
+        .orderBy($"w_start")
+    },
+
+    // Sessionization: 30-minute-gap sessions per user via lag + running
+    // sum — one shuffle on user_id, everything else within partitions.
+    "ev03_user_sessions" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val newSession =
+        when($"prev_ts".isNull || $"ts" > $"prev_ts" + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L)
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag($"ts", 1).over(w))
+        .withColumn("sess_id", sum(newSession).over(w))
+        .groupBy($"user_id", $"sess_id")
+        .agg(count(lit(1)).as("sess_events"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"), max($"sess_events").as("max_session_events"))
+        .orderBy($"user_id")
+    },
+
+    // P3: the reference's decimal-hour projection (shared batch/stream
+    // expression) aggregated per event type.
+    "ev04_decimal_hour_profile" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(
+          round(avg(decimalHour($"ts")), 4).as("avg_hour"),
+          count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "ev01_tumbling_hour_counts" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+         |  event_type,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${sqlSumMoney("value")} AS sum_value
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY hour_start, event_type""".stripMargin,
+
+    "ev02_sliding_window_counts" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(generate_series(date_trunc('minute', ts) - INTERVAL 7 MINUTE,
+        |                                    date_trunc('minute', ts),
+        |                                    INTERVAL 1 MINUTE)) AS ws
+        |      FROM events WHERE event_type = 'purchase')
+        |GROUP BY ws
+        |ORDER BY w_start""".stripMargin,
+
+    "ev03_user_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id,
+        |         SUM(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+        |  FROM g),
+        |c AS (SELECT user_id, sess_id, COUNT(*) AS sess_events FROM s GROUP BY user_id, sess_id)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |       CAST(MAX(sess_events) AS BIGINT) AS max_session_events
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ev04_decimal_hour_profile" ->
+      """SELECT event_type,
+        |  round(AVG(hour(ts) + minute(ts)/60.0), 4) AS avg_hour,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
+}

@@ -1,0 +1,250 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import QueryUtil._
+
+/** General relational surface — scans, filters, joins (inner/semi/anti),
+  * hash aggregation, distinct aggregation, analytic window functions, set
+  * ops, rollup, top-k. The reference itself has no joins or SQL surface
+  * (SURVEY.md §2.4); this is the new-engine surface mandated by §7.2 step 2,
+  * exercised on the driver's TPC-H-ish testdata.
+  *
+  * Scale notes per query are inline; the common themes:
+  *  - dimension sides of joins are `broadcast()` (no shuffle of the fact),
+  *  - aggregates are plain `groupBy().agg()` so Catalyst plans
+  *    partial+final hash aggregation (map-side combine before the exchange),
+  *  - filters/projections sit directly on the parquet scan (pushdown).
+  */
+object RelationalQueries {
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1-style pricing summary: one scan, one partial+final hash
+    // aggregate over a low-cardinality key — no data-size-dependent state.
+    "q01_pricing_summary" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" <= lit("1999-01-01").cast("timestamp_ntz"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").as("sum_qty"),
+          sumMoney($"l_extendedprice").as("sum_base_price"),
+          sumMoney($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+          sumMoney($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+          avg($"l_quantity").as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // Global top-k: Catalyst plans TakeOrderedAndProject — per-partition
+    // heaps then a driver merge of k rows, never a full sort at scale.
+    "q02_top_orders" -> { (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    },
+
+    // 3-way join: lineitem⋈orders shuffles on the join key (both sides
+    // large); customer is a dimension → broadcast, so the fact table is
+    // never re-shuffled for it. AQE can upgrade orders to broadcast when
+    // stats allow.
+    "q03_revenue_by_segment" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(
+          sumMoney($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+          countDistinct($"o_orderkey").as("n_orders"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // Left-semi join (EXISTS): the build side is pre-filtered and only the
+    // key column survives pruning — minimal shuffle payload.
+    "q04_big_spender_segments" -> { (s, dir) =>
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val big = Tables.orders(s, dir).filter($"o_totalprice" > 300000.0).select($"o_custkey")
+      c.join(big, $"c_custkey" === $"o_custkey", "left_semi")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // Left-anti join (NOT EXISTS).
+    "q05_customers_without_orders" -> { (s, dir) =>
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).select($"o_custkey")
+      c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+
+    // TPC-H Q6-style selective scan: every predicate and both referenced
+    // columns push to the parquet reader (PushedFilters + 4-column
+    // ReadSchema) — the query reads a fraction of the table at scale.
+    "q06_revenue_forecast_filter" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter(
+          $"l_shipdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp_ntz") &&
+          $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+        .agg(
+          sumMoney($"l_extendedprice" * $"l_discount").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // Analytic window function: rank-per-group, a single shuffle on the
+    // partition key then sorted rank within partitions.
+    "q07_top_orders_per_customer" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_custkey", $"rn")
+    },
+
+    // Distinct aggregation (expand + two-phase aggregate under the hood).
+    "q08_distinct_counts" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"l_returnflag")
+    },
+
+    // Set operations: INTERSECT / EXCEPT (both distinct-semantics) over
+    // disjoint tagged branches, then a safe UNION ALL.
+    "q09_user_set_ops" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val purchasers = ev.filter($"event_type" === "purchase").select($"user_id")
+      val erroring = ev.filter($"event_type" === "error").select($"user_id")
+      purchasers.intersect(erroring).withColumn("tag", lit("both"))
+        .union(purchasers.except(erroring).withColumn("tag", lit("purchase_only")))
+        .orderBy($"tag", $"user_id")
+    },
+
+    // Multi-level aggregation via ROLLUP (Expand operator feeding one
+    // hash aggregate — still a single shuffle).
+    "q10_rollup_quantities" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_lines"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"sum_qty", $"n_lines")
+        .orderBy($"returnflag", $"linestatus")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  SUM(l_quantity) AS sum_qty,
+         |  ${sqlSumMoney("l_extendedprice")} AS sum_base_price,
+         |  ${sqlSumMoney("l_extendedprice*(1.0-l_discount)")} AS sum_disc_price,
+         |  ${sqlSumMoney("l_extendedprice*(1.0-l_discount)*(1.0+l_tax)")} AS sum_charge,
+         |  AVG(l_quantity) AS avg_qty,
+         |  CAST(COUNT(*) AS BIGINT) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1999-01-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q03_revenue_by_segment" ->
+      s"""SELECT c_mktsegment,
+         |  ${sqlSumMoney("l_extendedprice*(1.0-l_discount)")} AS revenue,
+         |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lines
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin,
+
+    "q04_big_spender_segments" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q05_customers_without_orders" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_revenue_forecast_filter" ->
+      s"""SELECT ${sqlSumMoney("l_extendedprice*l_discount")} AS revenue,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lines
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin,
+
+    "q07_top_orders_per_customer" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q08_distinct_counts" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q09_user_set_ops" ->
+      """SELECT user_id, 'both' AS tag
+        |FROM (SELECT user_id FROM events WHERE event_type = 'purchase'
+        |      INTERSECT
+        |      SELECT user_id FROM events WHERE event_type = 'error')
+        |UNION ALL
+        |SELECT user_id, 'purchase_only' AS tag
+        |FROM (SELECT user_id FROM events WHERE event_type = 'purchase'
+        |      EXCEPT
+        |      SELECT user_id FROM events WHERE event_type = 'error')
+        |ORDER BY tag, user_id""".stripMargin,
+
+    "q10_rollup_quantities" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin)
+}

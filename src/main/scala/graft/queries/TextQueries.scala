@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.TextOps
+import QueryUtil._
+
+/** Oracle-checked text-analysis surface over `documents`: stats, quality
+  * scoring, exact dedup, bigram profiles, multimodal (binary) metadata.
+  * All per-row except the dedup aggregate — linear scale-out. The
+  * non-SQL-expressible text ops (MinHash/SimHash/fingerprint/language-ID)
+  * are in DedupQueries / rows-only entries.
+  */
+object TextQueries {
+
+  private val Stopwords = Seq("the", "a")
+
+  val queries: Map[String, Q] = Map(
+    // Token/char statistics — pure projection, stays in codegen.
+    "tx01_text_stats" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir).select(
+        $"doc_id",
+        length($"text").cast("long").as("n_chars"),
+        TextOps.tokenCount($"text").as("n_tokens"),
+        TextOps.distinctTokenCount($"text").as("n_distinct_tokens"))
+        .orderBy($"doc_id")
+    },
+
+    // Stopword-density quality score (identical int arithmetic + one
+    // float division on both engines — exact).
+    "tx02_quality_scores" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir).select(
+        $"doc_id",
+        size(filter(TextOps.tokens($"text"), t => t.isInCollection(Stopwords)))
+          .cast("long").as("n_stopwords"),
+        TextOps.qualityScore($"text", Stopwords).as("quality_score"))
+        .orderBy($"doc_id")
+    },
+
+    // Exact dedup: hash-groupBy on content digest, keep lowest doc_id.
+    // At 100 TB this is the standard first dedup pass: shuffle only the
+    // 16-byte digest + id, never the documents themselves.
+    "tx03_exact_dedup" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy(md5($"text".cast("binary")).as("text_hash"))
+        .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+        .orderBy($"text_hash")
+    },
+
+    // Distinct adjacent-bigram counts (shingling primitive for Jaccard).
+    "tx04_bigram_counts" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir).select(
+        $"doc_id",
+        size(array_distinct(TextOps.wordBigrams($"text"))).cast("long")
+          .as("n_distinct_bigrams"))
+        .orderBy($"doc_id")
+    },
+
+    // Multimodal plumbing: opaque binary payload column + typed metadata
+    // derived without decoding (the decode itself is the stubbed boundary
+    // in MultimodalOps; schema/partitioning shape is what's exercised).
+    "tx05_binary_metadata" -> { (s, dir) =>
+      import s.implicits._
+      val nBytes = length($"text".cast("binary")).cast("long")
+      Tables.documents(s, dir).select(
+        $"doc_id",
+        nBytes.as("n_bytes"),
+        (nBytes % 640 + 1).as("fake_width"),
+        ((nBytes * 7) % 480 + 1).as("fake_height"),
+        (nBytes % 16).as("fake_frames"))
+        .orderBy($"doc_id")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "tx01_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx02_quality_scores" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS BIGINT)
+        |    AS n_stopwords,
+        |  (1.0 - len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a'))
+        |         / len(string_split(text, ' ')))
+        |  * (LEAST(len(string_split(text, ' ')), 200) / 200.0) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx03_exact_dedup" ->
+      """SELECT md5(text) AS text_hash,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY text_hash""".stripMargin,
+
+    "tx04_bigram_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(list_distinct(
+        |    list_transform(generate_series(1, len(string_split(text,' ')) - 1),
+        |                   i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])
+        |  )) AS BIGINT) AS n_distinct_bigrams
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx05_binary_metadata" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS fake_width,
+        |  CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS fake_height,
+        |  CAST(octet_length(encode(text)) % 16 AS BIGINT) AS fake_frames
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

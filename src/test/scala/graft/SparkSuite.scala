@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for specs — one JVM-wide session, small local parallelism. */
+object SparkSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-tests")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val Sf = "/root/testdata/sf0.001"
+}
+
+abstract class SparkSuite extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSuite.spark
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  def sf: String = SparkSuite.Sf
+}
