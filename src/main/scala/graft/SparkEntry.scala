@@ -21,7 +21,8 @@ object SparkEntry {
     (RelationalQueries.queries, RelationalQueries.oracles),
     (InvoiceQueries.queries, InvoiceQueries.oracles),
     (EventQueries.queries, EventQueries.oracles),
-    (TextQueries.queries, TextQueries.oracles))
+    (TextQueries.queries, TextQueries.oracles),
+    (PipelineQueries.queries, PipelineQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimHash64
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB regime:
+  *
+  *  - **exact**: hash-groupBy on a 128-bit digest — shuffles 16 bytes + id
+  *    per doc, never the text.
+  *  - **MinHash + LSH**: per-doc signature (linear scan, no shuffle), then
+  *    banding — only docs sharing a band bucket are joined, so the
+  *    candidate join is |buckets|-bounded instead of O(n²). Hot buckets are
+  *    capped (skew guard) and candidates are verified with exact Jaccard.
+  *  - **SimHash**: 64-bit signature via a native codegen expression; docs
+  *    within small Hamming distance of a shared prefix bucket are
+  *    candidates.
+  *  - **n-gram Jaccard**: exact verification primitive (array_intersect /
+  *    array_union on distinct shingle sets).
+  *
+  * All randomness is seeded/deterministic (hash permutations are
+  * `xxhash64(h, i)`), so results are stable under replay and partitioning.
+  */
+object Dedup {
+
+  /** Distinct word k-shingles of a document, each hashed to a long.
+    * Hashing first keeps the shuffle rows narrow (8B per shingle). */
+  def shingleHashes(text: Column, k: Int): Column = {
+    val toks = TextOps.tokens(text)
+    val shingles =
+      when(size(toks) < k, array(xxhash64(text)))
+        .otherwise(transform(
+          sequence(lit(1), size(toks) - (k - 1)),
+          i => xxhash64(concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*))))
+    array_distinct(shingles)
+  }
+
+  /** MinHash signature: `sig(i) = min over shingles of xxhash64(shingle, i)`
+    * — an independent permutation per index, all computed in one pass. */
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      array_min(transform(shingles, h => xxhash64(h, lit(i))))): _*)
+
+  /** LSH band keys for a signature: one 64-bit key per band of `rowsPerBand`
+    * signature entries (docs agreeing on all rows of any band collide). */
+  def bandKeys(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    array((0 until numBands).map { b =>
+      xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
+        element_at(sig, b * rowsPerBand + r + 1))): _*)
+    }: _*)
+
+  /** Exact Jaccard similarity of two (distinct-element) shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)) / size(array_union(a, b)).cast("double")
+
+  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * @param docs         input with `idCol` and `textCol`
+    * @param shingleK     word-shingle width
+    * @param numBands     LSH bands (numBands × rowsPerBand hashes)
+    * @param rowsPerBand  signature rows per band
+    * @param threshold    exact-Jaccard acceptance threshold
+    * @param maxBucket    skew guard: band buckets larger than this are
+    *                     dropped (at corpus scale a degenerate bucket —
+    *                     e.g. boilerplate — would otherwise quadratically
+    *                     dominate the join)
+    * @return (id_a, id_b, jaccard) with id_a < id_b
+    */
+  def minHashDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                      shingleK: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
+                      threshold: Double = 0.7, maxBucket: Int = 64): DataFrame = {
+    val withSig = docs
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleK).as("shingles"))
+      .withColumn("sig", minHashSignature(col("shingles"), numBands * rowsPerBand))
+    val banded = withSig
+      .select(col("id"), col("shingles"), explode(bandKeys(col("sig"), numBands, rowsPerBand)).as("band"))
+    val smallBuckets = banded
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("band"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val right = smallBuckets
+      .select(col("band"), col("id").as("id_b"), col("shingles").as("shingles_b"))
+    smallBuckets
+      .join(right, Seq("band"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"),
+        col("shingles").as("sa"), col("shingles_b").as("sb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"), jaccard(col("sa"), col("sb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Per-doc 64-bit SimHash over token hashes (codegen expression). */
+  def simHash(text: Column): Column =
+    SimHash64(transform(TextOps.tokens(text), t => xxhash64(t)))
+
+  /** SimHash near-duplicate pairs: bucket by the high `prefixBits` bits,
+    * verify with full-signature Hamming distance ≤ `maxHamming`.
+    * Single-probe (rotationless) variant — recall can be raised by
+    * re-running on bit-rotated signatures. */
+  def simHashDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                      prefixBits: Int = 16, maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+      .withColumn("bucket", shiftrightunsigned(col("sig"), 64 - prefixBits))
+    val right = sigs.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    sigs.join(right, Seq("bucket"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"),
+        bit_count(col("sig").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram-Jaccard duplicate pairs via rare-shingle blocking: only
+    * shingles whose document frequency ≤ `maxDf` generate candidates (a
+    * shingle shared by half the corpus carries no signal but would
+    * generate O(n²) candidates). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 3, threshold: Double = 0.8,
+                        maxDf: Int = 16): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleK).as("shingles"))
+    val posting = sh.select(col("id"), explode(col("shingles")).as("shingle"))
+    val rare = posting
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDf)
+    val cand = rare.alias("l")
+      .join(rare.alias("r"), col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sa")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sa"), col("sb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

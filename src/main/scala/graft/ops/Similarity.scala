@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (`array<float>`).
+  *
+  *  - **Brute force** is the correctness baseline: broadcast the (small)
+  *    query set against the corpus scan — the corpus is never shuffled,
+  *    so this scales to any corpus size at O(corpus × queries) compute.
+  *  - **IVF** is the scale path: a coarse k-means quantizer assigns every
+  *    corpus vector to a cell (one pass); queries probe only the
+  *    `nProbe` nearest cells, cutting compute by ~k/nProbe at the cost
+  *    of recall. Cell assignment is itself distributed.
+  *
+  * Dot products use `zip_with` + `aggregate` (codegen'd higher-order
+  * functions, no UDF). Norms are precomputed once per side.
+  */
+object Similarity {
+
+  /** Dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (arrays cast to double upstream). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k neighbors by cosine for each query vector.
+    *
+    * @param corpus  (idCol, vecCol) corpus — arbitrarily large
+    * @param queries (idCol, vecCol) query set — small enough to broadcast
+    * @return (query_id, rank, neighbor_id, cosine)
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cvec"))
+      .withColumn("cnorm", norm(col("cvec")))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("qnorm", norm(col("qvec")))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus with k-means,
+    * then search only the `nProbe` cells nearest each query.
+    *
+    * @return (query_id, rank, neighbor_id, cosine) — approximate top-k
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val spark = corpus.sparkSession
+    val train = corpus.select(array_to_vector(asDouble(col(vecCol))).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
+      .fit(train)
+    val centers = model.clusterCenters.map(_.toArray)
+
+    // Distributed cell assignment: nearest center by cosine, as a literal
+    // centers array (broadcast via the plan) — no per-row model call.
+    val centersCol = array(centers.indices.map(i =>
+      struct(lit(i).as("cell"), typedlit(centers(i).toSeq).as("cvec"))): _*)
+    def nearestCells(vec: Column, n: Int): Column = {
+      val scored = transform(centersCol, c =>
+        struct((dot(vec, c.getField("cvec")) / (norm(vec) * norm(c.getField("cvec")))).as("sim"),
+          c.getField("cell").as("cell")))
+      slice(reverse(array_sort(scored)), 1, n)
+    }
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cvec"))
+      .withColumn("cell", nearestCells(col("cvec"), 1).getItem(0).getField("cell"))
+      .withColumn("cnorm", norm(col("cvec")))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("cells", transform(nearestCells(col("qvec"), nProbe), x => x.getField("cell")))
+      .withColumn("qnorm", norm(col("qvec")))
+      .select(col("query_id"), explode(col("cells")).as("cell"), col("qvec"), col("qnorm"))
+
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, found via the
+    * IVF cells (pairs in the same cell only — approximate). */
+  def embeddingDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double = 0.95, nCells: Int = 16,
+                        seed: Long = 42L): DataFrame = {
+    val withCell = ivfAssign(corpus, idCol, vecCol, nCells, seed)
+    val right = withCell.select(col("cell"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("vnorm").as("norm_b"))
+    withCell.join(right, Seq("cell"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"),
+        (dot(col("vec"), col("vec_b")) / (col("vnorm") * col("norm_b"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Corpus → (id, vec, vnorm, cell) via seeded k-means coarse quantizer. */
+  private def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                        nCells: Int, seed: Long): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = corpus.select(array_to_vector(asDouble(col(vecCol))).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features").fit(train)
+    val centers = model.clusterCenters.map(_.toArray)
+    val centersCol = array(centers.indices.map(i =>
+      struct(lit(i).as("cell"), typedlit(centers(i).toSeq).as("cvec"))): _*)
+    corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      .withColumn("vnorm", norm(col("vec")))
+      .withColumn("cell",
+        reverse(array_sort(transform(centersCol, c =>
+          struct((dot(col("vec"), c.getField("cvec")) / (col("vnorm") * norm(c.getField("cvec")))).as("sim"),
+            c.getField("cell").as("cell")))))
+          .getItem(0).getField("cell"))
+  }
+}

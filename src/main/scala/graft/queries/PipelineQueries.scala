@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.InvoiceFeaturizer
+import graft.ml.{Scoring, Training}
+import graft.model.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import QueryUtil._
+
+/** Training-data-pipeline operators that have no SQL oracle (MinHash/LSH,
+  * SimHash, ANN, trained-model scoring, language ID, fingerprints) — the
+  * driver records a rows-only check for these. Deterministic by
+  * construction (seeded models, hash-based signatures), pinned by
+  * scalatest specs instead of DuckDB.
+  */
+object PipelineQueries {
+
+  val queries: Map[String, Q] = Map(
+    // MinHash + LSH near-duplicate pairs over documents, Jaccard-verified.
+    "dd01_minhash_dup_pairs" -> { (s, dir) =>
+      Dedup.minHashDupPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleK = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // SimHash (native codegen expression) near-duplicate pairs.
+    "dd02_simhash_dup_pairs" -> { (s, dir) =>
+      Dedup.simHashDupPairs(Tables.documents(s, dir), "doc_id", "text",
+        prefixBits = 12, maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Exact n-gram Jaccard with rare-shingle blocking.
+    "dd03_ngram_jaccard_pairs" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleK = 4, threshold = 0.5, maxDf = 16)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Embedding cosine near-duplicates via IVF cells.
+    "dd04_embedding_dup_pairs" -> { (s, dir) =>
+      Similarity.embeddingDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.9, nCells = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Brute-force cosine top-k (ANN correctness baseline): first 10
+    // vectors as queries against the whole corpus.
+    "an01_cosine_topk_brute" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // IVF ANN (the scale path) on the same queries.
+    "an02_cosine_topk_ivf" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+        nCells = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Language-ID heuristic + fingerprint + BPE-ish token estimate.
+    "tx06_language_id" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.languageId(col("text")).as("predicted_lang"),
+          col("lang").as("labeled_lang"))
+        .orderBy(col("doc_id"))
+    },
+    "tx07_fingerprints" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"),
+          TextOps.estimatedBpeTokens(col("text")).as("est_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Multimodal: binary payload → per-partition (stub) decode → metadata.
+    "mm01_media_metadata" -> { (s, dir) =>
+      Multimodal.decodeMeta(Multimodal.withPayload(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"))
+    },
+
+    // Trained KMeans over embeddings: cluster sizes (seeded,
+    // deterministic; no SQL oracle — pinned by MlSpec).
+    "ml01_kmeans_cluster_sizes" -> { (s, dir) =>
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), array_to_vector(col("embedding").cast("array<double>")).as("features"))
+      val model = new KMeans().setK(10).setSeed(7L).setFeaturesCol("features").fit(emb)
+      model.transform(emb)
+        .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+        .select(col("prediction").cast("long").as("cluster"), col("n"))
+        .orderBy(col("cluster"))
+    },
+
+    // The reference's full train→threshold→score pipeline on invoice
+    // features (A7–A10 + F5), end-to-end, seeded.
+    "ml02_invoice_anomalies_trained" -> { (s, dir) =>
+      val feats = InvoiceQueries.invoiceFeatures(s, dir).cache()
+      try {
+        val assembled = Training.assemble(feats, InvoiceFeaturizer.FeatureCols)
+        val Seq((_, model, _)) = Training.kMeansSweep(assembled, Seq(4), seed = 1L)
+        val centers = model.clusterCenters.map(_.toArray.toSeq).toSeq
+        val scored = Scoring.score(feats, InvoiceFeaturizer.FeatureCols, centers, 0.0)
+        val thr = Training.threshold(scored, "dist", rank = math.max(10, (feats.count() / 50).toInt))
+        Scoring.score(feats, InvoiceFeaturizer.FeatureCols, centers, thr)
+          .filter(col("is_anomaly") === 1L)
+          .select(col("invoice_no"), round(col("dist"), 2).as("dist"))
+          .orderBy(col("invoice_no"))
+      } finally feats.unpersist()
+    },
+
+    // Elbow-selected k over a cost sweep (A9/A10), documented semantics.
+    "ml03_elbow_selection" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val assembled = emb.select(
+        org.apache.spark.ml.functions.array_to_vector(
+          col("embedding").cast("array<double>")).as("features"))
+      val sweep = Training.kMeansSweep(assembled, 2 to 8, seed = 7L)
+      val costs = sweep.map(_._3)
+      val selected = Training.elbowSelection(costs, 0.7)
+      sweep.zipWithIndex.map { case ((k, _, cost), i) =>
+        (k.toLong, cost, i == selected)
+      }.toDF("k", "cost", "selected").orderBy($"k")
+    })
+
+  /** No DuckDB oracles — rows-only checks by design (non-SQL-expressible). */
+  val oracles: Map[String, String] = Map.empty
+}

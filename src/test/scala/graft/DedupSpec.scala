@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity}
+
+class DedupSpec extends SparkSuite {
+
+  private def docsDf = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+      (4L, "completely different words about spark catalyst optimizer rules"),
+      (5L, "spark catalyst optimizer with completely different other words here")
+    ).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds exact and near duplicates, skips unrelated") {
+    val pairs = Dedup.minHashDupPairs(docsDf, "doc_id", "text",
+      shingleK = 2, numBands = 16, rowsPerBand = 2, threshold = 0.5, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "exact duplicate must be found")
+    assert(!pairs.exists(p => p._2 == 4L && p._1 <= 2), "unrelated docs must not pair")
+    // exact dup pair has jaccard 1.0
+    val j = Dedup.minHashDupPairs(docsDf, "doc_id", "text",
+      shingleK = 2, numBands = 16, rowsPerBand = 2, threshold = 0.5, maxBucket = 64)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("jaccard").head().getDouble(0)
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical docs → hamming 0; near docs → small hamming") {
+    val sigs = docsDf.select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val hammingNear = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val hammingFar = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(hammingNear < hammingFar,
+      s"near-dup hamming $hammingNear should be < unrelated $hammingFar")
+    val pairs = Dedup.simHashDupPairs(docsDf, "doc_id", "text",
+      prefixBits = 8, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("ngram jaccard pairs: exact dup scores 1.0") {
+    val pairs = Dedup.ngramJaccardPairs(docsDf, "doc_id", "text",
+      shingleK = 2, threshold = 0.9, maxDf = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+  }
+
+  test("cosine: orthogonal = 0, identical = 1") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0))).toDF("a", "b")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")).as("ortho"),
+      Similarity.cosine(col("a"), col("a")).as("same")).head()
+    assert(r.getDouble(0) == 0.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("brute-force topk ranks an exact duplicate vector first") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.01f, 0.0f)), // near dup of 0
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(corpus, corpus.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 2).collect()
+    assert(out.head.getAs[Long]("neighbor_id") == 1L)
+    assert(out.head.getAs[Long]("rank") == 1L)
+  }
+}

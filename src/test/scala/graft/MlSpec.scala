@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ml.{Scoring, Training}
+
+class MlSpec extends SparkSuite {
+
+  test("elbow selection: documented semantics (first k where ratio exceeded)") {
+    // costs: 100, 40, 30, 28 → ratios 0.4, 0.75, 0.93 → first > 0.7 is i=2
+    assert(Training.elbowSelection(Seq(100.0, 40.0, 30.0, 28.0), 0.7) == 2)
+    // never exceeded → last index (NOT the reference's i+1 off-by-one,
+    // reference Clustering.scala:125-136 — deliberate divergence)
+    assert(Training.elbowSelection(Seq(100.0, 40.0, 20.0), 0.7) == 2)
+    assert(Training.elbowSelection(Seq(100.0), 0.7) == 0)
+  }
+
+  test("sqDistToNearest picks the nearest center") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq(0.0, 0.0), 1), (Seq(10.0, 10.0), 1)).toDF("f", "x")
+    val centers = Seq(Seq(0.0, 0.0), Seq(10.0, 11.0))
+    val d = df.select(Scoring.sqDistToNearest(col("f"), centers).as("d"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(d == Seq(0.0, 1.0)) // second row: nearest is (10,11) at dist 1
+  }
+
+  test("threshold = rank-th largest distance") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(_.toDouble).toDF("dist")
+    assert(Training.threshold(df, "dist", 10) == 91.0)
+  }
+
+  test("scored anomalies are exactly those above threshold") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 0.0, 0.0), (2L, 100.0, 100.0)).toDF("id", "a", "b")
+    val out = Scoring.score(df, Seq("a", "b"), Seq(Seq(0.0, 0.0)), threshold = 50.0)
+      .select("id", "is_anomaly").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L))
+  }
+}
