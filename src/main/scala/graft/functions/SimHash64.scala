@@ -24,11 +24,11 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    SimHash64.eval(arr)
+    SimHash64.compute(arr)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
@@ -36,7 +36,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
   /** Shared by interpreted eval and generated code. */
-  def eval(arr: ArrayData): Long = {
+  def compute(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = arr.numElements()
     var i = 0

@@ -53,10 +53,11 @@ object TextOps {
 
   /** Order-sensitive 64-bit document fingerprint: polynomial rolling hash
     * over per-token xxhash64 values (detects reordering that set-based
-    * hashes miss). Pure column arithmetic — distributable, no state. */
+    * hashes miss). Wrapping arithmetic via the native [[PolyHash64]]
+    * expression — the column-arithmetic equivalent overflows under ANSI
+    * mode. Per-row, distributable, no state. */
   def fingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
-      (acc, tok) => acc * lit(31L) + xxhash64(tok))
+    graft.functions.PolyHash64(transform(tokens(text), tok => xxhash64(tok)))
 
   /** Tiny per-language stopword profiles for the n-gram/stopword-overlap
     * language-ID heuristic. Real deployments plug in fastText-style models;

@@ -3,15 +3,15 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.etl.InvoiceFeaturizer.decimalHour
 import graft.model.Tables
 import QueryUtil._
 
 /** Time-windowed surface over the `events` table — the batch twins of the
   * reference's streaming windows (A3 `reduceByKeyAndWindow` at
   * `InvoicePipeline.scala:72-80`) plus sessionization. The streaming
-  * variants of these queries live in StreamingQueries; keeping the batch
-  * twin oracle-checked pins the window semantics themselves.
+  * variants live in [[StreamQueries]] (`graft.stream`-backed, verified by
+  * batch-equivalence); keeping the batch twin oracle-checked pins the
+  * window semantics themselves.
   */
 object EventQueries {
 
@@ -61,13 +61,17 @@ object EventQueries {
     },
 
     // P3: the reference's decimal-hour projection (shared batch/stream
-    // expression) aggregated per event type.
+    // expression) aggregated per event type. The average is accumulated in
+    // exact integer minutes-of-day (a float-accumulated avg is
+    // summation-order-dependent and would flake the cross-engine hash
+    // compare at higher partition counts), divided once at the end.
     "ev04_decimal_hour_profile" -> { (s, dir) =>
       import s.implicits._
       Tables.events(s, dir)
         .groupBy($"event_type")
         .agg(
-          round(avg(decimalHour($"ts")), 4).as("avg_hour"),
+          round(sum(hour($"ts") * 60 + minute($"ts")).cast("long")
+            / count(lit(1)) / lit(60.0), 4).as("avg_hour"),
           count(lit(1)).as("n"))
         .orderBy($"event_type")
     })
@@ -109,7 +113,7 @@ object EventQueries {
 
     "ev04_decimal_hour_profile" ->
       """SELECT event_type,
-        |  round(AVG(hour(ts) + minute(ts)/60.0), 4) AS avg_hour,
+        |  round(CAST(SUM(hour(ts)*60 + minute(ts)) AS BIGINT) / COUNT(*) / 60.0, 4) AS avg_hour,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM events
         |GROUP BY event_type

@@ -10,7 +10,7 @@ import QueryUtil._
   * scoring, exact dedup, bigram profiles, multimodal (binary) metadata.
   * All per-row except the dedup aggregate — linear scale-out. The
   * non-SQL-expressible text ops (MinHash/SimHash/fingerprint/language-ID)
-  * are in DedupQueries / rows-only entries.
+  * are rows-only entries in [[PipelineQueries]].
   */
 object TextQueries {
 

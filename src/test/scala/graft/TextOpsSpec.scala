@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+
+class TextOpsSpec extends SparkSuite {
+
+  test("fingerprint: order-sensitive, deterministic, overflow-free") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact dup
+      (3L, "kappa iota theta eta zeta epsilon delta gamma beta alpha"), // reordered
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val fp = df.select($"doc_id", TextOps.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L), "identical docs must share a fingerprint")
+    assert(fp(1L) != fp(3L), "reordered tokens must change the fingerprint")
+    // long docs overflow a non-wrapping fold — must not throw under ANSI
+    val long = Seq((1L, Seq.fill(500)("token").mkString(" "))).toDF("doc_id", "text")
+    long.select(TextOps.fingerprint($"text")).collect()
+  }
+
+  test("polyhash64 matches a driver-side wrapping fold") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Seq(3L, 5L, 7L), Seq.empty[Long]).toDF("hs")
+    val got = df.select(graft.functions.PolyHash64($"hs")).collect().map(_.getLong(0))
+    assert(got(0) == ((3L * 31L + 5L) * 31L + 7L))
+    assert(got(1) == 0L)
+  }
+}
