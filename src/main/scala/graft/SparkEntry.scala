@@ -22,7 +22,8 @@ object SparkEntry {
     (InvoiceQueries.queries, InvoiceQueries.oracles),
     (EventQueries.queries, EventQueries.oracles),
     (TextQueries.queries, TextQueries.oracles),
-    (PipelineQueries.queries, PipelineQueries.oracles))
+    (PipelineQueries.queries, PipelineQueries.oracles),
+    (StreamQueries.queries, StreamQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

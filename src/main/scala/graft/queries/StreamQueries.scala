@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.model.{Schemas, Tables}
+import graft.stream.{CancellationWindow, InvoiceStateMachine, PurchaseLine, Router, StreamRunner, StreamSources}
+import QueryUtil._
+
+/** The Structured Streaming surface, proven by **batch equivalence**: each
+  * query runs a genuine streaming plan (file streaming source →
+  * stream-static join / stateful operator → sink) to completion over
+  * finite input, and its output must hash-match a plain batch SQL oracle.
+  * The single-batch replay makes the comparison exact; multi-batch
+  * semantics (state timeout, re-emission, per-batch dedup) are pinned in
+  * StreamSpec where batch boundaries are explicit.
+  *
+  *  - st01: the reference's stateful per-invoice aggregate (A4) via
+  *    `flatMapGroupsWithState` over a stream-static join.
+  *  - st02: the reference's 8 min/1 min sliding cancellation window (A3)
+  *    as a watermarked streaming window aggregate.
+  *  - st03: the reference's three-way invalid/cancelled/good routing
+  *    (F1/F2/F4 + S5) through `foreachBatch` parquet sinks, read back.
+  *  - st04: streaming `dropDuplicates` (the modern A2 shape) in append
+  *    mode.
+  */
+object StreamQueries {
+
+  /** Kafka-shaped records synthesized deterministically from `orders`:
+    * key = invoice id, `C`-prefixed for every 7th order (the cancellation
+    * rule); value = 8-field CSV line with an empty CustomerID injected for
+    * every 11th customer and a 7-field (wrong-arity) line for every 13th
+    * order — so all three routes are populated. The oracle rebuilds the
+    * identical strings in SQL. */
+  private def kafkaShapedOrders(orders: DataFrame): DataFrame = {
+    val key = concat(
+      when(col("o_orderkey") % 7 === 0, lit("C")).otherwise(lit("")),
+      col("o_orderkey").cast("string"))
+    val first7 = concat_ws(",",
+      col("o_orderkey").cast("string"),
+      col("o_orderpriority"),
+      col("o_orderstatus"),
+      cents(col("o_totalprice")).cast("string"),
+      date_format(col("o_orderdate"), "MM/dd/yyyy HH:mm"),
+      when(col("o_custkey") % 11 === 0, lit("")).otherwise(col("o_custkey").cast("string")),
+      lit("ES"))
+    val value = concat(first7,
+      when(col("o_orderkey") % 13 === 0, lit(""))
+        .otherwise(concat(lit(","), col("o_orderstatus"))))
+    orders.select(key.as("key"), value.as("value"))
+  }
+
+  private val kafkaShapedOrdersSql =
+    """SELECT (CASE WHEN o_orderkey % 7 = 0 THEN 'C' ELSE '' END) ||
+      |         CAST(o_orderkey AS VARCHAR) AS key,
+      |       CAST(o_orderkey AS VARCHAR) || ',' || o_orderpriority || ',' ||
+      |         o_orderstatus || ',' ||
+      |         CAST(CAST(round(o_totalprice*100) AS BIGINT) AS VARCHAR) || ',' ||
+      |         strftime(o_orderdate, '%m/%d/%Y %H:%M') || ',' ||
+      |         (CASE WHEN o_custkey % 11 = 0 THEN ''
+      |               ELSE CAST(o_custkey AS VARCHAR) END) ||
+      |         ',ES' ||
+      |         (CASE WHEN o_orderkey % 13 = 0 THEN ''
+      |               ELSE ',' || o_orderstatus END) AS value
+      |FROM orders""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // A4: stateful per-invoice aggregation. Streaming lineitem scan →
+    // stream-static broadcast-able join with orders → typed state machine
+    // in update mode. One micro-batch ⇒ one emission per invoice ⇒ must
+    // equal the batch weighted aggregate.
+    "st01_invoice_state" -> { (s, dir) =>
+      import s.implicits._
+      val needed = Set("l_orderkey", "l_quantity", "l_extendedprice")
+      val schema = StructType(Schemas.lineitem.filter(f => needed(f.name)))
+      val purchases = StreamSources.parquetStream(s, dir, "lineitem", schema)
+        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+        .select(
+          $"l_orderkey".cast("string").as("invoiceNo"),
+          $"l_quantity".cast("long").as("quantity"),
+          $"l_extendedprice".as("unitPrice"),
+          cents($"l_extendedprice").as("unitPriceCents"),
+          (hour($"o_orderdate") * 60 + minute($"o_orderdate")).as("minuteOfDay"),
+          $"o_custkey".isNotNull.as("hasCustomer"))
+        .as[PurchaseLine]
+      // Single-batch replay: the idle timeout is irrelevant (nothing is
+      // ever idle across triggers) and must be off for the query to
+      // self-terminate — the timeout lifecycle is pinned in StreamSpec.
+      StreamRunner.toMemory(InvoiceStateMachine(purchases, idleTimeoutMs = 0L))
+        .select($"invoice_no".cast("long").as("invoice_no"),
+          $"avg_unit_price", $"min_unit_price", $"max_unit_price",
+          $"time_of_day", $"number_items", $"lines")
+        .orderBy($"invoice_no")
+    },
+
+    // A3: the 8-minute/1-minute sliding window as a watermarked streaming
+    // aggregate (same expression as batch ev02 — that oracle pins it).
+    "st02_cancel_window" -> { (s, dir) =>
+      import s.implicits._
+      val purchases = StreamSources.eventsStream(s, dir)
+        .filter($"event_type" === "purchase")
+      StreamRunner.toMemory(CancellationWindow.slidingCounts(purchases, "ts"))
+        .orderBy($"w_start")
+    },
+
+    // F1/F2/F4 + S5: three-way routing with real sink fan-out — the
+    // streaming query writes each route to its own parquet sink via
+    // foreachBatch; the query output is the union read back from disk.
+    "st03_routing" -> { (s, dir) =>
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
+        "router-").toString
+      val stream = StreamRunner.asStream(kafkaShapedOrders(Tables.orders(s, dir)))
+      Router.runToSinks(stream, base)
+      Router.Routes.map { r =>
+        val dir = new java.io.File(s"$base/$r")
+        if (dir.exists())
+          s.read.parquet(dir.toString).withColumn("route", lit(r))
+        else s.emptyDataFrame
+          .withColumn("key", lit("")).withColumn("value", lit(""))
+          .withColumn("route", lit(r)).limit(0)
+      }.reduce(_ unionByName _)
+        .select($"key", $"value", $"route")
+        .orderBy($"key")
+    },
+
+    // A2 (modern shape): streaming dropDuplicates in append mode — each
+    // distinct (user, event_type) pair emitted exactly once.
+    "st04_stream_distinct" -> { (s, dir) =>
+      import s.implicits._
+      val dedup = StreamSources.eventsStream(s, dir)
+        .select($"user_id", $"event_type")
+        .dropDuplicates("user_id", "event_type")
+      StreamRunner.toMemory(dedup, mode = "append")
+        .orderBy($"user_id", $"event_type")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "st01_invoice_state" ->
+      """SELECT l_orderkey AS invoice_no,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+        |           * CAST(l_quantity AS BIGINT)) AS BIGINT)/100.0
+        |    / CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS avg_unit_price,
+        |  MIN(l_extendedprice) AS min_unit_price,
+        |  MAX(l_extendedprice) AS max_unit_price,
+        |  CAST(MIN(hour(o_orderdate)*60 + minute(o_orderdate)) AS BIGINT)/60.0 AS time_of_day,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS number_items,
+        |  CAST(COUNT(*) AS BIGINT) AS lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_orderkey
+        |ORDER BY invoice_no""".stripMargin,
+
+    "st02_cancel_window" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(generate_series(date_trunc('minute', ts) - INTERVAL 7 MINUTE,
+        |                                    date_trunc('minute', ts),
+        |                                    INTERVAL 1 MINUTE)) AS ws
+        |      FROM events WHERE event_type = 'purchase')
+        |GROUP BY ws
+        |ORDER BY w_start""".stripMargin,
+
+    "st03_routing" ->
+      s"""SELECT key, value,
+         |  CASE WHEN len(string_split(value, ',')) != 8
+         |            OR list_contains(string_split(value, ','), '') THEN 'invalid'
+         |       WHEN key LIKE 'C%' THEN 'cancelled'
+         |       ELSE 'good' END AS route
+         |FROM ($kafkaShapedOrdersSql)
+         |ORDER BY key""".stripMargin,
+
+    "st04_stream_distinct" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin)
+}

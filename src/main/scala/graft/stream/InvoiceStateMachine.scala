@@ -1,0 +1,134 @@
+package graft.stream
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One parsed purchase line entering the state machine (the reference's
+  * `Purchase`, `InvoicePipeline.scala:19-20`, with price pre-converted to
+  * exact integer cents and the invoice date pre-parsed to minute-of-day —
+  * all floating accumulation happens in integers so the fold is
+  * associative/commutative and replay-deterministic). */
+case class PurchaseLine(
+    invoiceNo: String,
+    quantity: Long,
+    unitPrice: Double,
+    unitPriceCents: Long,
+    minuteOfDay: Int,
+    hasCustomer: Boolean)
+
+/** Running per-invoice aggregate — the stream state (the reference's
+  * `Invoice`, `InvoicePipeline.scala:22-24`), kept as exact integer sums
+  * plus order-insensitive min/max so any arrival order yields the same
+  * state. */
+case class InvoiceState(
+    sumPriceQtyCents: Long,
+    sumQty: Long,
+    minPrice: Double,
+    maxPrice: Double,
+    earliestMinute: Int,
+    lines: Long,
+    hasCustomer: Boolean)
+
+/** Emitted view of the state after each update. */
+case class InvoiceAgg(
+    invoice_no: String,
+    avg_unit_price: Double,
+    min_unit_price: Double,
+    max_unit_price: Double,
+    time_of_day: Double,
+    number_items: Long,
+    lines: Long)
+
+/** The reference's stateful per-invoice aggregation (A4,
+  * `updateStateByKey(updateInvoiceState)` at `InvoicePipeline.scala:93-136`)
+  * as a typed `flatMapGroupsWithState` state machine.
+  *
+  * Reproduced semantics:
+  *  - quantity-weighted running average (`avg=(avg·n+p·q)/(n+q)`,
+  *    ref `:110-113`) — held as exact integer sums, emitted as one division;
+  *  - running min/max unit price (seeded `Double.MaxValue` /
+  *    `MinPositiveValue` in the reference, `:96`; here the first line seeds
+  *    directly, which removes the reference's sentinel leaking into output
+  *    when an invoice has no lines);
+  *  - **delete-on-idle**: the reference returns `None` — purging state — on
+  *    the first batch in which a key gets no new purchases (`:99`).
+  *    `flatMapGroupsWithState` never invokes idle keys, so the purge is a
+  *    processing-time timeout of one trigger: the state times out and is
+  *    removed *without emission*, exactly like the reference (downstream
+  *    only ever sees keys updated in the current batch);
+  *  - update-mode emission: the updated aggregate re-fires on every batch
+  *    that touches the invoice (§2.9 #5).
+  *
+  * Documented divergences (nondeterminism the reference leaks, SURVEY §2.9
+  * #8): `time` is the *earliest* line's minute-of-day (reference: whichever
+  * line arrived first in the batch), `lines` counts lines (reference:
+  * batches), and there is no wall-clock in the state.
+  *
+  * Scale: state is grouped on `invoiceNo` — the natural shuffle key — and
+  * each key holds a fixed ~60 bytes regardless of invoice size; the state
+  * store scales linearly with *live* invoices only, because idle state is
+  * purged after one trigger.
+  */
+object InvoiceStateMachine {
+
+  private val Empty = InvoiceState(0L, 0L, Double.MaxValue, Double.MinValue, Int.MaxValue, 0L, false)
+
+  def fold(s: InvoiceState, p: PurchaseLine): InvoiceState = InvoiceState(
+    sumPriceQtyCents = s.sumPriceQtyCents + p.unitPriceCents * p.quantity,
+    sumQty = s.sumQty + p.quantity,
+    minPrice = math.min(s.minPrice, p.unitPrice),
+    maxPrice = math.max(s.maxPrice, p.unitPrice),
+    earliestMinute = math.min(s.earliestMinute, p.minuteOfDay),
+    lines = s.lines + 1L,
+    hasCustomer = s.hasCustomer || p.hasCustomer)
+
+  def toAgg(invoiceNo: String, s: InvoiceState): InvoiceAgg = InvoiceAgg(
+    invoice_no = invoiceNo,
+    avg_unit_price = s.sumPriceQtyCents / 100.0 / s.sumQty,
+    min_unit_price = s.minPrice,
+    max_unit_price = s.maxPrice,
+    time_of_day = s.earliestMinute / 60.0,
+    number_items = s.sumQty,
+    lines = s.lines)
+
+  private def update(idleTimeoutMs: Long)(
+      invoiceNo: String,
+      rows: Iterator[PurchaseLine],
+      state: GroupState[InvoiceState]): Iterator[InvoiceAgg] = {
+    if (state.hasTimedOut) {
+      // Delete-on-idle without emission (ref `InvoicePipeline.scala:99`).
+      state.remove()
+      Iterator.empty
+    } else {
+      val next = rows.foldLeft(state.getOption.getOrElse(Empty))(fold)
+      state.update(next)
+      if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+      Iterator.single(toAgg(invoiceNo, next))
+    }
+  }
+
+  /** Apply the state machine. Works on a streaming `Dataset` (update mode,
+    * processing-time timeout ≈ one trigger) and on a batch `Dataset`
+    * (single conceptual batch; timeouts never fire), so batch equivalence
+    * is checked against the *same code path*.
+    *
+    * @param idleTimeoutMs processing-time idle timeout; ≤0 disables.
+    *                      Note: with a processing-time timeout registered,
+    *                      Spark's micro-batch engine intentionally runs a
+    *                      batch every trigger forever (to fire future
+    *                      timeouts — `FlatMapGroupsWithStateExec.
+    *                      shouldRunAnotherBatch` is constant-true), so
+    *                      such a query never self-terminates under
+    *                      `Trigger.AvailableNow`; finite replays that
+    *                      don't span multiple triggers should disable it.
+    */
+  def apply(lines: Dataset[PurchaseLine], idleTimeoutMs: Long): Dataset[InvoiceAgg] = {
+    import lines.sparkSession.implicits._
+    val conf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    lines
+      .groupByKey(_.invoiceNo)
+      .flatMapGroupsWithState(OutputMode.Update, conf)(update(idleTimeoutMs))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.stream
+
+import java.nio.file.Files
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Harness that runs a finite streaming plan to completion and hands back
+  * its output as a batch DataFrame — the bridge that lets streaming
+  * operators participate in the driver's batch oracle contract
+  * (batch-equivalence: streaming result over finite input ≡ batch query).
+  *
+  * Update-mode output goes to an in-memory sink table; with the testdata's
+  * one-file-per-table sources the whole input is one micro-batch, so each
+  * key/window emits exactly once and the memory table *is* the final
+  * answer. (Multi-batch semantics — re-emission per update, state timeout —
+  * are pinned separately in StreamSpec, where batch boundaries are
+  * explicit `MemoryStream.addData` calls.) The memory sink is a test/
+  * verification harness by design; production sinks are Kafka/files via
+  * [[Router.runToSinks]].
+  */
+object StreamRunner {
+
+  /** Turn a batch DataFrame into a genuine file-backed stream: materialize
+    * it to scratch parquet (a distributed write — no driver collect), then
+    * open a file streaming source over it. Used to feed synthesized
+    * record sets through streaming plans. */
+  def asStream(df: DataFrame): DataFrame = {
+    val dir = Files.createTempDirectory(
+      Files.createDirectories(java.nio.file.Paths.get(
+        new java.io.File("target/stream-scratch").getAbsolutePath)),
+      "in-").toString
+    df.write.mode("overwrite").parquet(dir)
+    df.sparkSession.readStream.schema(df.schema).parquet(dir)
+  }
+
+  /** Run `ds` (a streaming Dataset/DataFrame) with `Trigger.AvailableNow`
+    * in the given output mode until completion; returns the collected
+    * output. The plan must not register processing-time timeouts (see
+    * [[InvoiceStateMachine.apply]]) or the query never self-terminates. */
+  def toMemory[T](ds: Dataset[T], mode: String = "update"): DataFrame = {
+    val spark = ds.sparkSession
+    val sink = "graft_sink_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val q = ds.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+}

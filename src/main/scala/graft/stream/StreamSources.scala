@@ -1,0 +1,53 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Streaming sources (reference S4, `InvoicePipeline.scala:198-204`).
+  *
+  * The reference consumes a receiver-based Kafka 0.8 DStream of
+  * `(key, value)` string pairs. The modern equivalents here:
+  *
+  *  - [[kafkaShaped]] — the production path: Direct, offset-tracked
+  *    `readStream.format("kafka")`, cast to the same `(key, value)` string
+  *    pair shape. Requires a broker; not exercisable in this sandbox.
+  *  - [[parquetStream]] — a file-based streaming source over the driver
+  *    testdata, used by the batch-equivalence queries (each table is one
+  *    file, so `Trigger.AvailableNow` processes it as exactly one
+  *    micro-batch — the single-batch replay that makes streaming output
+  *    comparable to a batch oracle).
+  *  - `MemoryStream` (tests) — multi-batch state/timeout semantics are
+  *    pinned in StreamSpec, where batch boundaries must be explicit.
+  */
+object StreamSources {
+
+  /** Kafka source in the reference's `(key, value)` string shape. */
+  def kafkaShaped(spark: SparkSession, brokers: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .load()
+      .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+
+  /** File streaming source over one driver-testdata parquet table. The
+    * table is a single file, so the path is wrapped in a `{...}` glob —
+    * the file streaming source requires a directory or glob (its basePath
+    * must be a directory), and the glob form scopes basePath to `dir`
+    * while matching exactly this file. */
+  def parquetStream(spark: SparkSession, dir: String, name: String,
+                    schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(s"$dir/{$name}.parquet")
+
+  /** `events` as a stream. Its `ts` is parquet TIMESTAMP(NANOS), which the
+    * reader only yields as a raw long (`nanosAsLong`); convert to a real
+    * timestamp with exact integer division, mirroring `Tables.events`. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = StructType(graft.model.Schemas.events.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+    parquetStream(spark, dir, "events", raw)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

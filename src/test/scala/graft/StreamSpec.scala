@@ -1,0 +1,166 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.stream._
+
+/** Multi-batch streaming semantics that the single-batch oracle queries
+  * (st01–st04) cannot see: per-batch emission, cross-batch state folding,
+  * and the reference's delete-on-idle state lifecycle
+  * (`InvoicePipeline.scala:99` — state purged on the first batch where a
+  * key receives no data, without emission).
+  */
+class StreamSpec extends SparkSuite {
+
+  private def line(inv: String, qty: Long, price: Double, minute: Int = 600): PurchaseLine =
+    PurchaseLine(inv, qty, price, math.round(price * 100), minute, hasCustomer = true)
+
+  private def waitUntil(what: String, timeoutMs: Long = 30000L)(cond: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond) {
+      if (System.currentTimeMillis() > deadline) fail(s"timed out waiting for: $what")
+      Thread.sleep(25)
+    }
+  }
+
+  private def stateRows(q: StreamingQuery): Long =
+    Option(q.lastProgress).flatMap(_.stateOperators.headOption.map(_.numRowsTotal)).getOrElse(-1L)
+
+  test("state machine folds across batches and emits per update") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[PurchaseLine]
+    val sink = "sm_fold"
+    val q = InvoiceStateMachine(input.toDS(), idleTimeoutMs = 0L)
+      .writeStream.outputMode("update").format("memory").queryName(sink).start()
+    try {
+      input.addData(line("A", 2, 10.0), line("A", 1, 40.0))
+      waitUntil("first A emission")(s.table(sink).count() >= 1)
+      input.addData(line("A", 1, 70.0))
+      waitUntil("second A emission")(s.table(sink).count() >= 2)
+      val rows = s.table(sink).filter($"invoice_no" === "A")
+        .orderBy($"lines").collect()
+      assert(rows.length == 2, "one emission per batch that touches the key")
+      // after batch 1: (2×10 + 1×40)/3
+      assert(rows(0).getAs[Double]("avg_unit_price") == 60.0 / 3)
+      assert(rows(0).getAs[Long]("number_items") == 3L)
+      // after batch 2 the fold continues: (2×10 + 1×40 + 1×70)/4
+      assert(rows(1).getAs[Double]("avg_unit_price") == 130.0 / 4)
+      assert(rows(1).getAs[Double]("min_unit_price") == 10.0)
+      assert(rows(1).getAs[Double]("max_unit_price") == 70.0)
+      assert(rows(1).getAs[Long]("number_items") == 4L)
+      assert(rows(1).getAs[Long]("lines") == 3L)
+    } finally q.stop()
+  }
+
+  test("streamed fold equals the batch path on the same lines") {
+    val s = spark
+    import s.implicits._
+    val lines = Seq(line("A", 2, 10.0, 60), line("A", 1, 40.0, 30), line("B", 5, 3.5, 90))
+    // batch mode runs the exact same state-machine code path
+    val batch = InvoiceStateMachine(lines.toDS(), idleTimeoutMs = 0L)
+      .collect().map(a => a.invoice_no -> a).toMap
+    assert(batch("A").avg_unit_price == 60.0 / 3)
+    assert(batch("A").time_of_day == 0.5)
+    assert(batch("B").number_items == 5L)
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[PurchaseLine]
+    val sink = "sm_equiv"
+    val q = InvoiceStateMachine(input.toDS(), idleTimeoutMs = 0L)
+      .writeStream.outputMode("update").format("memory").queryName(sink).start()
+    try {
+      input.addData(lines.head)
+      waitUntil("batch 1 out")(s.table(sink).count() >= 1)
+      input.addData(lines.tail: _*)
+      waitUntil("batch 2 out")(s.table(sink).count() >= 3)
+      val finalA = s.table(sink).filter($"invoice_no" === "A")
+        .orderBy($"lines".desc).head()
+      assert(finalA.getAs[Double]("avg_unit_price") == batch("A").avg_unit_price)
+      assert(finalA.getAs[Long]("number_items") == batch("A").number_items)
+    } finally q.stop()
+  }
+
+  test("delete-on-idle: state is purged without emission, key restarts fresh") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[PurchaseLine]
+    val sink = "sm_idle"
+    val q = InvoiceStateMachine(input.toDS(), idleTimeoutMs = 1L)
+      .writeStream.outputMode("update").format("memory").queryName(sink).start()
+    try {
+      input.addData(line("A", 1, 10.0), line("B", 1, 20.0))
+      waitUntil("A+B emitted")(s.table(sink).count() >= 2)
+      input.addData(line("A", 1, 10.0)) // B idle this batch
+      waitUntil("A re-emitted")(s.table(sink).count() >= 3)
+      // the engine keeps running timeout batches; B (and eventually A)
+      // must be purged from the store without any further emission
+      waitUntil("state purged")(stateRows(q) == 0L)
+      val emitted = s.table(sink).count()
+      input.addData(line("B", 3, 99.0))
+      waitUntil("B restarted")(s.table(sink).count() >= emitted + 1)
+      val bRows = s.table(sink).filter($"invoice_no" === "B").collect()
+      // fresh state: the restart emits a one-line aggregate of the new data
+      // only; a continuation of the purged state would show lines=2/items=4
+      assert(bRows.exists(r => r.getAs[Long]("lines") == 1L &&
+        r.getAs[Long]("number_items") == 3L &&
+        r.getAs[Double]("min_unit_price") == 99.0))
+      assert(!bRows.exists(r => r.getAs[Long]("lines") > 1L))
+    } finally q.stop()
+  }
+
+  test("sliding window counts: streaming updates converge to batch result") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:30")
+    def at(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    val all = Seq(at(0), at(0), at(1), at(3), at(9))
+    val input = MemoryStream[Timestamp]
+    val sink = "cw_win"
+    val q = CancellationWindow.slidingCounts(input.toDF().toDF("ts"), "ts")
+      .writeStream.outputMode("update").format("memory").queryName(sink).start()
+    try {
+      input.addData(all.take(3): _*)
+      waitUntil("first windows")(s.table(sink).count() >= 1)
+      input.addData(all.drop(3): _*)
+      waitUntil("second windows")(
+        s.table(sink).groupBy($"w_start").agg(max($"n")).count() >= 16)
+      // counts only grow → max per window is the final value
+      val streamed = s.table(sink).groupBy($"w_start").agg(max($"n").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = CancellationWindow.slidingCounts(all.toDF("ts"), "ts")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("router classifies and fans out; cancelled branch deduped per batch") {
+    val s = spark
+    import s.implicits._
+    val recs = Seq(
+      ("1", "1,a,b,c,d,e,f,g"),      // good
+      ("C2", "2,a,b,c,d,e,f,g"),     // cancelled
+      ("C2", "2,a,b,c,d,e,f,g"),     // duplicate cancelled line (same batch)
+      ("3", "3,a,b,c,d,e,f"),        // invalid: 7 fields
+      ("4", "4,a,,c,d,e,f,g"))       // invalid: empty field
+      .toDF("key", "value")
+    val routes = Router.classified(recs).collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    assert(routes == Set(("1", "good"), ("C2", "cancelled"),
+      ("3", "invalid"), ("4", "invalid")) + (("C2", "cancelled")))
+    val base = java.nio.file.Files.createTempDirectory("router-spec-").toString
+    Router.runToSinks(StreamRunner.asStream(recs), base)
+    val good = s.read.parquet(s"$base/good").collect()
+    val cancelled = s.read.parquet(s"$base/cancelled").collect()
+    val invalid = s.read.parquet(s"$base/invalid").collect()
+    assert(good.map(_.getString(0)).toSeq == Seq("1"))
+    assert(cancelled.length == 1, "per-batch distinct must collapse the duplicate")
+    assert(invalid.map(_.getString(0)).toSet == Set("3", "4"))
+  }
+}
