@@ -1,0 +1,71 @@
+package graft.ml
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.ml.clustering.{BisectingKMeans, BisectingKMeansModel, KMeans, KMeansModel}
+import org.apache.spark.sql.DataFrame
+
+/** Session-scoped registry of trained anomaly models: each `(algo, key)` is
+  * trained **once**, persisted, re-loaded, calibrated, and memoized — the
+  * reference's offline train job (`train.scala` / `trainBisecting.scala`)
+  * feeding its online pipeline (`InvoicePipeline.scala:178-193`), collapsed
+  * into one cached round-trip.
+  *
+  * This is the scale posture the round-1 bench lacked: model fitting is an
+  * *index build*, not a per-query cost. A query that re-trains on every
+  * invocation pays O(corpus × iterations) each time (68 s of round-1's
+  * 127 s bench); a query that loads a persisted model pays an artifact read
+  * once per session. The save→load leg is deliberately kept in the path
+  * (not just an in-memory cache) so the persistence contract — S3/S6 model
+  * dirs, S2/S7 threshold file — is exercised on every cold run.
+  */
+object ModelStore {
+
+  /** Trained scoring artifact: centroid coordinates + anomaly threshold. */
+  final case class AnomalyModel(centers: Seq[Seq[Double]], threshold: Double)
+
+  private val cache = new ConcurrentHashMap[String, AnomalyModel]()
+
+  /** KMeans flavor (reference `train.scala:11-49`). */
+  def kmeansAnomaly(key: String, feats: => DataFrame, featureCols: Seq[String],
+                    k: Int = 4, seed: Long = 1L, maxIter: Int = 10,
+                    thresholdRank: Int = 2000): AnomalyModel =
+    cache.computeIfAbsent(s"kmeans|$key|$k|$seed", _ => {
+      val f = feats.cache()
+      try {
+        val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+          .setFeaturesCol("features").fit(Training.assemble(f, featureCols))
+        val dir = Persistence.artifactDir(s"kmeans-$key-$k-$seed")
+        model.write.overwrite().save(dir)
+        calibrate(KMeansModel.load(dir).clusterCenters.map(_.toArray.toSeq).toSeq,
+          dir, f, featureCols, thresholdRank)
+      } finally f.unpersist()
+    })
+
+  /** BisectingKMeans flavor (reference `trainBisecting.scala:11-49`). */
+  def bisectingAnomaly(key: String, feats: => DataFrame, featureCols: Seq[String],
+                       k: Int = 4, seed: Long = 1L, maxIter: Int = 10,
+                       thresholdRank: Int = 2000): AnomalyModel =
+    cache.computeIfAbsent(s"bisecting|$key|$k|$seed", _ => {
+      val f = feats.cache()
+      try {
+        val model = new BisectingKMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+          .setFeaturesCol("features").fit(Training.assemble(f, featureCols))
+        val dir = Persistence.artifactDir(s"bisecting-$key-$k-$seed")
+        model.write.overwrite().save(dir)
+        calibrate(BisectingKMeansModel.load(dir).clusterCenters.map(_.toArray.toSeq).toSeq,
+          dir, f, featureCols, thresholdRank)
+      } finally f.unpersist()
+    })
+
+  /** Threshold = `rank`-th largest squared distance over the training set
+    * (reference `train.scala:45-46`), persisted and re-read as the
+    * reference's one-line artifact (`Clustering.scala:138-144`). */
+  private def calibrate(centers: Seq[Seq[Double]], dir: String, feats: DataFrame,
+                        featureCols: Seq[String], rank: Int): AnomalyModel = {
+    val dists = Scoring.score(feats, featureCols, centers, threshold = 0.0)
+    val thr = Training.threshold(dists, "dist", rank)
+    Persistence.saveThreshold(s"$dir/threshold.txt", thr)
+    AnomalyModel(centers, Persistence.loadThreshold(s"$dir/threshold.txt"))
+  }
+}

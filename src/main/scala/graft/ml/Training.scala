@@ -19,19 +19,24 @@ object Training {
   /** k-sweep KMeans training (reference A10, `train.scala:55-59`): fit one
     * model per k, return (k, model, cost). Cost = within-set sum of squared
     * distances (`summary.trainingCost`, the `computeCost` equivalent). */
-  def kMeansSweep(df: DataFrame, ks: Seq[Int], seed: Long = 1L): Seq[(Int, KMeansModel, Double)] = {
+  def kMeansSweep(df: DataFrame, ks: Seq[Int], seed: Long = 1L,
+                  maxIter: Int = 20, initMode: String = "k-means||"): Seq[(Int, KMeansModel, Double)] = {
     val cached = df.cache()
     try ks.map { k =>
-      val m = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").fit(cached)
+      val m = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+        .setInitMode(initMode)
+        .setFeaturesCol("features").fit(cached)
       (k, m, m.summary.trainingCost)
     } finally cached.unpersist()
   }
 
   /** BisectingKMeans twin (reference `trainBisecting.scala:55-59`). */
-  def bisectingSweep(df: DataFrame, ks: Seq[Int], seed: Long = 1L): Seq[(Int, BisectingKMeansModel, Double)] = {
+  def bisectingSweep(df: DataFrame, ks: Seq[Int], seed: Long = 1L,
+                     maxIter: Int = 20): Seq[(Int, BisectingKMeansModel, Double)] = {
     val cached = df.cache()
     try ks.map { k =>
-      val m = new BisectingKMeans().setK(k).setSeed(seed).setFeaturesCol("features").fit(cached)
+      val m = new BisectingKMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+        .setFeaturesCol("features").fit(cached)
       (k, m, m.summary.trainingCost)
     } finally cached.unpersist()
   }

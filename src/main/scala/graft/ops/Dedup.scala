@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.SimHash64
@@ -69,26 +68,57 @@ object Dedup {
     *                     dominate the join)
     * @return (id_a, id_b, jaccard) with id_a < id_b
     */
+  /** All unordered pairs of a (sorted) array: `(xs[i], xs[j])` for i<j —
+    * codegen'd higher-order functions, no join. */
+  private def arrayPairs(xs: Column): Column =
+    flatten(transform(xs, (x, i) =>
+      transform(slice(xs, i + 2, size(xs)), y => struct(x.as("a"), y.as("b")))))
+
+  /** Candidate pairs from bucket membership — the shared LSH skeleton:
+    * group rows by bucket, drop buckets larger than `maxBucket` (the skew
+    * guard: one boilerplate-heavy bucket would otherwise go quadratic),
+    * and emit each bucket's member pairs from its collected, sorted
+    * member array.
+    *
+    * This is ONE hash aggregate on the bucket key — no bucket self-join.
+    * A self-join duplicates the whole upstream plan on both sides and
+    * shuffles it twice; collecting members is safe precisely *because* of
+    * the cap: a bucket holds ≤ maxBucket entries, so a group row is
+    * bounded regardless of corpus size.
+    *
+    * @param payload struct/column collected per row; must sort with the
+    *                pair id as its leading field so `a < b` holds
+    * @return one row per (bucket-local) pair, column `p` = struct(a, b)
+    */
+  private def bucketPairs(df: DataFrame, bucketCol: String, payload: Column,
+                          maxBucket: Int): DataFrame =
+    df.groupBy(col(bucketCol))
+      .agg(array_sort(collect_list(payload)).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+      .select(explode(arrayPairs(col("xs"))).as("p"))
+
   def minHashDupPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
                       threshold: Double = 0.7, maxBucket: Int = 64): DataFrame = {
-    val withSig = docs
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleK).as("shingles"))
+    val sh = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleK).as("shingles"))
+    // Candidate generation shuffles (band, id) only — 16 bytes a row; the
+    // wide shingle arrays rejoin *after* the pair-level distinct. The
+    // minhash signature (the expensive expression: bands×rows hashes per
+    // shingle) is materialized as its own projection so the 32
+    // `element_at(sig, …)` band references share ONE evaluation —
+    // inlining it into bandKeys would copy the whole signature expression
+    // into every band key (32× the work; CollapseProject keeps a
+    // multiply-referenced non-trivial alias as a separate project).
+    val banded = sh
       .withColumn("sig", minHashSignature(col("shingles"), numBands * rowsPerBand))
-    val banded = withSig
-      .select(col("id"), col("shingles"), explode(bandKeys(col("sig"), numBands, rowsPerBand)).as("band"))
-    val smallBuckets = banded
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("band"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    val right = smallBuckets
-      .select(col("band"), col("id").as("id_b"), col("shingles").as("shingles_b"))
-    smallBuckets
-      .join(right, Seq("band"))
-      .filter(col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"),
-        col("shingles").as("sa"), col("shingles_b").as("sb"))
+      .select(col("id"), explode(bandKeys(col("sig"), numBands, rowsPerBand)).as("band"))
+    val cand = bucketPairs(banded, "band", col("id"), maxBucket)
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
+    val sets = sh
+    cand
+      .join(sets.select(col("id").as("id_a"), col("shingles").as("sa")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("shingles").as("sb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sa"), col("sb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -100,16 +130,21 @@ object Dedup {
   /** SimHash near-duplicate pairs: bucket by the high `prefixBits` bits,
     * verify with full-signature Hamming distance ≤ `maxHamming`.
     * Single-probe (rotationless) variant — recall can be raised by
-    * re-running on bit-rotated signatures. */
+    * re-running on bit-rotated signatures.
+    *
+    * @param maxBucket skew guard: prefix buckets larger than this are
+    *                  dropped — boilerplate-heavy corpora concentrate into
+    *                  one prefix, whose self-join would go quadratic
+    */
   def simHashDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                      prefixBits: Int = 16, maxHamming: Int = 3): DataFrame = {
+                      prefixBits: Int = 16, maxHamming: Int = 3,
+                      maxBucket: Int = 1024): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
       .withColumn("bucket", shiftrightunsigned(col("sig"), 64 - prefixBits))
-    val right = sigs.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    sigs.join(right, Seq("bucket"))
-      .filter(col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"),
-        bit_count(col("sig").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+    // signatures travel with the ids, so verification needs no rejoin
+    bucketPairs(sigs, "bucket", struct(col("id"), col("sig")), maxBucket)
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        bit_count(col("p.a.sig").bitwiseXOR(col("p.b.sig"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -122,12 +157,10 @@ object Dedup {
                         maxDf: Int = 16): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleK).as("shingles"))
     val posting = sh.select(col("id"), explode(col("shingles")).as("shingle"))
-    val rare = posting
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= maxDf)
-    val cand = rare.alias("l")
-      .join(rare.alias("r"), col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    // rare-shingle blocking IS the bucket-pair skeleton: shingle = bucket,
+    // df cap = skew guard; one aggregate, pairs from each posting list
+    val cand = bucketPairs(posting, "shingle", col("id"), maxDf)
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
     cand
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sa")), Seq("id_a"))

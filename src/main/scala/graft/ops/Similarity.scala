@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.util.concurrent.ConcurrentHashMap
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -14,6 +16,12 @@ import org.apache.spark.sql.functions._
   *    corpus vector to a cell (one pass); queries probe only the
   *    `nProbe` nearest cells, cutting compute by ~k/nProbe at the cost
   *    of recall. Cell assignment is itself distributed.
+  *
+  * The quantizer is an **index artifact, not a query cost**: it is fit on
+  * a bounded deterministic sample (hash-selected, capped — never the full
+  * corpus; at 100 TB a full-corpus fit per query is a non-starter), with
+  * capped iterations, and memoized per (corpus, cells, seed) so every
+  * query against the same corpus shares one index.
   *
   * Dot products use `zip_with` + `aggregate` (codegen'd higher-order
   * functions, no UDF). Norms are precomputed once per side.
@@ -54,39 +62,66 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
   }
 
-  /** IVF (inverted-file) ANN: coarse-quantize the corpus with k-means,
-    * then search only the `nProbe` cells nearest each query.
+  // ---------------------------------------------------------------- IVF —
+
+  /** Memoized coarse quantizers: one index build per (corpus key, cells,
+    * seed) per session, shared by every IVF query over that corpus. */
+  private val quantizers = new ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  /** Max rows the quantizer is ever fit on. Cell centroids are a coarse
+    * partitioning device — a bounded sample fixes them as well as the full
+    * corpus does. */
+  private val QuantizerSampleCap = 4096
+
+  /** Fit (or fetch) the coarse quantizer for a corpus. The sample is
+    * hash-selected on the id column — deterministic under repartitioning
+    * and replay, unlike `df.sample` — and hard-capped. */
+  def coarseQuantizer(corpus: DataFrame, idCol: String, vecCol: String,
+                      key: String, nCells: Int, seed: Long): Array[Array[Double]] =
+    quantizers.computeIfAbsent(s"$key|$nCells|$seed", _ => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      // 1-in-N hash sample aiming at ~QuantizerSampleCap rows; the limit
+      // is a hard cap for corpora whose size estimate is unavailable.
+      val n = corpus.queryExecution.optimizedPlan.stats.rowCount
+      val everyNth = n.map(c => (c.toLong / QuantizerSampleCap).max(1L)).getOrElse(1L)
+      val sample = corpus
+        .filter(pmod(xxhash64(col(idCol)), lit(everyNth)) === 0)
+        .limit(QuantizerSampleCap)
+        .select(array_to_vector(asDouble(col(vecCol))).as("features"))
+      val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+        .setFeaturesCol("features").fit(sample)
+      model.clusterCenters.map(_.toArray)
+    })
+
+  /** Literal `(cell, centroid)` array — broadcast via the plan. */
+  private def centersCol(centers: Array[Array[Double]]): Column =
+    array(centers.indices.map(i =>
+      struct(lit(i).as("cell"), typedlit(centers(i).toSeq).as("cvec"))): _*)
+
+  /** The `n` nearest cells of `vec` by cosine, best first. */
+  private def nearestCells(centers: Array[Array[Double]], vec: Column, n: Int): Column = {
+    val scored = transform(centersCol(centers), c =>
+      struct((dot(vec, c.getField("cvec")) / (norm(vec) * norm(c.getField("cvec")))).as("sim"),
+        c.getField("cell").as("cell")))
+    slice(reverse(array_sort(scored)), 1, n)
+  }
+
+  /** IVF (inverted-file) ANN: assign the corpus to quantizer cells, then
+    * search only the `nProbe` cells nearest each query.
     *
     * @return (query_id, rank, neighbor_id, cosine) — approximate top-k
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    val spark = corpus.sparkSession
-    val train = corpus.select(array_to_vector(asDouble(col(vecCol))).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
-      .fit(train)
-    val centers = model.clusterCenters.map(_.toArray)
-
-    // Distributed cell assignment: nearest center by cosine, as a literal
-    // centers array (broadcast via the plan) — no per-row model call.
-    val centersCol = array(centers.indices.map(i =>
-      struct(lit(i).as("cell"), typedlit(centers(i).toSeq).as("cvec"))): _*)
-    def nearestCells(vec: Column, n: Int): Column = {
-      val scored = transform(centersCol, c =>
-        struct((dot(vec, c.getField("cvec")) / (norm(vec) * norm(c.getField("cvec")))).as("sim"),
-          c.getField("cell").as("cell")))
-      slice(reverse(array_sort(scored)), 1, n)
-    }
-
+              seed: Long = 42L, quantizerKey: String = ""): DataFrame = {
+    val centers = coarseQuantizer(corpus, idCol, vecCol,
+      if (quantizerKey.nonEmpty) quantizerKey else s"ivf-${corpus.hashCode}", nCells, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cvec"))
-      .withColumn("cell", nearestCells(col("cvec"), 1).getItem(0).getField("cell"))
+      .withColumn("cell", nearestCells(centers, col("cvec"), 1).getItem(0).getField("cell"))
       .withColumn("cnorm", norm(col("cvec")))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
-      .withColumn("cells", transform(nearestCells(col("qvec"), nProbe), x => x.getField("cell")))
+      .withColumn("cells", transform(nearestCells(centers, col("qvec"), nProbe), x => x.getField("cell")))
       .withColumn("qnorm", norm(col("qvec")))
       .select(col("query_id"), explode(col("cells")).as("cell"), col("qvec"), col("qnorm"))
 
@@ -105,8 +140,12 @@ object Similarity {
     * IVF cells (pairs in the same cell only — approximate). */
   def embeddingDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95, nCells: Int = 16,
-                        seed: Long = 42L): DataFrame = {
-    val withCell = ivfAssign(corpus, idCol, vecCol, nCells, seed)
+                        seed: Long = 42L, quantizerKey: String = ""): DataFrame = {
+    val centers = coarseQuantizer(corpus, idCol, vecCol,
+      if (quantizerKey.nonEmpty) quantizerKey else s"ivf-${corpus.hashCode}", nCells, seed)
+    val withCell = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      .withColumn("vnorm", norm(col("vec")))
+      .withColumn("cell", nearestCells(centers, col("vec"), 1).getItem(0).getField("cell"))
     val right = withCell.select(col("cell"), col("id").as("id_b"),
       col("vec").as("vec_b"), col("vnorm").as("norm_b"))
     withCell.join(right, Seq("cell"))
@@ -115,24 +154,5 @@ object Similarity {
         (dot(col("vec"), col("vec_b")) / (col("vnorm") * col("norm_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
-  }
-
-  /** Corpus → (id, vec, vnorm, cell) via seeded k-means coarse quantizer. */
-  private def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
-                        nCells: Int, seed: Long): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val train = corpus.select(array_to_vector(asDouble(col(vecCol))).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features").fit(train)
-    val centers = model.clusterCenters.map(_.toArray)
-    val centersCol = array(centers.indices.map(i =>
-      struct(lit(i).as("cell"), typedlit(centers(i).toSeq).as("cvec"))): _*)
-    corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
-      .withColumn("vnorm", norm(col("vec")))
-      .withColumn("cell",
-        reverse(array_sort(transform(centersCol, c =>
-          struct((dot(col("vec"), c.getField("cvec")) / (col("vnorm") * norm(c.getField("cvec")))).as("sim"),
-            c.getField("cell").as("cell")))))
-          .getItem(0).getField("cell"))
   }
 }

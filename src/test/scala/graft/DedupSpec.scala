@@ -53,6 +53,21 @@ class DedupSpec extends SparkSuite {
     assert(pairs((1L, 2L)) == 1.0)
   }
 
+  test("skew guard: hot buckets generate no candidate pairs") {
+    val s = spark
+    import s.implicits._
+    // 20 identical docs = one hot simhash bucket; maxBucket below the
+    // bucket size must suppress the quadratic self-join entirely
+    val hot = (1L to 20L).map(i => (i, "same boilerplate text repeated everywhere"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.simHashDupPairs(hot, "doc_id", "text",
+      prefixBits = 8, maxHamming = 0, maxBucket = 10)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.simHashDupPairs(hot, "doc_id", "text",
+      prefixBits = 8, maxHamming = 0, maxBucket = 1024)
+    assert(uncapped.count() == 190) // 20 choose 2 — the join the cap avoids
+  }
+
   test("cosine: orthogonal = 0, identical = 1") {
     val s = spark
     import s.implicits._

@@ -2,9 +2,38 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ml.{Scoring, Training}
+import graft.ml.{ModelStore, Persistence, Scoring, Training}
 
 class MlSpec extends SparkSuite {
+
+  test("threshold artifact round-trips through the text file") {
+    val p = java.nio.file.Files.createTempDirectory("thr-").toString + "/threshold.txt"
+    Persistence.saveThreshold(p, 123.456)
+    assert(Persistence.loadThreshold(p) == 123.456)
+  }
+
+  test("model store: train→save→load→score, memoized per key") {
+    val s = spark
+    import s.implicits._
+    val feats = (1 to 50).map(i => (i.toLong, i % 5 * 10.0, i % 7 * 3.0))
+      .toDF("id", "a", "b")
+    val m1 = ModelStore.kmeansAnomaly("spec", feats, Seq("a", "b"),
+      k = 2, seed = 5L, thresholdRank = 10)
+    assert(m1.centers.size == 2)
+    assert(m1.threshold > 0.0 || m1.threshold == 0.0) // finite, loaded back
+    // artifacts exist on disk (model dir + threshold file)
+    val dir = Persistence.artifactDir("kmeans-spec-2-5")
+    assert(new java.io.File(dir, "metadata").exists())
+    assert(new java.io.File(dir, "threshold.txt").exists())
+    // memoized: second call returns the identical instance
+    val m2 = ModelStore.kmeansAnomaly("spec", sys.error("must not retrain"),
+      Seq("a", "b"), k = 2, seed = 5L, thresholdRank = 10)
+    assert(m1 eq m2)
+    // bisecting flavor round-trips too
+    val b = ModelStore.bisectingAnomaly("spec", feats, Seq("a", "b"),
+      k = 2, seed = 5L, thresholdRank = 10)
+    assert(b.centers.size == 2)
+  }
 
   test("elbow selection: documented semantics (first k where ratio exceeded)") {
     // costs: 100, 40, 30, 28 → ratios 0.4, 0.75, 0.93 → first > 0.7 is i=2
