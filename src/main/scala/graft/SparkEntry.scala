@@ -23,7 +23,8 @@ object SparkEntry {
     (EventQueries.queries, EventQueries.oracles),
     (TextQueries.queries, TextQueries.oracles),
     (PipelineQueries.queries, PipelineQueries.oracles),
-    (StreamQueries.queries, StreamQueries.oracles))
+    (StreamQueries.queries, StreamQueries.oracles),
+    (IngestQueries.queries, IngestQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.PurchaseCsv
+import QueryUtil._
+
+/** CSV ingestion + sink-payload surface (reference S1 batch scan, P7
+  * line destructure, P9 stringify-for-Kafka): a real on-disk CSV fixture
+  * is scanned with the explicit purchase schema, destructured with
+  * `from_csv`, and serialized back to JSON sink payloads — each leg
+  * oracle-checked against DuckDB reading the *same file*.
+  */
+object IngestQueries {
+
+  /** The fixture is (re)written by whichever query runs first in a
+    * session; the oracle reads the identical file, so both engines always
+    * see the same bytes. */
+  private val fixtureDir = new java.io.File("target/fixtures/purchases_csv").getAbsolutePath
+
+  private val writeLock = new Object
+  private def ensureFixture(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    writeLock.synchronized { PurchaseCsv.writeFixture(s, dir, fixtureDir) }
+
+  private val duckReadCsv =
+    s"""read_csv('$fixtureDir/*.csv', header=false, columns={
+       |  'InvoiceNo':'VARCHAR','StockCode':'VARCHAR','Description':'VARCHAR',
+       |  'Quantity':'INTEGER','InvoiceDate':'VARCHAR','UnitPrice':'DOUBLE',
+       |  'CustomerID':'VARCHAR','Country':'VARCHAR'})""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // S1: CSV scan with explicit schema — typed columns straight off disk.
+    "cs01_csv_scan" -> { (s, dir) =>
+      ensureFixture(s, dir)
+      PurchaseCsv.read(s, fixtureDir)
+        .select(col("InvoiceNo").as("invoice_no"), col("StockCode").as("stock_code"),
+          col("Quantity").cast("long").as("quantity"), col("InvoiceDate").as("invoice_date"),
+          col("UnitPrice").as("unit_price"), col("CustomerID").as("customer_id"),
+          col("Country").as("country"))
+        .orderBy(col("invoice_no"))
+    },
+
+    // P7: raw text lines → from_csv destructure (the stream-parse path —
+    // same expression the Kafka value leg applies).
+    "cs02_line_parse" -> { (s, dir) =>
+      ensureFixture(s, dir)
+      PurchaseCsv.parseLines(s.read.text(fixtureDir))
+        .select(col("InvoiceNo").as("invoice_no"), col("Quantity").cast("long").as("quantity"),
+          col("UnitPrice").as("unit_price"), col("CustomerID").as("customer_id"))
+        .orderBy(col("invoice_no"))
+    },
+
+    // P9: structured JSON sink payload (replaces the reference's
+    // case-class toString at `InvoicePipeline.scala:141,147`) — string and
+    // integer fields only, so the byte-exact payload is oracle-checkable.
+    "cs03_json_payload" -> { (s, dir) =>
+      ensureFixture(s, dir)
+      PurchaseCsv.read(s, fixtureDir)
+        .select(col("InvoiceNo").as("key"),
+          to_json(struct(
+            col("InvoiceNo").as("invoice_no"),
+            col("Quantity").cast("long").as("quantity"),
+            col("CustomerID").as("customer_id"),
+            col("Country").as("country"))).as("payload"))
+        .orderBy(col("key"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "cs01_csv_scan" ->
+      s"""SELECT InvoiceNo AS invoice_no, StockCode AS stock_code,
+         |  CAST(Quantity AS BIGINT) AS quantity, InvoiceDate AS invoice_date,
+         |  UnitPrice AS unit_price, CustomerID AS customer_id, Country AS country
+         |FROM $duckReadCsv
+         |ORDER BY invoice_no""".stripMargin,
+
+    "cs02_line_parse" ->
+      s"""SELECT InvoiceNo AS invoice_no, CAST(Quantity AS BIGINT) AS quantity,
+         |  UnitPrice AS unit_price, CustomerID AS customer_id
+         |FROM $duckReadCsv
+         |ORDER BY invoice_no""".stripMargin,
+
+    "cs03_json_payload" ->
+      s"""SELECT InvoiceNo AS key,
+         |  '{"invoice_no":"' || InvoiceNo || '","quantity":' || CAST(Quantity AS BIGINT) ||
+         |  ',"customer_id":"' || CustomerID || '","country":"' || Country || '"}' AS payload
+         |FROM $duckReadCsv
+         |ORDER BY key""".stripMargin)
+}
