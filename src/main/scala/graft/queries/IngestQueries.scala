@@ -50,6 +50,23 @@ object IngestQueries {
         .orderBy(col("invoice_no"))
     },
 
+    // P1/P2/P3: the reference's date handling — parse the
+    // "MM/dd/yyyy HH:mm" InvoiceDate string ONCE to a timestamp
+    // (`to_timestamp`, ref Clustering.scala:49-52), then derive
+    // hour-of-day (the `gethour` UDF as a built-in, with its -1.0 empty
+    // fallback) and the decimal-hour projection from that single column.
+    "cs04_invoice_date_parse" -> { (s, dir) =>
+      ensureFixture(s, dir)
+      val parsed = graft.etl.InvoiceFeaturizer.parseInvoiceDate(col("InvoiceDate"))
+      PurchaseCsv.read(s, fixtureDir)
+        .select(col("InvoiceNo").as("invoice_no"),
+          col("InvoiceDate").as("raw_date"),
+          date_format(parsed, "yyyy-MM-dd HH:mm:ss").as("parsed_ts"),
+          coalesce(hour(parsed).cast("double"), lit(-1.0)).as("hour_of_day"),
+          (hour(parsed) * 60 + minute(parsed)).cast("long").as("minute_of_day"))
+        .orderBy(col("invoice_no"))
+    },
+
     // P9: structured JSON sink payload (replaces the reference's
     // case-class toString at `InvoicePipeline.scala:141,147`) — string and
     // integer fields only, so the byte-exact payload is oracle-checkable.
@@ -76,6 +93,15 @@ object IngestQueries {
     "cs02_line_parse" ->
       s"""SELECT InvoiceNo AS invoice_no, CAST(Quantity AS BIGINT) AS quantity,
          |  UnitPrice AS unit_price, CustomerID AS customer_id
+         |FROM $duckReadCsv
+         |ORDER BY invoice_no""".stripMargin,
+
+    "cs04_invoice_date_parse" ->
+      s"""SELECT InvoiceNo AS invoice_no, InvoiceDate AS raw_date,
+         |  strftime(strptime(InvoiceDate, '%m/%d/%Y %H:%M'), '%Y-%m-%d %H:%M:%S') AS parsed_ts,
+         |  COALESCE(CAST(hour(strptime(InvoiceDate, '%m/%d/%Y %H:%M')) AS DOUBLE), -1.0) AS hour_of_day,
+         |  CAST(hour(strptime(InvoiceDate, '%m/%d/%Y %H:%M'))*60
+         |       + minute(strptime(InvoiceDate, '%m/%d/%Y %H:%M')) AS BIGINT) AS minute_of_day
          |FROM $duckReadCsv
          |ORDER BY invoice_no""".stripMargin,
 

@@ -59,18 +59,20 @@ object InvoiceQueries {
       col("time").as("time_of_day"),
       col("number_items"), col("has_customer"))
 
-  // Fixed scoring centers for the oracle-compared anomaly query: with
+  // Fixed scoring centers for the oracle-compared anomaly queries: with
   // literal centers the squared distance is plain arithmetic, identical in
-  // both engines (the *trained*-model variant lives in MlQueries,
-  // rows-only checked). Feature order: avg, min, max, time, items.
-  private val CenterA = Seq(30000.0, 5000.0, 70000.0, 0.0, 100.0)
-  private val CenterB = Seq(60000.0, 20000.0, 100000.0, 0.0, 150.0)
-  private val AnomalyThreshold = 1.0e9
+  // both engines (the *trained*-model variants are rows-only checked in
+  // PipelineQueries). Feature order: avg, min, max, time, items. Shared
+  // with the streaming anomaly pipeline (st05) so batch and stream score
+  // identically.
+  private[queries] val CenterA = Seq(30000.0, 5000.0, 70000.0, 0.0, 100.0)
+  private[queries] val CenterB = Seq(60000.0, 20000.0, 100000.0, 0.0, 150.0)
+  private[queries] val AnomalyThreshold = 1.0e9
 
-  private def sqDistTo(center: Seq[Double], f: Seq[Column]): Column =
+  private[queries] def sqDistTo(center: Seq[Double], f: Seq[Column]): Column =
     f.zip(center).map { case (c, v) => (c - lit(v)) * (c - lit(v)) }.reduce(_ + _)
 
-  private def sqlSqDistTo(center: Seq[Double], f: Seq[String]): String =
+  private[queries] def sqlSqDistTo(center: Seq[Double], f: Seq[String]): String =
     f.zip(center).map { case (c, v) => s"($c - $v)*($c - $v)" }.mkString(" + ")
 
   val queries: Map[String, Q] = Map(

@@ -65,32 +65,57 @@ object StreamQueries {
       |               ELSE ',' || o_orderstatus END) AS value
       |FROM orders""".stripMargin
 
+  /** The streaming purchase-line feed: streaming lineitem scan (pruned to
+    * the three needed columns) → stream-static join with orders → typed
+    * `PurchaseLine`s. Shared by the state-machine queries. */
+  private def purchaseStream(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    val needed = Set("l_orderkey", "l_quantity", "l_extendedprice")
+    val schema = StructType(Schemas.lineitem.filter(f => needed(f.name)))
+    StreamSources.parquetStream(s, dir, "lineitem", schema)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .select(
+        $"l_orderkey".cast("string").as("invoiceNo"),
+        $"l_quantity".cast("long").as("quantity"),
+        $"l_extendedprice".as("unitPrice"),
+        cents($"l_extendedprice").as("unitPriceCents"),
+        (hour($"o_orderdate") * 60 + minute($"o_orderdate")).as("minuteOfDay"),
+        $"o_custkey".isNotNull.as("hasCustomer"))
+      .as[PurchaseLine]
+  }
+
   val queries: Map[String, Q] = Map(
-    // A4: stateful per-invoice aggregation. Streaming lineitem scan →
-    // stream-static broadcast-able join with orders → typed state machine
-    // in update mode. One micro-batch ⇒ one emission per invoice ⇒ must
-    // equal the batch weighted aggregate.
+    // A4: stateful per-invoice aggregation. One micro-batch ⇒ one emission
+    // per invoice ⇒ must equal the batch weighted aggregate.
     "st01_invoice_state" -> { (s, dir) =>
       import s.implicits._
-      val needed = Set("l_orderkey", "l_quantity", "l_extendedprice")
-      val schema = StructType(Schemas.lineitem.filter(f => needed(f.name)))
-      val purchases = StreamSources.parquetStream(s, dir, "lineitem", schema)
-        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
-        .select(
-          $"l_orderkey".cast("string").as("invoiceNo"),
-          $"l_quantity".cast("long").as("quantity"),
-          $"l_extendedprice".as("unitPrice"),
-          cents($"l_extendedprice").as("unitPriceCents"),
-          (hour($"o_orderdate") * 60 + minute($"o_orderdate")).as("minuteOfDay"),
-          $"o_custkey".isNotNull.as("hasCustomer"))
-        .as[PurchaseLine]
       // Single-batch replay: the idle timeout is irrelevant (nothing is
       // ever idle across triggers) and must be off for the query to
       // self-terminate — the timeout lifecycle is pinned in StreamSpec.
-      StreamRunner.toMemory(InvoiceStateMachine(purchases, idleTimeoutMs = 0L))
+      StreamRunner.toMemory(InvoiceStateMachine(purchaseStream(s, dir), idleTimeoutMs = 0L))
         .select($"invoice_no".cast("long").as("invoice_no"),
           $"avg_unit_price", $"min_unit_price", $"max_unit_price",
           $"time_of_day", $"number_items", $"lines")
+        .orderBy($"invoice_no")
+    },
+
+    // The reference's COMPLETE online pipeline (`InvoicePipeline.main`):
+    // purchase stream → stateful invoice aggregation → distance-to-centroid
+    // anomaly predicate (F5) on every emitted update — composed as one
+    // streaming plan, scored with the same fixed centers as batch inv06 so
+    // the whole thing is oracle-checkable.
+    "st05_stream_anomalies" -> { (s, dir) =>
+      import s.implicits._
+      val f = Seq($"avg_unit_price", $"min_unit_price", $"max_unit_price",
+        $"time_of_day", $"number_items".cast("double"))
+      val dist = least(
+        InvoiceQueries.sqDistTo(InvoiceQueries.CenterA, f),
+        InvoiceQueries.sqDistTo(InvoiceQueries.CenterB, f))
+      val flagged = InvoiceStateMachine(purchaseStream(s, dir), idleTimeoutMs = 0L)
+        .toDF()
+        .withColumn("is_anomaly", (dist > InvoiceQueries.AnomalyThreshold).cast("long"))
+      StreamRunner.toMemory(flagged)
+        .select($"invoice_no".cast("long").as("invoice_no"), $"is_anomaly")
         .orderBy($"invoice_no")
     },
 
@@ -137,20 +162,33 @@ object StreamQueries {
         .orderBy($"user_id", $"event_type")
     })
 
+  /** The batch twin of the state machine's weighted per-invoice fold. */
+  private val weightedAggSql =
+    """SELECT l_orderkey AS invoice_no,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+      |           * CAST(l_quantity AS BIGINT)) AS BIGINT)/100.0
+      |    / CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS avg_unit_price,
+      |  MIN(l_extendedprice) AS min_unit_price,
+      |  MAX(l_extendedprice) AS max_unit_price,
+      |  CAST(MIN(hour(o_orderdate)*60 + minute(o_orderdate)) AS BIGINT)/60.0 AS time_of_day,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS number_items,
+      |  CAST(COUNT(*) AS BIGINT) AS lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY l_orderkey""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "st01_invoice_state" ->
-      """SELECT l_orderkey AS invoice_no,
-        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
-        |           * CAST(l_quantity AS BIGINT)) AS BIGINT)/100.0
-        |    / CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS avg_unit_price,
-        |  MIN(l_extendedprice) AS min_unit_price,
-        |  MAX(l_extendedprice) AS max_unit_price,
-        |  CAST(MIN(hour(o_orderdate)*60 + minute(o_orderdate)) AS BIGINT)/60.0 AS time_of_day,
-        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS number_items,
-        |  CAST(COUNT(*) AS BIGINT) AS lines
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY l_orderkey
-        |ORDER BY invoice_no""".stripMargin,
+    "st01_invoice_state" -> s"$weightedAggSql ORDER BY invoice_no",
+
+    "st05_stream_anomalies" -> {
+      val f = Seq("avg_unit_price", "min_unit_price", "max_unit_price",
+        "time_of_day", "CAST(number_items AS DOUBLE)")
+      s"""SELECT invoice_no,
+         |  CAST(LEAST(${InvoiceQueries.sqlSqDistTo(InvoiceQueries.CenterA, f)},
+         |             ${InvoiceQueries.sqlSqDistTo(InvoiceQueries.CenterB, f)})
+         |       > ${InvoiceQueries.AnomalyThreshold} AS BIGINT) AS is_anomaly
+         |FROM ($weightedAggSql)
+         |ORDER BY invoice_no""".stripMargin
+    },
 
     "st02_cancel_window" ->
       """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, CAST(COUNT(*) AS BIGINT) AS n
