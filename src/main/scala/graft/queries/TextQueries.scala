@@ -74,6 +74,19 @@ object TextQueries {
         ((nBytes * 7) % 480 + 1).as("fake_height"),
         (nBytes % 16).as("fake_frames"))
         .orderBy($"doc_id")
+    },
+
+    // Multimodal: deterministic frame-sampling plan for (fake) video
+    // payloads — every 10th frame, capped at 16, as pure column math (no
+    // decode); one row per sampled frame.
+    "mm02_frame_sampling" -> { (s, dir) =>
+      import s.implicits._
+      val nFrames = ($"n_chars" % 1000).cast("int")
+      Tables.documents(s, dir).select(
+        $"doc_id",
+        explode(graft.ops.Multimodal.frameSamplePlan(nFrames, stride = 10, maxFrames = 16)
+          .cast("array<long>")).as("frame_idx"))
+        .orderBy($"doc_id", $"frame_idx")
     })
 
   val oracles: Map[String, String] = Map(
@@ -115,5 +128,12 @@ object TextQueries {
         |  CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS fake_width,
         |  CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS fake_height,
         |  CAST(octet_length(encode(text)) % 16 AS BIGINT) AS fake_frames
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm02_frame_sampling" ->
+      """SELECT doc_id,
+        |  CAST(unnest(list_slice(
+        |    generate_series(0, greatest(CAST(n_chars % 1000 AS BIGINT) - 1, 0), 10),
+        |    1, 16)) AS BIGINT) AS frame_idx
+        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin)
 }

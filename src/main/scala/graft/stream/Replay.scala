@@ -38,6 +38,9 @@ object Replay {
       .map { case (l, i) => (i, l) }.toDF("idx", "line")
       .cache()
     val n = indexed.count()
+    // sanity sample before starting, like the reference's take(5) preview
+    // (`train.scala:36`)
+    indexed.orderBy($"idx").select($"line").show(5, truncate = false)
 
     val q = spark.readStream.format("rate").option("rowsPerSecond", rate).load()
       .select(($"value" % n).as("idx")) // loop the file like a soak test
