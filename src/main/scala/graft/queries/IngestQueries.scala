@@ -19,8 +19,11 @@ object IngestQueries {
   private val fixtureDir = new java.io.File("target/fixtures/purchases_csv").getAbsolutePath
 
   private val writeLock = new Object
+  private var writtenFor: String = null
   private def ensureFixture(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
-    writeLock.synchronized { PurchaseCsv.writeFixture(s, dir, fixtureDir) }
+    writeLock.synchronized {
+      if (writtenFor != dir) { PurchaseCsv.writeFixture(s, dir, fixtureDir); writtenFor = dir }
+    }
 
   private val duckReadCsv =
     s"""read_csv('$fixtureDir/*.csv', header=false, columns={
