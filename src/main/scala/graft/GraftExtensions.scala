@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{PolyHash64, SimHash64}
+
+/** Spark session extension registering graft's native expressions in the
+  * SQL function registry, so `spark.sql("SELECT simhash64(...)")` works
+  * the same as the Column API.
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
+  * standard injection point for a library shipping Catalyst extensions
+  * (no custom rules or strategies are needed: every graft operator lands
+  * on built-in plans, see SURVEY §4.2).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(arr) - 64-bit SimHash of an array<bigint> of token hashes."),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("polyhash64"),
+      info("polyhash64", "polyhash64(arr) - order-sensitive wrapping polynomial rolling hash of an array<bigint>."),
+      (children: Seq[Expression]) => PolyHash64(children.head)))
+  }
+}

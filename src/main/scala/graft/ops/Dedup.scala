@@ -129,23 +129,36 @@ object Dedup {
 
   /** SimHash near-duplicate pairs: bucket by the high `prefixBits` bits,
     * verify with full-signature Hamming distance ≤ `maxHamming`.
-    * Single-probe (rotationless) variant — recall can be raised by
-    * re-running on bit-rotated signatures.
+    *
+    * A single prefix probe misses any near-pair whose differing bits fall
+    * inside the prefix; `rotations` adds probes over bit-rotated
+    * signatures (rotation step 64/rotations), multiplying candidate
+    * coverage at linear cost. A pair is caught if ANY probe window is
+    * clean of its differing bits.
     *
     * @param maxBucket skew guard: prefix buckets larger than this are
     *                  dropped — boilerplate-heavy corpora concentrate into
-    *                  one prefix, whose self-join would go quadratic
+    *                  one prefix, whose pair blow-up would go quadratic
     */
   def simHashDupPairs(docs: DataFrame, idCol: String, textCol: String,
                       prefixBits: Int = 16, maxHamming: Int = 3,
-                      maxBucket: Int = 1024): DataFrame = {
+                      maxBucket: Int = 1024, rotations: Int = 1): DataFrame = {
+    val step = 64 / math.max(rotations, 1)
+    def rotl(c: Column, r: Int): Column =
+      if (r == 0) c else shiftleft(c, r).bitwiseOR(shiftrightunsigned(c, 64 - r))
     val sigs = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
-      .withColumn("bucket", shiftrightunsigned(col("sig"), 64 - prefixBits))
-    // signatures travel with the ids, so verification needs no rejoin
+      .select(col("id"), col("sig"), explode(array((0 until math.max(rotations, 1)).map { p =>
+        // probe-tagged bucket: rotated prefix, offset so probes never collide
+        shiftrightunsigned(rotl(col("sig"), p * step), 64 - prefixBits) +
+          lit(p.toLong << prefixBits)
+      }: _*)).as("bucket"))
+    // signatures travel with the ids, so verification needs no rejoin;
+    // distinct collapses pairs found by multiple probes
     bucketPairs(sigs, "bucket", struct(col("id"), col("sig")), maxBucket)
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         bit_count(col("p.a.sig").bitwiseXOR(col("p.b.sig"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact n-gram-Jaccard duplicate pairs via rare-shingle blocking: only

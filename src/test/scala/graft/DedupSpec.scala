@@ -68,6 +68,32 @@ class DedupSpec extends SparkSuite {
     assert(uncapped.count() == 190) // 20 choose 2 — the join the cap avoids
   }
 
+  test("simhash rotation probes: superset of single-probe pairs, hamming verified") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def pairs(rot: Int) = Dedup.simHashDupPairs(docs, "doc_id", "text",
+      prefixBits = 12, maxHamming = 8, rotations = rot)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val single = pairs(1)
+    val multi = pairs(4)
+    assert(single.map(p => (p._1, p._2)).toSet.subsetOf(multi.map(p => (p._1, p._2)).toSet),
+      "more probes must never lose pairs")
+    assert(multi.forall(_._3 <= 8), "every emitted pair is hamming-verified")
+    assert(multi.map(p => (p._1, p._2)).distinct.length == multi.length,
+      "pairs found by several probes are deduplicated")
+  }
+
+  test("IVF ANN recall vs brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    def neighbors(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = neighbors(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5))
+    val approx = neighbors(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+      nCells = 16, nProbe = 8, quantizerKey = "recall-spec"))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@5 with nProbe=8/16 too low: $recall")
+  }
+
   test("cosine: orthogonal = 0, identical = 1") {
     val s = spark
     import s.implicits._

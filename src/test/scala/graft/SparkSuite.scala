@@ -8,6 +8,7 @@ object SparkSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-tests")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
