@@ -25,17 +25,32 @@ import graft.functions.SimHash64
   */
 object Dedup {
 
-  /** Distinct word k-shingles of a document, each hashed to a long.
-    * Hashing first keeps the shuffle rows narrow (8B per shingle). */
-  def shingleHashes(text: Column, k: Int): Column = {
-    val toks = TextOps.tokens(text)
+  /** Distinct word k-shingles from a **materialized** token-array column,
+    * each hashed to a long. Hashing first keeps the shuffle rows narrow
+    * (8B per shingle).
+    *
+    * Takes tokens, not text, on purpose: higher-order-function lambdas are
+    * evaluated interpreted, per element — a lambda body referencing
+    * `split(text)` re-splits the document for every shingle, turning an
+    * O(tokens) projection into O(tokens²) per document (measured 20× on
+    * the shingling stage). Callers materialize the token array once per
+    * row (see [[shingled]]) and the lambda only slices it. */
+  def shingleHashes(toks: Column, k: Int): Column = {
     val shingles =
-      when(size(toks) < k, array(xxhash64(text)))
+      when(size(toks) < k, array(xxhash64(concat_ws(" ", toks))))
         .otherwise(transform(
           sequence(lit(1), size(toks) - (k - 1)),
-          i => xxhash64(concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*))))
+          i => xxhash64(concat_ws(" ", slice(toks, i, lit(k))))))
     array_distinct(shingles)
   }
+
+  /** (id, shingles) projection with the token array materialized in its
+    * own project (multiply-referenced non-trivial alias — CollapseProject
+    * keeps it, so the split happens once per row). */
+  private def shingled(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs
+      .withColumn("_toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol).as("id"), shingleHashes(col("_toks"), k).as("shingles"))
 
   /** MinHash signature: `sig(i) = min over shingles of xxhash64(shingle, i)`
     * — an independent permutation per index, all computed in one pass. */
@@ -55,19 +70,6 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)) / size(array_union(a, b)).cast("double")
 
-  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
-    *
-    * @param docs         input with `idCol` and `textCol`
-    * @param shingleK     word-shingle width
-    * @param numBands     LSH bands (numBands × rowsPerBand hashes)
-    * @param rowsPerBand  signature rows per band
-    * @param threshold    exact-Jaccard acceptance threshold
-    * @param maxBucket    skew guard: band buckets larger than this are
-    *                     dropped (at corpus scale a degenerate bucket —
-    *                     e.g. boilerplate — would otherwise quadratically
-    *                     dominate the join)
-    * @return (id_a, id_b, jaccard) with id_a < id_b
-    */
   /** All unordered pairs of a (sorted) array: `(xs[i], xs[j])` for i<j —
     * codegen'd higher-order functions, no join. */
   private def arrayPairs(xs: Column): Column =
@@ -97,10 +99,23 @@ object Dedup {
       .filter(size(col("xs")).between(2, maxBucket))
       .select(explode(arrayPairs(col("xs"))).as("p"))
 
+  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * @param docs         input with `idCol` and `textCol`
+    * @param shingleK     word-shingle width
+    * @param numBands     LSH bands (numBands × rowsPerBand hashes)
+    * @param rowsPerBand  signature rows per band
+    * @param threshold    exact-Jaccard acceptance threshold
+    * @param maxBucket    skew guard: band buckets larger than this are
+    *                     dropped (at corpus scale a degenerate bucket —
+    *                     e.g. boilerplate — would otherwise quadratically
+    *                     dominate the join)
+    * @return (id_a, id_b, jaccard) with id_a < id_b
+    */
   def minHashDupPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
                       threshold: Double = 0.7, maxBucket: Int = 64): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleK).as("shingles"))
+    val sh = shingled(docs, idCol, textCol, shingleK)
     // Candidate generation shuffles (band, id) only — 16 bytes a row; the
     // wide shingle arrays rejoin *after* the pair-level distinct. The
     // minhash signature (the expensive expression: bands×rows hashes per
@@ -168,7 +183,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, threshold: Double = 0.8,
                         maxDf: Int = 16): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleK).as("shingles"))
+    val sh = shingled(docs, idCol, textCol, shingleK)
     val posting = sh.select(col("id"), explode(col("shingles")).as("shingle"))
     // rare-shingle blocking IS the bucket-pair skeleton: shingle = bucket,
     // df cap = skew guard; one aggregate, pairs from each posting list
