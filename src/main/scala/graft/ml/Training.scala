@@ -19,27 +19,41 @@ object Training {
   /** k-sweep KMeans training (reference A10, `train.scala:55-59`): fit one
     * model per k, return (k, model, cost). Cost = within-set sum of squared
     * distances (`summary.trainingCost`, the `computeCost` equivalent). */
-  def kMeansSweep(df: DataFrame, ks: Seq[Int], seed: Long = 1L,
-                  maxIter: Int = 20, initMode: String = "k-means||"): Seq[(Int, KMeansModel, Double)] = {
+  /** Run independent fits concurrently (each fit is seeded and
+    * deterministic on its own, so results are order-stable regardless of
+    * scheduling; a k-sweep is driver-job-bound, not compute-bound). */
+  private def sweep[M](df: DataFrame, ks: Seq[Int], parallelism: Int)(
+      fit: (DataFrame, Int) => (M, Double)): Seq[(Int, M, Double)] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val cached = df.cache()
-    try ks.map { k =>
+    cached.count() // materialize once before concurrent fits
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(parallelism, 1))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(
+      Future.traverse(ks)(k => Future { val (m, cost) = fit(cached, k); (k, m, cost) }),
+      Duration.Inf)
+    finally { pool.shutdown(); cached.unpersist() }
+  }
+
+  def kMeansSweep(df: DataFrame, ks: Seq[Int], seed: Long = 1L,
+                  maxIter: Int = 20, initMode: String = "k-means||",
+                  parallelism: Int = 4): Seq[(Int, KMeansModel, Double)] =
+    sweep(df, ks, parallelism) { (data, k) =>
       val m = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
         .setInitMode(initMode)
-        .setFeaturesCol("features").fit(cached)
-      (k, m, m.summary.trainingCost)
-    } finally cached.unpersist()
-  }
+        .setFeaturesCol("features").fit(data)
+      (m, m.summary.trainingCost)
+    }
 
   /** BisectingKMeans twin (reference `trainBisecting.scala:55-59`). */
   def bisectingSweep(df: DataFrame, ks: Seq[Int], seed: Long = 1L,
-                     maxIter: Int = 20): Seq[(Int, BisectingKMeansModel, Double)] = {
-    val cached = df.cache()
-    try ks.map { k =>
+                     maxIter: Int = 20, parallelism: Int = 4): Seq[(Int, BisectingKMeansModel, Double)] =
+    sweep(df, ks, parallelism) { (data, k) =>
       val m = new BisectingKMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
-        .setFeaturesCol("features").fit(cached)
-      (k, m, m.summary.trainingCost)
-    } finally cached.unpersist()
-  }
+        .setFeaturesCol("features").fit(data)
+      (m, m.summary.trainingCost)
+    }
 
   /** Elbow selection, *documented* semantics: smallest index i (≥1) with
     * `cost(i)/cost(i-1) > ratio`, else the last. (The reference's

@@ -94,16 +94,24 @@ object Similarity {
       model.clusterCenters.map(_.toArray)
     })
 
-  /** Literal `(cell, centroid)` array — broadcast via the plan. */
-  private def centersCol(centers: Array[Array[Double]]): Column =
-    array(centers.indices.map(i =>
-      struct(lit(i).as("cell"), typedlit(centers(i).toSeq).as("cvec"))): _*)
+  /** Literal `(cell, centroid)` array — broadcast via the plan. Centroids
+    * are L2-normalized on the driver: cosine ORDER against a fixed vector
+    * is invariant to scaling either side, so cell ranking needs only the
+    * dot product with unit centers — no per-row, per-center norm
+    * evaluation (those lambdas run interpreted). */
+  private def centersCol(centers: Array[Array[Double]]): Column = {
+    val unit = centers.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+    array(unit.indices.map(i =>
+      struct(lit(i).as("cell"), typedlit(unit(i).toSeq).as("cvec"))): _*)
+  }
 
   /** The `n` nearest cells of `vec` by cosine, best first. */
   private def nearestCells(centers: Array[Array[Double]], vec: Column, n: Int): Column = {
     val scored = transform(centersCol(centers), c =>
-      struct((dot(vec, c.getField("cvec")) / (norm(vec) * norm(c.getField("cvec")))).as("sim"),
-        c.getField("cell").as("cell")))
+      struct(dot(vec, c.getField("cvec")).as("sim"), c.getField("cell").as("cell")))
     slice(reverse(array_sort(scored)), 1, n)
   }
 
