@@ -79,7 +79,10 @@ object InvoiceFeaturizer {
   /** Quantity-weighted unit-price average — the *streaming* variant of the
     * reference (weighted at `InvoicePipeline.scala:110`, per-line unweighted
     * at `Clustering.scala:69`; the two genuinely differ — see SURVEY.md
-    * §7.4.4). Exposed as a named alternative so callers pick explicitly. */
+    * §7.4.4). Exposed as a named alternative so callers pick explicitly.
+    * Accumulates in exact integer cents like every money aggregate here
+    * (floating sums are partitioning-order-dependent). */
   def weightedAvgUnitPrice(unitPrice: Column, quantity: Column): Column =
-    sum(unitPrice * quantity) / sum(quantity)
+    sum(round(unitPrice * 100).cast("long") * quantity.cast("long")).cast("long") / 100.0 /
+      sum(quantity.cast("long")).cast("long")
 }

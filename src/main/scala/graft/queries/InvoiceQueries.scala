@@ -137,6 +137,22 @@ object InvoiceQueries {
       invoiceFeatures(s, dir)
         .select($"invoice_no", (dist > AnomalyThreshold).cast("long").as("is_anomaly"))
         .orderBy($"invoice_no")
+    },
+
+    // The reference's two genuinely different unit-price averages side by
+    // side (per-line in training, quantity-weighted in streaming — SURVEY
+    // §7.4.4): both as exact-cents aggregates so the divergence itself is
+    // oracle-pinned.
+    "inv07_avg_variants" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey".as("invoice_no"))
+        .agg(
+          (sum(QueryUtil.cents($"l_extendedprice")) / lit(100.0) / count(lit(1)))
+            .as("avg_per_line"),
+          InvoiceFeaturizer.weightedAvgUnitPrice($"l_extendedprice", $"l_quantity")
+            .as("avg_weighted"))
+        .orderBy($"invoice_no")
     })
 
   val oracles: Map[String, String] = {
@@ -189,6 +205,17 @@ object InvoiceQueries {
            |  CAST(LEAST(${sqlSqDistTo(CenterA, fSql)},
            |             ${sqlSqDistTo(CenterB, fSql)}) > $AnomalyThreshold AS BIGINT) AS is_anomaly
            |FROM ($featuresSql)
-           |ORDER BY invoice_no""".stripMargin)
+           |ORDER BY invoice_no""".stripMargin,
+
+      "inv07_avg_variants" ->
+        """SELECT l_orderkey AS invoice_no,
+          |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0/COUNT(*)
+          |    AS avg_per_line,
+          |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+          |           * CAST(l_quantity AS BIGINT)) AS BIGINT)/100.0
+          |    / CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS avg_weighted
+          |FROM lineitem
+          |GROUP BY l_orderkey
+          |ORDER BY invoice_no""".stripMargin)
   }
 }

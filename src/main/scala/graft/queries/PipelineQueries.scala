@@ -66,13 +66,8 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
-    // Language-ID heuristic + fingerprint + BPE-ish token estimate.
-    "tx06_language_id" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), TextOps.languageId(col("text")).as("predicted_lang"),
-          col("lang").as("labeled_lang"))
-        .orderBy(col("doc_id"))
-    },
+    // Fingerprint + BPE-ish token estimate (language-ID moved to
+    // TextQueries, where it is oracle-checked).
     "tx07_fingerprints" -> { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"),

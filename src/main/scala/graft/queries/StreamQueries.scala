@@ -151,6 +151,24 @@ object StreamQueries {
         .orderBy($"key")
     },
 
+    // Native streaming sessionization: session_window merges events with
+    // <30-minute gaps into per-user sessions inside the state store —
+    // the stateful twin of batch ev03's lag/cumsum construction.
+    "st06_session_window" -> { (s, dir) =>
+      import s.implicits._
+      // complete mode: session-window aggregation supports append (emits
+      // only when the watermark passes a session) and complete — for a
+      // finite replay, complete emits every merged session
+      val sessions = StreamSources.eventsStream(s, dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+      StreamRunner.toMemory(sessions, mode = "complete")
+        .select(date_format($"sw.start", "yyyy-MM-dd HH:mm:ss").as("s_start"),
+          $"user_id", $"n_events")
+        .orderBy($"user_id", $"s_start")
+    },
+
     // A2 (modern shape): streaming dropDuplicates in append mode — each
     // distinct (user, event_type) pair emitted exactly once.
     "st04_stream_distinct" -> { (s, dir) =>
@@ -210,5 +228,24 @@ object StreamQueries {
 
     "st04_stream_distinct" ->
       """SELECT DISTINCT user_id, event_type FROM events
-        |ORDER BY user_id, event_type""".stripMargin)
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    // New session when the gap reaches the 30-minute horizon (Spark's
+    // session window is [start, last+gap), so an event at exactly
+    // prev+30min starts a new session — hence >=, unlike batch ev03's >).
+    "st06_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         SUM(CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts) AS sess_id
+        |  FROM g)
+        |SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start, user_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sess_id
+        |ORDER BY user_id, s_start""".stripMargin)
 }

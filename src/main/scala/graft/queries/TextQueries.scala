@@ -76,6 +76,18 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
+    // Language-ID heuristic: argmax over per-profile stopword-overlap
+    // scores, ties broken by greatest language code — the same argmax
+    // cascade is expressed in the oracle, so the heuristic itself is
+    // hash-checked.
+    "tx06_language_id" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", TextOps.languageId($"text").as("predicted_lang"),
+          $"lang".as("labeled_lang"))
+        .orderBy($"doc_id")
+    },
+
     // Multimodal: deterministic frame-sampling plan for (fake) video
     // payloads — every 10th frame, capped at 16, as pure column math (no
     // decode); one row per sampled frame.
@@ -129,6 +141,27 @@ object TextQueries {
         |  CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS fake_height,
         |  CAST(octet_length(encode(text)) % 16 AS BIGINT) AS fake_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx06_language_id" -> {
+      // per-language overlap score + the argmax cascade in descending
+      // language order (branch i fires only when no later language beats
+      // it — exactly array_max over (score, lang) structs)
+      val score: Map[String, String] = graft.ops.TextOps.LangProfiles.map {
+        case (lang, stops) =>
+          val list = stops.map(s => s"'$s'").mkString("[", ", ", "]")
+          lang -> s"len(list_filter(string_split(text, ' '), t -> list_contains($list, t)))"
+      }
+      val langsDesc = graft.ops.TextOps.LangProfiles.keys.toSeq.sorted.reverse
+      val cascade = langsDesc.init.zipWithIndex.map { case (l, i) =>
+        val conds = langsDesc.drop(i + 1).map(o => s"${score(l)} >= ${score(o)}")
+        s"WHEN ${conds.mkString(" AND ")} THEN '$l'"
+      }.mkString("\n       ")
+      s"""SELECT doc_id,
+         |  CASE $cascade
+         |       ELSE '${langsDesc.last}' END AS predicted_lang,
+         |  lang AS labeled_lang
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "mm02_frame_sampling" ->
       """SELECT doc_id,

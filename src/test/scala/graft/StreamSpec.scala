@@ -154,6 +154,8 @@ class StreamSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getString(2))).toSet
     assert(routes == Set(("1", "good"), ("C2", "cancelled"),
       ("3", "invalid"), ("4", "invalid")) + (("C2", "cancelled")))
+    // the F4 gate selects exactly the rows classified as good
+    assert(Router.goodRecords(recs).collect().map(_.getString(0)).toSet == Set("1"))
     val base = java.nio.file.Files.createTempDirectory("router-spec-").toString
     Router.runToSinks(StreamRunner.asStream(recs), base)
     val good = s.read.parquet(s"$base/good").collect()
