@@ -89,7 +89,11 @@ object Similarity {
         .filter(pmod(xxhash64(col(idCol)), lit(everyNth)) === 0)
         .limit(QuantizerSampleCap)
         .select(array_to_vector(asDouble(col(vecCol))).as("features"))
-      val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+      // random init + few iterations: the quantizer only partitions space
+      // into cells — probe search tolerates coarse centroids, and the
+      // k-means|| init alone costs more jobs than the whole refinement
+      val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
+        .setInitMode("random")
         .setFeaturesCol("features").fit(sample)
       model.clusterCenters.map(_.toArray)
     })

@@ -47,8 +47,10 @@ object PurchaseCsv {
       col("o_totalprice").as("UnitPrice"),
       col("o_custkey").cast("string").as("CustomerID"),
       concat(lit("C"), (col("o_custkey") % 10).cast("string")).as("Country"))
-      .orderBy(col("InvoiceNo"))
-      .coalesce(1)
+      // parallel, unordered write — consumers (Spark scan and the DuckDB
+      // oracle) read the whole directory, and row order is irrelevant to
+      // the sorted compare; a sort + single-writer coalesce would only
+      // serialize the write
       .write.mode("overwrite").option("header", "false").csv(outPath)
   }
 }
