@@ -4,6 +4,7 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.ml.clustering.{BisectingKMeans, BisectingKMeansModel, KMeans, KMeansModel}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 
 /** Session-scoped registry of trained anomaly models: each `(algo, key)` is
   * trained **once**, persisted, re-loaded, calibrated, and memoized — the
@@ -26,12 +27,24 @@ object ModelStore {
 
   private val cache = new ConcurrentHashMap[String, AnomalyModel]()
 
+  /** Bound the training set with a deterministic hash sample on the key
+    * column (1 in `sampleMod`; ≤1 disables). The offline leg — fit +
+    * threshold calibration — runs on the sample, the online leg scores
+    * the full stream/corpus with the resulting artifact, exactly the
+    * reference's train-job/pipeline split; at 100 TB the training frame
+    * must be a bounded sample or the "index build" is a full corpus pass
+    * per model. */
+  private def sampled(feats: DataFrame, idCol: String, sampleMod: Int): DataFrame =
+    if (sampleMod <= 1) feats
+    else feats.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+
   /** KMeans flavor (reference `train.scala:11-49`). */
   def kmeansAnomaly(key: String, feats: => DataFrame, featureCols: Seq[String],
+                    idCol: String = "invoice_no", sampleMod: Int = 1,
                     k: Int = 4, seed: Long = 1L, maxIter: Int = 10,
                     thresholdRank: Int = 2000): AnomalyModel =
-    cache.computeIfAbsent(s"kmeans|$key|$k|$seed", _ => {
-      val f = feats.cache()
+    cache.computeIfAbsent(s"kmeans|$key|$k|$seed|$sampleMod", _ => {
+      val f = sampled(feats, idCol, sampleMod).cache()
       try {
         val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
           .setFeaturesCol("features").fit(Training.assemble(f, featureCols))
@@ -44,10 +57,11 @@ object ModelStore {
 
   /** BisectingKMeans flavor (reference `trainBisecting.scala:11-49`). */
   def bisectingAnomaly(key: String, feats: => DataFrame, featureCols: Seq[String],
+                       idCol: String = "invoice_no", sampleMod: Int = 1,
                        k: Int = 4, seed: Long = 1L, maxIter: Int = 10,
                        thresholdRank: Int = 2000): AnomalyModel =
-    cache.computeIfAbsent(s"bisecting|$key|$k|$seed", _ => {
-      val f = feats.cache()
+    cache.computeIfAbsent(s"bisecting|$key|$k|$seed|$sampleMod", _ => {
+      val f = sampled(feats, idCol, sampleMod).cache()
       try {
         val model = new BisectingKMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
           .setFeaturesCol("features").fit(Training.assemble(f, featureCols))

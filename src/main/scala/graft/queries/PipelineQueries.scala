@@ -102,7 +102,8 @@ object PipelineQueries {
     // per-query cost.
     "ml02_invoice_anomalies_trained" -> { (s, dir) =>
       val feats = InvoiceQueries.invoiceFeatures(s, dir)
-      val m = ModelStore.kmeansAnomaly(s"invoice-$dir", feats, InvoiceFeaturizer.FeatureCols)
+      val m = ModelStore.kmeansAnomaly(s"invoice-$dir", feats,
+        InvoiceFeaturizer.FeatureCols, sampleMod = 4)
       Scoring.score(feats, InvoiceFeaturizer.FeatureCols, m.centers, m.threshold)
         .filter(col("is_anomaly") === 1L)
         .select(col("invoice_no"), round(col("dist"), 2).as("dist"))
@@ -129,7 +130,8 @@ object PipelineQueries {
     // train→score contract as ml02.
     "ml04_bisecting_anomalies" -> { (s, dir) =>
       val feats = InvoiceQueries.invoiceFeatures(s, dir)
-      val m = ModelStore.bisectingAnomaly(s"invoice-$dir", feats, InvoiceFeaturizer.FeatureCols)
+      val m = ModelStore.bisectingAnomaly(s"invoice-$dir", feats,
+        InvoiceFeaturizer.FeatureCols, sampleMod = 4)
       Scoring.score(feats, InvoiceFeaturizer.FeatureCols, m.centers, m.threshold)
         .filter(col("is_anomaly") === 1L)
         .select(col("invoice_no"), round(col("dist"), 2).as("dist"))
@@ -169,6 +171,35 @@ object PipelineQueries {
       }.toDF("k", "cost", "selected").orderBy($"k")
     })
 
-  /** No DuckDB oracles — rows-only checks by design (non-SQL-expressible). */
-  val oracles: Map[String, String] = Map.empty
+  /** Most entries are rows-only by design (hash-function-dependent or
+    * model-dependent — not SQL-expressible). dd03 is the exception: exact
+    * n-gram Jaccard with df blocking is hash-free in *semantics* (the
+    * xxhash64'd shingles stand in for string shingles 1:1 absent
+    * collisions), so the oracle re-runs the whole pipeline — shingling,
+    * df≤maxDf blocking, candidate pairs, exact Jaccard — over string
+    * shingles in SQL. */
+  val oracles: Map[String, String] = Map(
+    "dd03_ngram_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(t) < 4
+        |           THEN [array_to_string(t, ' ')]
+        |           ELSE list_transform(generate_series(1, len(t) - 3),
+        |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+        |         END) AS shingles
+        |  FROM toks),
+        |post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |rare AS (SELECT shingle FROM post GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 16),
+        |rp AS (SELECT p.doc_id, p.shingle FROM post p JOIN rare USING (shingle)),
+        |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |         FROM rp l JOIN rp r ON l.shingle = r.shingle AND l.doc_id < r.doc_id)
+        |SELECT c.id_a, c.id_b,
+        |       len(list_intersect(a.shingles, b.shingles))
+        |         / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) AS jaccard
+        |FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+        |WHERE len(list_intersect(a.shingles, b.shingles))
+        |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin)
 }
