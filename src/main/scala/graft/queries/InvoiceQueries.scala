@@ -139,6 +139,28 @@ object InvoiceQueries {
         .orderBy($"invoice_no")
     },
 
+    // The invoice fold as a typed Aggregator (§2.8 custom-UDAF surface):
+    // the exact same state/fold/merge as the streaming state machine, run
+    // as a batch map-side-combined aggregate — hash-matched against the
+    // same weighted oracle as st01, proving one fold definition serves
+    // both engines' modes.
+    "inv08_invoice_fold_agg" -> { (s, dir) =>
+      import s.implicits._
+      val lines = StreamQueries.purchaseLines(
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey"), s)
+      lines.groupByKey(_.invoiceNo)
+        .agg(graft.stream.InvoiceAggregator.toColumn.name("agg"))
+        .select(col("key").cast("long").as("invoice_no"),
+          col("agg.avg_unit_price").as("avg_unit_price"),
+          col("agg.min_unit_price").as("min_unit_price"),
+          col("agg.max_unit_price").as("max_unit_price"),
+          col("agg.time_of_day").as("time_of_day"),
+          col("agg.number_items").as("number_items"),
+          col("agg.lines").as("lines"))
+        .orderBy($"invoice_no")
+    },
+
     // The reference's two genuinely different unit-price averages side by
     // side (per-line in training, quantity-weighted in streaming — SURVEY
     // §7.4.4): both as exact-cents aggregates so the divergence itself is
@@ -206,6 +228,9 @@ object InvoiceQueries {
            |             ${sqlSqDistTo(CenterB, fSql)}) > $AnomalyThreshold AS BIGINT) AS is_anomaly
            |FROM ($featuresSql)
            |ORDER BY invoice_no""".stripMargin,
+
+      "inv08_invoice_fold_agg" ->
+        s"${StreamQueries.weightedAggSql} ORDER BY invoice_no",
 
       "inv07_avg_variants" ->
         """SELECT l_orderkey AS invoice_no,

@@ -179,6 +179,18 @@ object PipelineQueries {
     * df≤maxDf blocking, candidate pairs, exact Jaccard — over string
     * shingles in SQL. */
   val oracles: Map[String, String] = Map(
+    // The mapPartitions decode path is stubbed deterministically from the
+    // payload byte length, so the whole per-partition pipeline — binary
+    // cast, batch iteration, metadata struct — is hash-checkable.
+    "mm01_media_metadata" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+        |  CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height,
+        |  CAST(octet_length(encode(text)) % 3 + 1 AS BIGINT) AS channels,
+        |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "dd03_ngram_jaccard_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -65,6 +65,21 @@ object StreamQueries {
       |               ELSE ',' || o_orderstatus END) AS value
       |FROM orders""".stripMargin
 
+  /** Typed `PurchaseLine` projection over a joined lineitem×orders frame
+    * — shared by the streaming feed and the batch Aggregator query. */
+  private[queries] def purchaseLines(joined: DataFrame,
+                                     s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    joined.select(
+      $"l_orderkey".cast("string").as("invoiceNo"),
+      $"l_quantity".cast("long").as("quantity"),
+      $"l_extendedprice".as("unitPrice"),
+      cents($"l_extendedprice").as("unitPriceCents"),
+      (hour($"o_orderdate") * 60 + minute($"o_orderdate")).as("minuteOfDay"),
+      $"o_custkey".isNotNull.as("hasCustomer"))
+      .as[PurchaseLine]
+  }
+
   /** The streaming purchase-line feed: streaming lineitem scan (pruned to
     * the three needed columns) → stream-static join with orders → typed
     * `PurchaseLine`s. Shared by the state-machine queries. */
@@ -72,16 +87,9 @@ object StreamQueries {
     import s.implicits._
     val needed = Set("l_orderkey", "l_quantity", "l_extendedprice")
     val schema = StructType(Schemas.lineitem.filter(f => needed(f.name)))
-    StreamSources.parquetStream(s, dir, "lineitem", schema)
-      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
-      .select(
-        $"l_orderkey".cast("string").as("invoiceNo"),
-        $"l_quantity".cast("long").as("quantity"),
-        $"l_extendedprice".as("unitPrice"),
-        cents($"l_extendedprice").as("unitPriceCents"),
-        (hour($"o_orderdate") * 60 + minute($"o_orderdate")).as("minuteOfDay"),
-        $"o_custkey".isNotNull.as("hasCustomer"))
-      .as[PurchaseLine]
+    purchaseLines(
+      StreamSources.parquetStream(s, dir, "lineitem", schema)
+        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey"), s)
   }
 
   val queries: Map[String, Q] = Map(
@@ -181,7 +189,7 @@ object StreamQueries {
     })
 
   /** The batch twin of the state machine's weighted per-invoice fold. */
-  private val weightedAggSql =
+  private[queries] val weightedAggSql =
     """SELECT l_orderkey AS invoice_no,
       |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
       |           * CAST(l_quantity AS BIGINT)) AS BIGINT)/100.0

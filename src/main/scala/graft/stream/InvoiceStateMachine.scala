@@ -71,7 +71,8 @@ case class InvoiceAgg(
   */
 object InvoiceStateMachine {
 
-  private val Empty = InvoiceState(0L, 0L, Double.MaxValue, Double.MinValue, Int.MaxValue, 0L, false)
+  val Empty: InvoiceState =
+    InvoiceState(0L, 0L, Double.MaxValue, Double.MinValue, Int.MaxValue, 0L, false)
 
   def fold(s: InvoiceState, p: PurchaseLine): InvoiceState = InvoiceState(
     sumPriceQtyCents = s.sumPriceQtyCents + p.unitPriceCents * p.quantity,
@@ -81,6 +82,19 @@ object InvoiceStateMachine {
     earliestMinute = math.min(s.earliestMinute, p.minuteOfDay),
     lines = s.lines + 1L,
     hasCustomer = s.hasCustomer || p.hasCustomer)
+
+  /** Merge two partial states — every field is a commutative monoid, so
+    * partial folds combine exactly (the property that lets the same
+    * aggregate run as a map-side-combined `Aggregator`, see
+    * [[InvoiceAggregator]]). */
+  def combine(a: InvoiceState, b: InvoiceState): InvoiceState = InvoiceState(
+    sumPriceQtyCents = a.sumPriceQtyCents + b.sumPriceQtyCents,
+    sumQty = a.sumQty + b.sumQty,
+    minPrice = math.min(a.minPrice, b.minPrice),
+    maxPrice = math.max(a.maxPrice, b.maxPrice),
+    earliestMinute = math.min(a.earliestMinute, b.earliestMinute),
+    lines = a.lines + b.lines,
+    hasCustomer = a.hasCustomer || b.hasCustomer)
 
   def toAgg(invoiceNo: String, s: InvoiceState): InvoiceAgg = InvoiceAgg(
     invoice_no = invoiceNo,

@@ -37,6 +37,12 @@ object FoldProperties extends Properties("InvoiceStateFold") {
     foldAll(lines) == foldAll(lines.reverse)
   }
 
+  property("partial folds merge exactly (Aggregator map-side combine)") =
+    forAll(genLines, Gen.choose(0, 100)) { (lines, cut) =>
+      val (b1, b2) = lines.splitAt(cut % (lines.size + 1))
+      InvoiceStateMachine.combine(foldAll(b1), foldAll(b2)) == foldAll(lines)
+    }
+
   property("number_items = sum of quantities; lines = line count") = forAll(genLines) { lines =>
     val agg = InvoiceStateMachine.toAgg("A", foldAll(lines))
     agg.number_items == lines.map(_.quantity).sum && agg.lines == lines.size.toLong
