@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.apps.{Pipeline, Train}
+
+/** End-to-end of the reference's operational surface: the offline
+  * training job writes model + threshold artifacts; the online pipeline
+  * loads them and routes a kafka-shaped record stream into its four
+  * sinks. One run over sf0.001 with both algorithms.
+  */
+class AppsSpec extends SparkSuite {
+
+  test("train job + online pipeline end-to-end over the artifact contract") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("apps-spec-").toString
+
+    // offline: train both models from the same data the pipeline will see
+    val (kKm, thrKm) = Train.run(s, sf, s"$base/model_km", s"$base/thr_km.txt", "kmeans")
+    val (kBis, thrBis) = Train.run(s, sf, s"$base/model_bis", s"$base/thr_bis.txt", "bisecting")
+    assert(kKm >= 2 && kBis >= 2)
+    assert(thrKm > 0 && thrBis > 0)
+
+    // kafka-shaped records synthesized from lineitem×orders: key =
+    // invoice id (C-prefixed for every 7th), value = 8-field CSV line in
+    // the UCI purchase shape; every 13th line is truncated (invalid)
+    val joined = graft.model.Tables.lineitem(s, sf)
+      .join(graft.model.Tables.orders(s, sf), $"l_orderkey" === $"o_orderkey")
+    val first7 = concat_ws(",",
+      $"l_orderkey".cast("string"),
+      concat(lit("SKU"), ($"l_partkey" % 97).cast("string")),
+      $"o_orderstatus",
+      $"l_quantity".cast("int").cast("string"),
+      date_format($"o_orderdate", graft.model.Schemas.invoiceDateFormat),
+      $"l_extendedprice".cast("string"),
+      $"o_custkey".cast("string"))
+    val value = concat(first7,
+      when($"l_orderkey" % 13 === 0, lit("")).otherwise(lit(",ES")))
+    val records = joined.select(
+      concat(when($"l_orderkey" % 7 === 0, lit("C")).otherwise(lit("")),
+        $"l_orderkey".cast("string")).as("key"),
+      value.as("value"))
+    records.write.mode("overwrite").parquet(s"$base/records")
+
+    // online: one AvailableNow pass through all four branches
+    val queries = Pipeline.run(s, s"$base/records", s"$base/model_km",
+      s"$base/thr_km.txt", s"$base/model_bis", s"$base/thr_bis.txt",
+      s"$base/out", once = true)
+    queries.foreach(_.awaitTermination())
+
+    val invalid = s.read.parquet(s"$base/out/facturas_erroneas")
+    val cancels = s.read.parquet(s"$base/out/cancelaciones")
+    val kmAnoms = s.read.parquet(s"$base/out/anomalias_kmeans")
+    assert(invalid.count() > 0, "invalid route must fire")
+    // every invalid line is a truncated (%13) one and vice versa
+    assert(invalid.filter(!$"value".endsWith(",ES")).count() == invalid.count())
+    assert(cancels.agg(sum($"n")).head().getLong(0) > 0, "cancellation windows must count")
+    assert(kmAnoms.count() > 0, "anomaly branch must fire")
+    // anomaly payloads are structured JSON with the invoice id
+    val payload = kmAnoms.select(get_json_object($"value", "$.invoice_no").as("inv"))
+    assert(payload.filter($"inv".isNotNull).count() == kmAnoms.count())
+    // bisecting branch wrote (possibly zero rows but the sink must exist)
+    assert(new java.io.File(s"$base/out/anomalias_bisect_kmeans").exists())
+  }
+}
