@@ -114,6 +114,40 @@ class StreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: state survives a stop/restart, output is not lost") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ckpt-spec-").toString
+    val input = MemoryStream[PurchaseLine]
+    def start() = InvoiceStateMachine(input.toDS(), idleTimeoutMs = 0L)
+      .toDF()
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(s"$base/out")
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    val q1 = start()
+    try {
+      input.addData(line("A", 2, 10.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the checkpoint: the running aggregate must continue
+    // from persisted state, not from empty
+    val q2 = start()
+    try {
+      input.addData(line("A", 1, 40.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val out = s.read.parquet(s"$base/out").filter($"invoice_no" === "A")
+      .orderBy($"lines").collect()
+    assert(out.length == 2, "one emission per processed batch across restarts")
+    assert(out(1).getAs[Long]("lines") == 2L, "state continued across restart")
+    assert(out(1).getAs[Long]("number_items") == 3L)
+    assert(out(1).getAs[Double]("avg_unit_price") == 60.0 / 3)
+  }
+
   test("sliding window counts: streaming updates converge to batch result") {
     val s = spark
     import s.implicits._
