@@ -1,0 +1,72 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join strategies for the cluster-scale cases Catalyst cannot fix alone:
+  *
+  *  - **Salted equi-join** for skewed keys: a hot key concentrates its
+  *    rows in one shuffle partition; salting splits each key's rows over
+  *    `saltFactor` sub-partitions (deterministic per-row salt) and
+  *    replicates the other side per salt value, so the hot key's work
+  *    spreads across `saltFactor` tasks. Result-identical to the plain
+  *    join. (AQE's skew-join split handles sort-merge cases adaptively;
+  *    explicit salting remains the tool for aggregate-followed joins and
+  *    for engines/paths AQE does not cover.)
+  *
+  *  - **Bucketed tables** for repeated co-located joins: both sides
+  *    pre-partitioned into the same bucket count on the join key at write
+  *    time — every subsequent join on that key is exchange-free, which is
+  *    the difference between one shuffle per query and zero at 100 TB.
+  */
+object Joins {
+
+  /** Salted inner equi-join on `key`. `saltEntropy` columns must uniquely
+    * identify big-side rows (the salt is a deterministic hash of them, so
+    * replay yields identical partitioning — no rand()). */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
+                     saltEntropy: Seq[String], saltFactor: Int): DataFrame = {
+    val salted = big.withColumn("_salt",
+      pmod(xxhash64(saltEntropy.map(col): _*), lit(saltFactor)).cast("int"))
+    val replicated = small.withColumn("_salt",
+      explode(lit((0 until saltFactor).toArray)))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  // ------------------------------------------------------------ buckets —
+
+  private val bucketed = new ConcurrentHashMap[String, Boolean]()
+
+  /** Ensure a bucketed copy of `dir/name.parquet` exists as a catalog
+    * table bucketed on `bucketCol`; idempotent per session (the write is
+    * an index build — one full pass that removes the join shuffle from
+    * every later query). Returns the table name. */
+  def ensureBucketed(spark: SparkSession, dir: String, name: String,
+                     bucketCol: String, nBuckets: Int): String = {
+    val table = s"graft_bkt_${name}_" +
+      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${bucketCol}_$nBuckets".toLowerCase
+    bucketed.computeIfAbsent(table, _ => {
+      graft.model.Tables.table(spark, dir, name)
+        .write.mode("overwrite")
+        .bucketBy(nBuckets, bucketCol)
+        .sortBy(bucketCol)
+        .option("path", new java.io.File(s"target/buckets/$table").getAbsolutePath)
+        .saveAsTable(table)
+      true
+    })
+    table
+  }
+
+  /** Exchange-free `lineitem ⋈ orders` on the order key via same-bucket
+    * tables (the layout `InvoiceQueries.invoiceFeatures` calls for at
+    * cluster scale). */
+  def bucketedInvoiceLines(spark: SparkSession, dir: String,
+                           nBuckets: Int = 8): DataFrame = {
+    val li = ensureBucketed(spark, dir, "lineitem", "l_orderkey", nBuckets)
+    val ord = ensureBucketed(spark, dir, "orders", "o_orderkey", nBuckets)
+    spark.table(li).join(spark.table(ord),
+      col("l_orderkey") === col("o_orderkey"))
+  }
+}

@@ -153,6 +153,35 @@ object RelationalQueries {
           coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
           $"sum_qty", $"n_lines")
         .orderBy($"returnflag", $"linestatus")
+    },
+
+    // Salted join (skew tool): deterministic per-row salt spreads each
+    // order key over 8 sub-partitions, orders replicated per salt —
+    // result must be identical to the plain join (the oracle is the
+    // plain join).
+    "q11_salted_join" -> { (s, dir) =>
+      import s.implicits._
+      graft.ops.Joins.saltedEquiJoin(
+        Tables.lineitem(s, dir).withColumnRenamed("l_orderkey", "o_orderkey"),
+        Tables.orders(s, dir),
+        key = "o_orderkey",
+        saltEntropy = Seq("o_orderkey", "l_linenumber"),
+        saltFactor = 8)
+        .groupBy($"o_orderstatus")
+        .agg(sumMoney($"l_extendedprice").as("revenue"), count(lit(1)).as("n_lines"))
+        .orderBy($"o_orderstatus")
+    },
+
+    // Bucketed join (co-location tool): both tables bucketed on the order
+    // key at write time, so the join itself is exchange-free — the layout
+    // every repeated big⋈big join wants at cluster scale. Same oracle
+    // shape as the plain join.
+    "q12_bucketed_join" -> { (s, dir) =>
+      import s.implicits._
+      graft.ops.Joins.bucketedInvoiceLines(s, dir)
+        .groupBy($"o_orderstatus")
+        .agg(sumMoney($"l_extendedprice").as("revenue"), count(lit(1)).as("n_lines"))
+        .orderBy($"o_orderstatus")
     })
 
   val oracles: Map[String, String] = Map(
@@ -246,5 +275,21 @@ object RelationalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_lines
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY returnflag, linestatus""".stripMargin)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q11_salted_join" ->
+      s"""SELECT o_orderstatus,
+         |  ${sqlSumMoney("l_extendedprice")} AS revenue,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lines
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q12_bucketed_join" ->
+      s"""SELECT o_orderstatus,
+         |  ${sqlSumMoney("l_extendedprice")} AS revenue,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lines
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin)
 }
