@@ -14,15 +14,28 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted: one-time in-query index builds (CSV fixture, bucket writes,
+    // model training) then attribute to the same query every run, so
+    // round-over-round numbers are comparable
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    var failed = List.empty[String]
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        // a failing query must be visible in the output, not recorded as
+        // a fast success
+        failed ::= name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }
