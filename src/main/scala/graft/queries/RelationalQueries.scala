@@ -172,6 +172,21 @@ object RelationalQueries {
         .orderBy($"o_orderstatus")
     },
 
+    // Exact percentiles (sort-based, deterministic; both engines use
+    // linear interpolation at rank p·(n−1) so the doubles are identical).
+    // At true corpus scale the approx sketch (percentile_approx/t-digest)
+    // replaces this — exact percentile needs the group's values together.
+    "q13_quantity_percentiles" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"l_returnflag")
+    },
+
     // Bucketed join (co-location tool): both tables bucketed on the order
     // key at write time, so the join itself is exchange-free — the layout
     // every repeated big⋈big join wants at cluster scale. Same oracle
@@ -276,6 +291,15 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q13_quantity_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q11_salted_join" ->
       s"""SELECT o_orderstatus,
