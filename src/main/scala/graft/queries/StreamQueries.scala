@@ -67,7 +67,7 @@ object StreamQueries {
 
   /** Typed `PurchaseLine` projection over a joined lineitem×orders frame
     * — shared by the streaming feed and the batch Aggregator query. */
-  private[queries] def purchaseLines(joined: DataFrame,
+  private[graft] def purchaseLines(joined: DataFrame,
                                      s: org.apache.spark.sql.SparkSession) = {
     import s.implicits._
     joined.select(
@@ -90,6 +90,47 @@ object StreamQueries {
     purchaseLines(
       StreamSources.parquetStream(s, dir, "lineitem", schema)
         .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey"), s)
+  }
+
+  /** Chunked multi-batch replay of the invoice state machine: the lineitem
+    * scan (pruned to the three purchase columns) is rewritten to `nFiles`
+    * scratch parquet files and streamed with `maxFilesPerTrigger=1`, so
+    * `Trigger.AvailableNow` crosses ≥ `nFiles` micro-batches. Rows of one
+    * invoice are hash-spread across the files (`repartition`), so the
+    * per-key fold genuinely merges state across batches — the cross-batch
+    * semantics StreamSpec pins with `MemoryStream`, here under the driver's
+    * hash oracle. The memory sink accumulates every update-mode emission;
+    * an invoice's **final** emission (its largest `lines` — the fold count
+    * is strictly increasing per touched batch) is the complete aggregate
+    * and must equal the batch oracle. Returns the result plus the
+    * terminated query so specs can assert `lastProgress.batchId >= 2`. */
+  private[graft] def multibatchInvoiceState(s: org.apache.spark.sql.SparkSession,
+                                            dir: String, nFiles: Int)
+      : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
+    import s.implicits._
+    val scratch = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+        new java.io.File("target/stream-scratch").getAbsolutePath)),
+      "multibatch-").toString
+    val needed = Seq("l_orderkey", "l_quantity", "l_extendedprice")
+    Tables.lineitem(s, dir).select(needed.map(col): _*)
+      .repartition(nFiles).write.mode("overwrite").parquet(scratch)
+    val schema = StructType(Schemas.lineitem.filter(f => needed.contains(f.name)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(scratch)
+    val lines = purchaseLines(
+      stream.join(broadcast(Tables.orders(s, dir)), $"l_orderkey" === $"o_orderkey"), s)
+    val (raw, q) = StreamRunner.toMemoryWithQuery(
+      InvoiceStateMachine(lines, idleTimeoutMs = 0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"invoice_no").orderBy($"lines".desc)
+    val last = raw
+      .withColumn("_rn", row_number().over(w)).filter($"_rn" === 1).drop("_rn")
+      .select($"invoice_no".cast("long").as("invoice_no"),
+        $"avg_unit_price", $"min_unit_price", $"max_unit_price",
+        $"time_of_day", $"number_items", $"lines")
+      .orderBy($"invoice_no")
+    (last, q)
   }
 
   val queries: Map[String, Q] = Map(
@@ -177,6 +218,14 @@ object StreamQueries {
         .orderBy($"user_id", $"s_start")
     },
 
+    // A4 across micro-batches: the same state machine as st01, but the
+    // input is replayed as 3 chunked files (maxFilesPerTrigger=1 ⇒ ≥3
+    // triggers), so cross-batch state merge + per-batch re-emission are
+    // what the oracle hash-checks — not just the single-batch fold.
+    "st07_invoice_state_multibatch" -> { (s, dir) =>
+      multibatchInvoiceState(s, dir, nFiles = 3)._1
+    },
+
     // A2 (modern shape): streaming dropDuplicates in append mode — each
     // distinct (user, event_type) pair emitted exactly once.
     "st04_stream_distinct" -> { (s, dir) =>
@@ -204,6 +253,10 @@ object StreamQueries {
 
   val oracles: Map[String, String] = Map(
     "st01_invoice_state" -> s"$weightedAggSql ORDER BY invoice_no",
+
+    // The final per-key emission of the chunked replay must equal the same
+    // batch aggregate — cross-batch state folding is exact.
+    "st07_invoice_state_multibatch" -> s"$weightedAggSql ORDER BY invoice_no",
 
     "st05_stream_anomalies" -> {
       val f = Seq("avg_unit_price", "min_unit_price", "max_unit_price",

@@ -39,7 +39,14 @@ object StreamRunner {
     * in the given output mode until completion; returns the collected
     * output. The plan must not register processing-time timeouts (see
     * [[InvoiceStateMachine.apply]]) or the query never self-terminates. */
-  def toMemory[T](ds: Dataset[T], mode: String = "update"): DataFrame = {
+  def toMemory[T](ds: Dataset[T], mode: String = "update"): DataFrame =
+    toMemoryWithQuery(ds, mode)._1
+
+  /** [[toMemory]], additionally returning the (terminated) query so
+    * callers can inspect its progress — e.g. assert how many micro-batches
+    * a chunked replay actually crossed (`lastProgress.batchId`). */
+  def toMemoryWithQuery[T](ds: Dataset[T], mode: String = "update")
+      : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
     val spark = ds.sparkSession
     val sink = "graft_sink_" + UUID.randomUUID().toString.replace("-", "")
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
@@ -51,6 +58,6 @@ object StreamRunner {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sink)
+    (spark.table(sink), q)
   }
 }
