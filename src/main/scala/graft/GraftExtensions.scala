@@ -21,14 +21,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Reject wrong arity at analysis time — `children.head` alone would
+    * silently drop extra arguments (`simhash64(a, b)` ≠ an error). */
+  private def unary(name: String)(children: Seq[Expression]): Expression = {
+    if (children.length != 1)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name, "expectedNum" -> "1",
+          "actualNum" -> children.length.toString, "docroot" -> ""))
+    children.head
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(arr) - 64-bit SimHash of an array<bigint> of token hashes."),
-      (children: Seq[Expression]) => SimHash64(children.head)))
+      (children: Seq[Expression]) => SimHash64(unary("simhash64")(children))))
     ext.injectFunction((
       FunctionIdentifier("polyhash64"),
       info("polyhash64", "polyhash64(arr) - order-sensitive wrapping polynomial rolling hash of an array<bigint>."),
-      (children: Seq[Expression]) => PolyHash64(children.head)))
+      (children: Seq[Expression]) => PolyHash64(unary("polyhash64")(children))))
   }
 }

@@ -44,6 +44,10 @@ object Profile {
     time("posting groupBy shingle")(posting.groupBy("shingle")
       .agg(collect_list(col("id"))).count())
     time("tokens only")(docs.select(sum(size(TextOps.tokens(col("text"))))).head())
+    val emb = graft.model.Tables.embeddings(spark, dir)
+    println("[prof] dd04 rows = " + time("dd04 capped cells")(
+      graft.ops.Similarity.embeddingDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.4, quantizerKey = s"emb-dup-$dir").count()))
     spark.stop()
   }
 }

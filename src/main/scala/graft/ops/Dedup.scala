@@ -92,8 +92,8 @@ object Dedup {
     *                pair id as its leading field so `a < b` holds
     * @return one row per (bucket-local) pair, column `p` = struct(a, b)
     */
-  private def bucketPairs(df: DataFrame, bucketCol: String, payload: Column,
-                          maxBucket: Int): DataFrame =
+  private[ops] def bucketPairs(df: DataFrame, bucketCol: String, payload: Column,
+                               maxBucket: Int): DataFrame =
     df.groupBy(col(bucketCol))
       .agg(array_sort(collect_list(payload)).as("xs"))
       .filter(size(col("xs")).between(2, maxBucket))

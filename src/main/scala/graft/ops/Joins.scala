@@ -47,13 +47,19 @@ object Joins {
                      bucketCol: String, nBuckets: Int): String = {
     val table = s"graft_bkt_${name}_" +
       s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${bucketCol}_$nBuckets".toLowerCase
-    bucketed.computeIfAbsent(table, _ => {
-      graft.model.Tables.table(spark, dir, name)
-        .write.mode("overwrite")
-        .bucketBy(nBuckets, bucketCol)
-        .sortBy(bucketCol)
-        .option("path", new java.io.File(s"target/buckets/$table").getAbsolutePath)
-        .saveAsTable(table)
+    // the JVM-wide memo only dedups concurrent builds; the authority on
+    // whether the table exists is the session CATALOG — a recreated
+    // SparkSession in the same JVM starts with a fresh in-memory catalog,
+    // and trusting the memo alone would skip the write and fail the read
+    bucketed.compute(table, (_, _) => {
+      if (!spark.catalog.tableExists(table)) {
+        graft.model.Tables.table(spark, dir, name)
+          .write.mode("overwrite")
+          .bucketBy(nBuckets, bucketCol)
+          .sortBy(bucketCol)
+          .option("path", new java.io.File(s"target/buckets/$table").getAbsolutePath)
+          .saveAsTable(table)
+      }
       true
     })
     table

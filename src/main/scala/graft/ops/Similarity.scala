@@ -73,6 +73,15 @@ object Similarity {
     * corpus does. */
   private val QuantizerSampleCap = 4096
 
+  /** Memo key for a corpus' quantizer: the explicit key if given, else a
+    * fingerprint of the corpus' *canonicalized logical plan* — content-
+    * based, unlike `Object.hashCode` (two distinct corpora with colliding
+    * identity hashes would silently share centroids; two DataFrame objects
+    * over the same data would pointlessly re-fit). */
+  private def defaultKey(corpus: DataFrame, explicit: String): String =
+    if (explicit.nonEmpty) explicit
+    else s"ivf-${corpus.queryExecution.analyzed.semanticHash()}"
+
   /** Fit (or fetch) the coarse quantizer for a corpus. The sample is
     * hash-selected on the id column — deterministic under repartitioning
     * and replay, unlike `df.sample` — and hard-capped. */
@@ -128,7 +137,7 @@ object Similarity {
               vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
               seed: Long = 42L, quantizerKey: String = ""): DataFrame = {
     val centers = coarseQuantizer(corpus, idCol, vecCol,
-      if (quantizerKey.nonEmpty) quantizerKey else s"ivf-${corpus.hashCode}", nCells, seed)
+      defaultKey(corpus, quantizerKey), nCells, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cvec"))
       .withColumn("cell", nearestCells(centers, col("cvec"), 1).getItem(0).getField("cell"))
       .withColumn("cnorm", norm(col("cvec")))
@@ -148,23 +157,53 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold, found via the
-    * IVF cells (pairs in the same cell only — approximate). */
+  /** Embedding near-duplicate pairs: cosine ≥ threshold among vectors
+    * sharing an IVF cell (approximate — same recall model as MinHash/LSH
+    * banding).
+    *
+    * Pair generation goes through the capped-bucket skeleton
+    * ([[Dedup.bucketPairs]]: cell = bucket) rather than a same-cell
+    * self-join: a self-join is O(Σ cell²) with no bound — near-duplicate-
+    * heavy corpora (the dedup use case!) concentrate into few cells, and
+    * at scale one hot cell goes quadratic. Here a cell larger than
+    * `maxCell` is dropped outright (the skew guard — exact dedup already
+    * catches the identical-content blowups that create such cells), so
+    * per-bucket work is bounded regardless of corpus size.
+    *
+    * Recall has two knobs: `nProbe` assigns each vector to its `nProbe`
+    * nearest cells (a pair is caught if ANY cell is shared — multi-probe
+    * compensates for pairs straddling a cell boundary), and `nCells`
+    * scales with the corpus when left at 0 (target mean cell ≈ maxCell/4,
+    * clamped to [16, [[QuantizerSampleCap]]/4] — a quantizer can't have
+    * more centroids than its training sample).
+    */
   def embeddingDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double = 0.95, nCells: Int = 16,
+                        threshold: Double = 0.95, nCells: Int = 0,
+                        nProbe: Int = 2, maxCell: Int = 256,
                         seed: Long = 42L, quantizerKey: String = ""): DataFrame = {
+    val cells =
+      if (nCells > 0) nCells
+      else {
+        val n = corpus.queryExecution.optimizedPlan.stats.rowCount
+          .map(_.toLong).getOrElse(corpus.count())
+        (4L * n / maxCell).max(16L).min(QuantizerSampleCap / 4L).toInt
+      }
     val centers = coarseQuantizer(corpus, idCol, vecCol,
-      if (quantizerKey.nonEmpty) quantizerKey else s"ivf-${corpus.hashCode}", nCells, seed)
-    val withCell = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      defaultKey(corpus, quantizerKey), cells, seed)
+    val assigned = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
       .withColumn("vnorm", norm(col("vec")))
-      .withColumn("cell", nearestCells(centers, col("vec"), 1).getItem(0).getField("cell"))
-    val right = withCell.select(col("cell"), col("id").as("id_b"),
-      col("vec").as("vec_b"), col("vnorm").as("norm_b"))
-    withCell.join(right, Seq("cell"))
-      .filter(col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"),
-        (dot(col("vec"), col("vec_b")) / (col("vnorm") * col("norm_b"))).as("cosine"))
+      .withColumn("cell", explode(transform(
+        nearestCells(centers, col("vec"), math.max(nProbe, 1)),
+        x => x.getField("cell"))))
+    // vectors travel in the bucket payload, so verification needs no
+    // rejoin; distinct collapses pairs caught by multiple probes
+    Dedup.bucketPairs(assigned, "cell",
+        struct(col("id"), col("vec"), col("vnorm")), maxCell)
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        (dot(col("p.a.vec"), col("p.b.vec")) /
+          (col("p.a.vnorm") * col("p.b.vnorm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .distinct()
   }
 }

@@ -38,13 +38,14 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // Embedding cosine near-duplicates via IVF cells. Threshold 0.4 is
-    // calibrated to the testdata's near-random embeddings (max pairwise
+    // Embedding cosine near-duplicates via capped IVF cells. Threshold 0.4
+    // is calibrated to the testdata's near-random embeddings (max pairwise
     // cosine ≈ 0.51) so the check set yields verifiable pairs — an empty
-    // result would validate nothing. Shares the an02 quantizer.
+    // result would validate nothing. nCells=0 scales the cell count with
+    // the corpus (mean cell ≪ maxCell, hot cells dropped by the cap).
     "dd04_embedding_dup_pairs" -> { (s, dir) =>
       Similarity.embeddingDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.4, nCells = 16, quantizerKey = s"emb-$dir")
+        threshold = 0.4, quantizerKey = s"emb-dup-$dir")
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -82,13 +83,22 @@ object PipelineQueries {
     },
 
     // Trained KMeans over embeddings: cluster sizes (seeded,
-    // deterministic; no SQL oracle — pinned by MlSpec).
+    // deterministic; no SQL oracle — pinned by MlSpec). The fit runs on a
+    // bounded deterministic hash sample (single-partition, sorted — see
+    // ml05's determinism note), capped iterations; only the *scoring*
+    // pass touches the full corpus. At 100 TB a full-corpus fit per query
+    // is a non-starter; cluster centers from a bounded sample partition
+    // the space the same way.
     "ml01_kmeans_cluster_sizes" -> { (s, dir) =>
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), array_to_vector(col("embedding").cast("array<double>")).as("features"))
-      val model = new KMeans().setK(10).setSeed(7L).setFeaturesCol("features").fit(emb)
+      val sample = emb
+        .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+        .repartition(1).sortWithinPartitions(col("vec_id"))
+      val model = new KMeans().setK(10).setSeed(7L).setMaxIter(10)
+        .setInitMode("random").setFeaturesCol("features").fit(sample)
       model.transform(emb)
         .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
         .select(col("prediction").cast("long").as("cluster"), col("n"))
@@ -111,13 +121,20 @@ object PipelineQueries {
     },
 
     // Elbow-selected k over a cost sweep (A9/A10), documented semantics.
+    // Like ml05: the 7 fits run on a bounded deterministic hash sample
+    // (the elbow reads the cost curve's *shape* — per-sample SSE has the
+    // same shape), single-partition + sorted so the raw double costs are
+    // replay-deterministic, capped iterations, random init.
     "ml03_elbow_selection" -> { (s, dir) =>
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
+        .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+        .repartition(1).sortWithinPartitions(col("vec_id"))
       val assembled = emb.select(
         org.apache.spark.ml.functions.array_to_vector(
           col("embedding").cast("array<double>")).as("features"))
-      val sweep = Training.kMeansSweep(assembled, 2 to 8, seed = 7L, maxIter = 10)
+      val sweep = Training.kMeansSweep(assembled, 2 to 8, seed = 7L,
+        maxIter = 5, initMode = "random")
       val costs = sweep.map(_._3)
       val selected = Training.elbowSelection(costs, 0.7)
       sweep.zipWithIndex.map { case ((k, _, cost), i) =>

@@ -98,7 +98,12 @@ object InvoiceStateMachine {
 
   def toAgg(invoiceNo: String, s: InvoiceState): InvoiceAgg = InvoiceAgg(
     invoice_no = invoiceNo,
-    avg_unit_price = s.sumPriceQtyCents / 100.0 / s.sumQty,
+    // real retail data has zero/negative cancellation quantities; an
+    // invoice whose quantities sum to zero has no meaningful weighted
+    // average — emit 0.0 rather than Infinity/NaN (which would poison
+    // downstream distance scoring)
+    avg_unit_price = if (s.sumQty == 0L) 0.0
+                     else s.sumPriceQtyCents / 100.0 / s.sumQty,
     min_unit_price = s.minPrice,
     max_unit_price = s.maxPrice,
     time_of_day = s.earliestMinute / 60.0,

@@ -94,6 +94,36 @@ class DedupSpec extends SparkSuite {
     assert(recall >= 0.5, s"IVF recall@5 with nProbe=8/16 too low: $recall")
   }
 
+  test("embedding dup pairs: finds near-dups; degenerate corpus is capped, not quadratic") {
+    val s = spark
+    import s.implicits._
+    // distinct directions + two near-dup clusters
+    val base = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.01f, 0.0f)),  // near dup of 0
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.02f)),  // near dup of 2
+      (4L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingDupPairs(base, "vec_id", "embedding",
+      threshold = 0.99, nCells = 2, nProbe = 2, maxCell = 64,
+      quantizerKey = "dup-spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) || pairs.contains((2L, 3L)),
+      s"near-dup pair must be found within a probed cell, got $pairs")
+    assert(!pairs.contains((0L, 4L)) && !pairs.contains((0L, 2L)),
+      "orthogonal vectors must not pair")
+
+    // degenerate corpus: every vector identical → ONE hot cell. The cap
+    // must suppress the quadratic pair blow-up (exact dedup's job), and
+    // the query must stay cheap: pair count is 0, not n²/2.
+    val hot = (1L to 500L).map(i => (i, Seq(1.0f, 1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val capped = Similarity.embeddingDupPairs(hot, "vec_id", "embedding",
+      threshold = 0.9, nCells = 4, nProbe = 2, maxCell = 100,
+      quantizerKey = "dup-spec-hot")
+    assert(capped.count() == 0, "hot cell above maxCell must be dropped")
+  }
+
   test("cosine: orthogonal = 0, identical = 1") {
     val s = spark
     import s.implicits._

@@ -21,4 +21,14 @@ class ExtensionsSpec extends SparkSuite {
     assert(r.getLong(0) == viaColumn.getLong(0))
     assert(r.getLong(1) == viaColumn.getLong(1))
   }
+
+  test("wrong arity fails analysis instead of silently dropping arguments") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash64(array(CAST(3 AS BIGINT)), 42)").head()
+    }
+    assert(e.getMessage.contains("simhash64"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT polyhash64()").head()
+    }
+  }
 }

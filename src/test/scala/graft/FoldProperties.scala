@@ -58,4 +58,14 @@ object FoldProperties extends Properties("InvoiceStateFold") {
     val agg = InvoiceStateMachine.toAgg("A", foldAll(lines))
     agg.time_of_day == lines.map(_.minuteOfDay).min / 60.0
   }
+
+  property("zero net quantity emits finite avg (cancellation lines)") =
+    forAll(Gen.choose(1L, 50L), Gen.choose(1L, 100_000L)) { (qty, cents) =>
+      // a purchase fully cancelled: +qty then −qty of the same line
+      val buy = PurchaseLine("A", qty, cents / 100.0, cents, 600, true)
+      val cancel = buy.copy(quantity = -qty)
+      val agg = InvoiceStateMachine.toAgg("A", foldAll(Seq(buy, cancel)))
+      agg.number_items == 0L && agg.avg_unit_price == 0.0 &&
+        !agg.avg_unit_price.isNaN && !agg.avg_unit_price.isInfinite
+    }
 }
