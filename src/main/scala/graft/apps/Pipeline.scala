@@ -12,8 +12,8 @@ import graft.sources.PurchaseCsv
 import graft.stream.{InvoiceStateMachine, PurchaseLine, Router}
 
 /** The reference's online pipeline (`InvoicePipeline.main`,
-  * `InvoicePipeline.scala:31-154`) as one Structured Streaming
-  * application over a kafka-shaped `(key, value)` record stream:
+  * `InvoicePipeline.scala:31-154`) as a Structured Streaming application
+  * over a kafka-shaped `(key, value)` record stream:
   *
   *  - F1 invalid lines → `facturas_erroneas`
   *  - F2 cancelled invoices → dedup → 8 min/1 min sliding count →
@@ -22,6 +22,28 @@ import graft.stream.{InvoiceStateMachine, PurchaseLine, Router}
   *    (delete-on-idle ≈ one trigger) → anomaly scoring against BOTH
   *    persisted models/thresholds → `anomalias_kmeans` /
   *    `anomalias_bisect_kmeans`, as JSON payloads
+  *
+  * **Single-pass topology**: the raw source is scanned ONCE per trigger.
+  * The reference starts four independently-filtered consumers over the
+  * same stream (4× source reads); here one router query classifies each
+  * record once and fans the three routes out in one `foreachBatch`
+  * ([[graft.stream.Router]]'s shape), staging the stateful routes as tiny
+  * parquet streams that two downstream queries consume:
+  *
+  * {{{
+  *   records ─ route (1 scan) ─┬─ invalid  → facturas_erroneas
+  *                             ├─ cancelled → _staged/cancelled ─ window → cancelaciones
+  *                             └─ good      → _staged/good ─ state machine ─┬─ kmeans sink
+  *                                                           (1 fold)       └─ bisecting sink
+  * }}}
+  *
+  * Both anomaly branches share ONE state machine and one scan — scoring
+  * is stateless column math per emission, so the two models are applied
+  * inside the same `foreachBatch`. The staging hop costs one extra
+  * trigger of latency on the stateful routes and buys: one source scan
+  * (vs 4), one state store (vs 2), and downstream inputs that are
+  * already filtered to a fraction of the source volume — at 100 TB/day
+  * the difference between reading the firehose once and four times.
   *
   * Sinks are parquet directories under `outDir` (swap for
   * `format("kafka")` 1:1 against a broker); the source is a file stream
@@ -53,8 +75,11 @@ object Pipeline {
     spark.stop()
   }
 
-  /** Build and start the four branch queries; factored out so the
-    * end-to-end spec drives the same code. */
+  /** Build and start the branch queries (router + 2 stateful consumers);
+    * factored out so the end-to-end spec drives the same code. In `once`
+    * mode the router drains first, then the staged consumers — three
+    * `AvailableNow` queries back-to-back; in continuous mode all three
+    * run concurrently (the staged routes ride one trigger behind). */
   def run(spark: SparkSession, recordsDir: String, kmDir: String, kmThr: String,
           bisDir: String, bisThr: String, outDir: String,
           once: Boolean): Seq[StreamingQuery] = {
@@ -69,15 +94,10 @@ object Pipeline {
 
     val schema = StructType(Seq(
       StructField("key", StringType), StructField("value", StringType)))
-    def records: DataFrame =
-      spark.readStream.schema(schema).parquet(recordsDir)
+    val staged = s"$outDir/_staged"
+    Seq(s"$staged/cancelled", s"$staged/good")
+      .foreach(d => new java.io.File(d).mkdirs())
     val trigger = if (once) Trigger.AvailableNow() else Trigger.ProcessingTime("20 seconds")
-    def sink(df: DataFrame, name: String) = df.writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", s"$outDir/$name")
-      .option("checkpointLocation", s"$outDir/_checkpoints/$name")
-      .trigger(trigger)
     // update-mode branches (stateful operators re-emit on update) cannot
     // use the append-only file sink directly — append each update batch
     def updateSink(df: DataFrame, name: String) = df.writeStream
@@ -88,17 +108,38 @@ object Pipeline {
       .option("checkpointLocation", s"$outDir/_checkpoints/$name")
       .trigger(trigger)
 
-    // F1: malformed lines, routed raw (ref :61-62)
-    val classified = Router.classified(records)
-    val qInvalid = sink(
-      classified.filter($"route" === "invalid").select($"key", $"value"),
-      "facturas_erroneas").start()
+    // ONE pass over the raw source: classify each record once, fan all
+    // three routes out of the same cached batch (F1 ∘ F2 ∘ F4). The
+    // invalid route is final output; cancelled/good are staged for the
+    // stateful consumers below.
+    val qRoute = Router.classified(spark.readStream.schema(schema).parquet(recordsDir))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cached = batch.cache()
+        try {
+          cached.filter(col("route") === "invalid").select(col("key"), col("value"))
+            .write.mode("append").parquet(s"$outDir/facturas_erroneas")
+          // per-batch distinct (A2, ref :68-71) + arrival timestamp for
+          // the processing-time window
+          graft.stream.CancellationWindow.perBatchDistinct(
+              cached.filter(col("route") === "cancelled").select(col("key")), "key")
+            .withColumn("ts", current_timestamp())
+            .write.mode("append").parquet(s"$staged/cancelled")
+          cached.filter(col("route") === "good").select(col("key"), col("value"))
+            .write.mode("append").parquet(s"$staged/good")
+        } finally cached.unpersist()
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoints/route")
+      .trigger(trigger)
+      .start()
+    if (once) qRoute.awaitTermination() // drain before the consumers snapshot
 
-    // F2 + A2 + A3: cancelled → per-key dedup within the watermark horizon
-    // (the streaming form of the reference's per-batch distinct) →
-    // processing-time 8 min/1 min sliding count (ref :68-80)
-    val cancelled = classified.filter($"route" === "cancelled")
-      .select($"key", current_timestamp().as("ts"))
+    // F2 + A2 + A3: staged cancelled keys (already per-batch deduped) →
+    // dedup within the watermark horizon → 8 min/1 min sliding count
+    // (ref :68-80). Input volume here is the cancelled fraction only.
+    val cancelledSchema = StructType(Seq(StructField("key", StringType),
+      StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    val cancelled = spark.readStream.schema(cancelledSchema).parquet(s"$staged/cancelled")
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("key")
       .groupBy(window($"ts", "8 minutes", "1 minute"))
@@ -106,23 +147,36 @@ object Pipeline {
       .select($"window.start".as("w_start"), $"n")
     val qCancel = updateSink(cancelled, "cancelaciones").start()
 
-    // F4 + P7 + A4 + F5 + P9: good lines → typed purchases → stateful
-    // invoice aggregate → both anomaly branches as JSON payloads
-    // (ref :133-148)
-    val purchases = toPurchaseLines(
-      PurchaseCsv.parseLines(Router.goodRecords(records).select($"value")))
+    // F4 + P7 + A4 + F5 + P9: staged good lines → typed purchases → ONE
+    // stateful invoice aggregate, scored against BOTH models in the same
+    // foreachBatch (scoring is stateless column math over the emitted
+    // updates — it needs no second state store or source scan)
+    val purchases = toPurchaseLines(PurchaseCsv.parseLines(
+      spark.readStream.schema(schema).parquet(s"$staged/good").select($"value")))
     val idleMs = if (once) 0L else 20000L // delete-on-idle ≈ one trigger
-    val aggs = InvoiceStateMachine(purchases, idleTimeoutMs = idleMs).toDF()
-    def anomalies(centers: Seq[Seq[Double]], threshold: Double): DataFrame =
+    def anomalies(aggs: DataFrame, centers: Seq[Seq[Double]], threshold: Double): DataFrame =
       Scoring.score(aggs, InvoiceFeaturizer.FeatureCols.map(featureCol), centers, threshold)
-        .filter($"is_anomaly" === 1L)
-        .select($"invoice_no".as("key"),
-          to_json(struct($"invoice_no", $"avg_unit_price", $"min_unit_price",
-            $"max_unit_price", $"time_of_day", $"number_items", $"dist")).as("value"))
-    val qKm = updateSink(anomalies(kmCenters, kmThreshold), "anomalias_kmeans").start()
-    val qBis = updateSink(anomalies(bisCenters, bisThreshold), "anomalias_bisect_kmeans").start()
+        .filter(col("is_anomaly") === 1L)
+        .select(col("invoice_no").as("key"),
+          to_json(struct(col("invoice_no"), col("avg_unit_price"), col("min_unit_price"),
+            col("max_unit_price"), col("time_of_day"), col("number_items"), col("dist"))).as("value"))
+    val qAnomalies = InvoiceStateMachine(purchases, idleTimeoutMs = idleMs).toDF()
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cached = batch.cache()
+        try {
+          anomalies(cached, kmCenters, kmThreshold)
+            .write.mode("append").parquet(s"$outDir/anomalias_kmeans")
+          anomalies(cached, bisCenters, bisThreshold)
+            .write.mode("append").parquet(s"$outDir/anomalias_bisect_kmeans")
+        } finally cached.unpersist()
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoints/anomalias")
+      .trigger(trigger)
+      .start()
 
-    Seq(qInvalid, qCancel, qKm, qBis)
+    Seq(qRoute, qCancel, qAnomalies)
   }
 
   /** InvoiceAgg column name for a training feature-column name (the agg

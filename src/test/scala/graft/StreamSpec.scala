@@ -174,6 +174,43 @@ class StreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("state machine is provider-agnostic: identical fold under RocksDB state store") {
+    // The 100 TB posture: the default (HDFSBackedStateStoreProvider) holds
+    // every live key on-heap per executor; RocksDB spills state to local
+    // disk, bounding executor heap by the working set, not the key space.
+    // Swapping the provider must not change semantics — same fold, same
+    // emissions, state purged on idle timeout.
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[PurchaseLine]
+      val sink = "sm_rocksdb"
+      val q = InvoiceStateMachine(input.toDS(), idleTimeoutMs = 0L)
+        .writeStream.outputMode("update").format("memory").queryName(sink).start()
+      try {
+        input.addData(line("A", 2, 10.0), line("B", 1, 5.0))
+        waitUntil("batch 1 out")(s.table(sink).count() >= 2)
+        input.addData(line("A", 1, 40.0))
+        waitUntil("batch 2 out")(s.table(sink).count() >= 3)
+        assert(q.lastProgress.stateOperators.head.customMetrics
+          .containsKey("rocksdbGetCount"), "query must actually run on RocksDB")
+        val finalA = s.table(sink).filter($"invoice_no" === "A")
+          .orderBy($"lines".desc).head()
+        assert(finalA.getAs[Double]("avg_unit_price") == 60.0 / 3)
+        assert(finalA.getAs[Long]("number_items") == 3L)
+        assert(finalA.getAs[Long]("lines") == 2L)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   test("chunked replay provably crosses >=3 micro-batches and folds state exactly") {
     val s = spark
     import s.implicits._
