@@ -34,4 +34,10 @@ object SparkEntry {
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     catalogs.iterator.flatMap(_._2).toMap
+
+  /** One-time index builds (bucket tables, persisted models, quantizers)
+    * that catalog queries amortize; the bench runs these first and
+    * reports their cost separately from query time. */
+  def indexBuilds: Map[String, QueryUtil.B] =
+    RelationalQueries.builds ++ PipelineQueries.builds ++ IngestQueries.builds
 }

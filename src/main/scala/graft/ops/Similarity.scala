@@ -73,6 +73,17 @@ object Similarity {
     * corpus does. */
   private val QuantizerSampleCap = 4096
 
+  /** Corpus-scaled cell count for [[embeddingDupPairs]]: target mean cell
+    * ≈ maxCell/4, clamped to [16, [[QuantizerSampleCap]]/4] (a quantizer
+    * can't have more centroids than its training sample). Reads the scan's
+    * row-count statistic; falls back to a count only when stats are
+    * unavailable. */
+  def autoCells(corpus: DataFrame, maxCell: Int = 256): Int = {
+    val n = corpus.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(corpus.count())
+    (4L * n / maxCell).max(16L).min(QuantizerSampleCap / 4L).toInt
+  }
+
   /** Memo key for a corpus' quantizer: the explicit key if given, else a
     * fingerprint of the corpus' *canonicalized logical plan* — content-
     * based, unlike `Object.hashCode` (two distinct corpora with colliding
@@ -181,13 +192,7 @@ object Similarity {
                         threshold: Double = 0.95, nCells: Int = 0,
                         nProbe: Int = 2, maxCell: Int = 256,
                         seed: Long = 42L, quantizerKey: String = ""): DataFrame = {
-    val cells =
-      if (nCells > 0) nCells
-      else {
-        val n = corpus.queryExecution.optimizedPlan.stats.rowCount
-          .map(_.toLong).getOrElse(corpus.count())
-        (4L * n / maxCell).max(16L).min(QuantizerSampleCap / 4L).toInt
-      }
+    val cells = if (nCells > 0) nCells else autoCells(corpus, maxCell)
     val centers = coarseQuantizer(corpus, idCol, vecCol,
       defaultKey(corpus, quantizerKey), cells, seed)
     val assigned = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))

@@ -25,6 +25,11 @@ object IngestQueries {
       if (writtenFor != dir) { PurchaseCsv.writeFixture(s, dir, fixtureDir); writtenFor = dir }
     }
 
+  /** The CSV fixture write, exposed as a timed build (otherwise it lands
+    * on whichever cs* query the bench runs first). */
+  val builds: Map[String, QueryUtil.B] = Map(
+    "build_csv_fixture" -> ((s, dir) => ensureFixture(s, dir)))
+
   private val duckReadCsv =
     s"""read_csv('$fixtureDir/*.csv', header=false, columns={
        |  'InvoiceNo':'VARCHAR','StockCode':'VARCHAR','Description':'VARCHAR',

@@ -188,6 +188,28 @@ object PipelineQueries {
       }.toDF("k", "cost", "selected").orderBy($"k")
     })
 
+  /** One-time index builds the catalog queries amortize — same memo keys
+    * as the queries above, so running a build first makes the matching
+    * query a pure probe. The bench times these separately. */
+  val builds: Map[String, QueryUtil.B] = Map(
+    "build_kmeans_model" -> { (s, dir) =>
+      ModelStore.kmeansAnomaly(s"invoice-$dir", InvoiceQueries.invoiceFeatures(s, dir),
+        InvoiceFeaturizer.FeatureCols, sampleMod = 4); ()
+    },
+    "build_bisecting_model" -> { (s, dir) =>
+      ModelStore.bisectingAnomaly(s"invoice-$dir", InvoiceQueries.invoiceFeatures(s, dir),
+        InvoiceFeaturizer.FeatureCols, sampleMod = 4); ()
+    },
+    "build_ivf_quantizer" -> { (s, dir) =>
+      Similarity.coarseQuantizer(Tables.embeddings(s, dir), "vec_id", "embedding",
+        s"emb-$dir", nCells = 16, seed = 42L); ()
+    },
+    "build_dup_quantizer" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.coarseQuantizer(emb, "vec_id", "embedding",
+        s"emb-dup-$dir", Similarity.autoCells(emb), seed = 42L); ()
+    })
+
   /** Most entries are rows-only by design (hash-function-dependent or
     * model-dependent — not SQL-expressible). dd03 is the exception: exact
     * n-gram Jaccard with df blocking is hash-free in *semantics* (the

@@ -27,6 +27,12 @@ object QueryUtil {
   /** Signature of a driver-contract query: (session, testdata dir) → result. */
   type Q = (SparkSession, String) => DataFrame
 
+  /** Signature of a one-time index build (bucketed tables, persisted
+    * models, quantizers) that catalog queries amortize: the bench runs
+    * and reports these separately so build cost is never silently
+    * attributed to whichever query happens to run first. */
+  type B = (SparkSession, String) => Unit
+
   /** Money double → exact integer cents (see class doc). */
   def cents(c: Column): Column = round(c * 100).cast("long")
 

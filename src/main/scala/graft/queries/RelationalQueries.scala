@@ -199,6 +199,15 @@ object RelationalQueries {
         .orderBy($"o_orderstatus")
     })
 
+  /** One-time bucket-table writes q12 amortizes (same bucket spec as
+    * [[graft.ops.Joins.bucketedInvoiceLines]]); timed separately by the
+    * bench. */
+  val builds: Map[String, QueryUtil.B] = Map(
+    "build_bucket_tables" -> { (s, dir) =>
+      graft.ops.Joins.ensureBucketed(s, dir, "lineitem", "l_orderkey", nBuckets = 8)
+      graft.ops.Joins.ensureBucketed(s, dir, "orders", "o_orderkey", nBuckets = 8); ()
+    })
+
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
