@@ -16,6 +16,10 @@ case class PurchaseLine(
     minuteOfDay: Int,
     hasCustomer: Boolean)
 
+/** A purchase line carrying its event time, for the watermarked variant
+  * of the state machine ([[InvoiceStateMachine.eventTimed]]). */
+case class TimedPurchaseLine(line: PurchaseLine, eventTime: java.sql.Timestamp)
+
 /** Running per-invoice aggregate — the stream state (the reference's
   * `Invoice`, `InvoicePipeline.scala:22-24`), kept as exact integer sums
   * plus order-insensitive min/max so any arrival order yields the same
@@ -149,5 +153,58 @@ object InvoiceStateMachine {
     lines
       .groupByKey(_.invoiceNo)
       .flatMapGroupsWithState(OutputMode.Update, conf)(update(idleTimeoutMs))
+  }
+
+  private def updateEventTimed(idleMs: Long)(
+      invoiceNo: String,
+      rows: Iterator[TimedPurchaseLine],
+      state: GroupState[InvoiceState]): Iterator[InvoiceAgg] = {
+    if (state.hasTimedOut) {
+      state.remove() // delete-on-idle without emission, watermark-driven
+      Iterator.empty
+    } else {
+      var lastEventMs = Long.MinValue
+      val next = rows.foldLeft(state.getOption.getOrElse(Empty)) { (acc, t) =>
+        if (t.eventTime.getTime > lastEventMs) lastEventMs = t.eventTime.getTime
+        fold(acc, t.line)
+      }
+      state.update(next)
+      // purge when the watermark passes idleMs beyond the key's LAST EVENT
+      // (not the batch-start watermark, which lags a full batch behind: a
+      // key whose own rows advance the watermark would otherwise time out
+      // in the no-data batch the engine runs right after, losing live
+      // state). Rows here survived the watermark filter, so lastEventMs >=
+      // current watermark and the timestamp is legal. Replay-deterministic
+      // (event time, not wall clock), and safe under Trigger.AvailableNow —
+      // the engine only reruns while the watermark still moves, so finite
+      // replays terminate (unlike the processing-time timeout, see [[apply]])
+      state.setTimeoutTimestamp(
+        math.max(lastEventMs, state.getCurrentWatermarkMs) + idleMs)
+      Iterator.single(toAgg(invoiceNo, next))
+    }
+  }
+
+  /** Event-time variant: the production shape for out-of-order sources.
+    * The watermark bounds BOTH late data (rows with `eventTime` behind the
+    * watermark are dropped before reaching the fold — without one, a
+    * single straggler can resurrect and corrupt any invoice's aggregate
+    * forever) and state lifetime (idle purge is driven by the event-time
+    * watermark, so replaying the same input gives the same purge points —
+    * the processing-time variant's lifecycle depends on wall-clock trigger
+    * cadence).
+    *
+    * @param watermarkDelay how far out-of-order events may arrive
+    *                       (e.g. "10 minutes")
+    * @param idleMs state is purged once the watermark has advanced this
+    *               far past the key's newest event time */
+  def eventTimed(lines: Dataset[TimedPurchaseLine], watermarkDelay: String,
+                 idleMs: Long): Dataset[InvoiceAgg] = {
+    import lines.sparkSession.implicits._
+    lines
+      .withWatermark("eventTime", watermarkDelay)
+      .as[TimedPurchaseLine]
+      .groupByKey(_.line.invoiceNo)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(updateEventTimed(idleMs))
   }
 }

@@ -174,6 +174,46 @@ class StreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("event-time variant: late rows dropped, idle state purged by watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def at(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    def timed(inv: String, qty: Long, price: Double, t: String) =
+      TimedPurchaseLine(line(inv, qty, price), at(t))
+    val input = MemoryStream[TimedPurchaseLine]
+    val sink = "sm_event_time"
+    // watermark 10 min; purge once the watermark is 20 min past the last
+    // batch that touched the key
+    val q = InvoiceStateMachine.eventTimed(input.toDS(),
+        watermarkDelay = "10 minutes", idleMs = 20 * 60 * 1000L)
+      .writeStream.outputMode("update").format("memory").queryName(sink).start()
+    try {
+      input.addData(timed("A", 2, 10.0, "10:00"), timed("B", 1, 5.0, "10:00"))
+      waitUntil("A+B emitted")(s.table(sink).count() >= 2)
+      // advance the watermark to 10:50 (11:00 − 10 min): far past A/B's
+      // timeout horizon → both purge WITHOUT emission
+      input.addData(timed("C", 1, 1.0, "11:00"))
+      waitUntil("C emitted")(s.table(sink).count() >= 3)
+      waitUntil("A+B purged by watermark")(stateRows(q) == 1L) // only C lives
+      // a straggler behind the watermark (10:05 < 10:50) must be DROPPED:
+      // no emission, no resurrected state. C meanwhile stays live — its
+      // idle horizon is anchored to its last event (11:00 + 20 min), not
+      // the lagging batch-start watermark — so its next row folds on.
+      input.addData(timed("A", 99, 999.0, "10:05"), timed("C", 1, 1.0, "11:01"))
+      waitUntil("C re-emitted")(
+        s.table(sink).filter($"invoice_no" === "C").count() >= 2)
+      val aRows = s.table(sink).filter($"invoice_no" === "A").collect()
+      assert(aRows.length == 1, s"late A row must not re-emit, got ${aRows.length}")
+      assert(aRows.head.getAs[Long]("number_items") == 2L,
+        "late row must not reach the fold")
+      // C folded across its two batches — state continued for live keys
+      val cFinal = s.table(sink).filter($"invoice_no" === "C")
+        .orderBy($"lines".desc).head()
+      assert(cFinal.getAs[Long]("lines") == 2L)
+    } finally q.stop()
+  }
+
   test("state machine is provider-agnostic: identical fold under RocksDB state store") {
     // The 100 TB posture: the default (HDFSBackedStateStoreProvider) holds
     // every live key on-heap per executor; RocksDB spills state to local
