@@ -12,9 +12,19 @@ import org.apache.spark.sql.functions._
   *    `saltFactor` sub-partitions (deterministic per-row salt) and
   *    replicates the other side per salt value, so the hot key's work
   *    spreads across `saltFactor` tasks. Result-identical to the plain
-  *    join. (AQE's skew-join split handles sort-merge cases adaptively;
-  *    explicit salting remains the tool for aggregate-followed joins and
-  *    for engines/paths AQE does not cover.)
+  *    join.
+  *
+  *    **When AQE already solves it** (see JoinsSpec "AQE skew-join"): for
+  *    a plain shuffled join (sort-merge or shuffled-hash) whose output
+  *    feeds no operator that needs the join's hash partitioning,
+  *    `spark.sql.adaptive.skewJoin` detects the oversized partition at
+  *    runtime and splits it (replicating the matching partition of the
+  *    other side) — no salting needed, and no schema pollution. Reach for
+  *    [[saltedEquiJoin]] only where AQE's `OptimizeSkewedJoin` bails:
+  *    when the join output is consumed by an aggregation/window keyed on
+  *    the join key (splitting would force an extra shuffle, so AQE leaves
+  *    the skew in place), or when the skew sits in a `groupBy` rather
+  *    than a join.
   *
   *  - **Bucketed tables** for repeated co-located joins: both sides
   *    pre-partitioned into the same bucket count on the join key at write

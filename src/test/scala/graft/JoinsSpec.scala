@@ -22,6 +22,51 @@ class JoinsSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("AQE skew-join splits the hot partition; salting stays result-identical") {
+    val s = spark
+    import s.implicits._
+    // tuned so the hot key's shuffle partition trips AQE's skew detector
+    // at test scale (default thresholds are 256 MB / factor 5)
+    val tuned = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = tuned.keys.map(k => k -> s.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      // one pathological key (0) holding ~94% of the rows, 40 normal keys
+      val big = s.range(160000).select($"id",
+        when($"id" < 150000, lit(0L)).otherwise(($"id" % 40) + 1).as("k"),
+        rpad(lit("p"), 128, "x").as("payload"))
+      val small = s.range(41).select($"id".as("k"),
+        concat(lit("dim_"), $"id").as("name"))
+
+      // 1) plain join: AQE detects and splits the skewed partition at
+      //    runtime — the final adaptive plan marks the join skew=true
+      val plain = big.join(small, "k")
+      // collect() (not count()) so THIS QueryExecution runs — count()
+      // spawns its own and would leave this adaptive plan unfinalized
+      assert(plain.collect().length == 160000)
+      val plan = plain.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should have split the hot partition:\n$plan")
+
+      // 2) manual salting gives the same result (the fallback for plans
+      //    AQE's OptimizeSkewedJoin refuses to touch, e.g. join feeding a
+      //    same-key aggregation)
+      val salted = Joins.saltedEquiJoin(big, small, key = "k",
+        saltEntropy = Seq("id"), saltFactor = 8)
+      assert(salted.count() == 160000L)
+      val perKey = salted.groupBy("k").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(perKey(0L) == 150000L && perKey.size == 41)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   test("bucketed join: no shuffle exchange feeding the join") {
     val s = spark
     // force the sort-merge path so bucket co-location (not a broadcast)
