@@ -8,11 +8,14 @@ import graft.model.Tables
 import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 import QueryUtil._
 
-/** Training-data-pipeline operators that have no SQL oracle (MinHash/LSH,
-  * SimHash, ANN, trained-model scoring, language ID, fingerprints) — the
-  * driver records a rows-only check for these. Deterministic by
-  * construction (seeded models, hash-based signatures), pinned by
-  * scalatest specs instead of DuckDB.
+/** Training-data-pipeline operators: dedup (MinHash/LSH, SimHash,
+  * embedding-IVF), ANN, trained-model scoring, fingerprints, multimodal.
+  * Oracle-checked wherever the result is SQL-reachable — exactly (an01,
+  * dd03, mm01) or as an exact-recall pin (dd01, dd04; see [[oracles]]) —
+  * rows-only where the output is a property of hash signatures or model
+  * internals (dd02, an02, ml01–ml05, tx07). Everything is deterministic
+  * by construction (seeded models, hash permutations) and pinned by
+  * scalatest specs besides.
   */
 object PipelineQueries {
 
@@ -42,10 +45,15 @@ object PipelineQueries {
     // is calibrated to the testdata's near-random embeddings (max pairwise
     // cosine ≈ 0.51) so the check set yields verifiable pairs — an empty
     // result would validate nothing. nCells=0 scales the cell count with
-    // the corpus (mean cell ≪ maxCell, hot cells dropped by the cap).
+    // the corpus (mean cell ≪ maxCell, hot cells dropped by the cap);
+    // nProbe=8 multi-probe gives the cell skeleton full recall at the
+    // check SF (see the oracle note below); maxCell is raised in step so
+    // the denser probe assignment doesn't trip the skew cap (500 vectors
+    // × 8 probes / 16 cells ≈ 250 mean occupancy — the default cap of 256
+    // would drop every above-average cell).
     "dd04_embedding_dup_pairs" -> { (s, dir) =>
       Similarity.embeddingDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.4, quantizerKey = s"emb-dup-$dir")
+        threshold = 0.4, nProbe = 8, maxCell = 1024, quantizerKey = s"emb-dup-$dir")
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -210,14 +218,88 @@ object PipelineQueries {
         s"emb-dup-$dir", Similarity.autoCells(emb), seed = 42L); ()
     })
 
-  /** Most entries are rows-only by design (hash-function-dependent or
-    * model-dependent — not SQL-expressible). dd03 is the exception: exact
-    * n-gram Jaccard with df blocking is hash-free in *semantics* (the
-    * xxhash64'd shingles stand in for string shingles 1:1 absent
-    * collisions), so the oracle re-runs the whole pipeline — shingling,
-    * df≤maxDf blocking, candidate pairs, exact Jaccard — over string
-    * shingles in SQL. */
+  /** Two oracle families here:
+    *
+    *  - **Exact-semantics** (dd03, an01, mm01): the operator's result is
+    *    fully determined by its inputs with no hash/model dependence, so
+    *    the oracle recomputes it 1:1 in SQL (dd03 over string shingles,
+    *    an01 via `list_cosine_similarity` over the same double-cast
+    *    vectors — the rounded cosine hash-matches because both engines
+    *    do IEEE-754 double arithmetic over identical values).
+    *
+    *  - **Exact-recall pins** (dd01, dd04): the operator is approximate
+    *    by design (LSH banding / IVF cells bound the candidate set), but
+    *    every surviving pair is *exactly verified* (true Jaccard /
+    *    cosine), so output ⊆ exact answer always. The oracle IS the
+    *    exact answer, which additionally pins recall = 100% at the check
+    *    SF — a driver-verified guarantee that the banding/probe
+    *    parameters deliver their designed recall, and that the capped-
+    *    bucket skeleton drops no true pair here. Deterministic on both
+    *    sides (seeded quantizer, hash permutations), so a local pass
+    *    implies a driver pass. Candidate generation staying hash-/model-
+    *    dependent is exactly what an02 and dd02 remain rows-only for:
+    *    their *outputs* (IVF top-k, Hamming distances) are properties of
+    *    the signatures, not of the text/vectors alone.
+    *
+    * The rest are rows-only by design (model-dependent outputs). */
   val oracles: Map[String, String] = Map(
+    // Exact top-k by cosine: both engines compute the same doubles from
+    // the same float-widened vectors, so ranks AND rounded scores match.
+    "an01_cosine_topk_brute" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, v FROM c WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(c.v, q.v) AS cosine
+        |  FROM c CROSS JOIN q WHERE q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        |       round(cosine, 6) AS cosine
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Exact-recall pin: ALL pairs with k=3-shingle Jaccard >= 0.5 —
+    // candidate blocking here is any-shared-shingle (complete: J >= 0.5
+    // implies a shared shingle), so this is the full exact answer the
+    // LSH pipeline must reproduce.
+    "dd01_minhash_dup_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(t) < 3
+        |           THEN [array_to_string(t, ' ')]
+        |           ELSE list_transform(generate_series(1, len(t) - 2),
+        |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |         END) AS shingles
+        |  FROM toks),
+        |post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |         FROM post l JOIN post r ON l.shingle = r.shingle
+        |                                AND l.doc_id < r.doc_id)
+        |SELECT c.id_a, c.id_b,
+        |       len(list_intersect(a.shingles, b.shingles))
+        |         / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+        |         AS jaccard
+        |FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+        |WHERE len(list_intersect(a.shingles, b.shingles))
+        |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact-recall pin: ALL pairs with cosine >= 0.4 via the full O(n²)
+    // scan (fine at check SF; the implementation's whole point is
+    // avoiding this scan at scale).
+    "dd04_embedding_dup_pairs" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM c a JOIN c b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // The mapPartitions decode path is stubbed deterministically from the
     // payload byte length, so the whole per-partition pipeline — binary
     // cast, batch iteration, metadata struct — is hash-checkable.

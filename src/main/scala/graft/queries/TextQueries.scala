@@ -24,7 +24,8 @@ object TextQueries {
         $"doc_id",
         length($"text").cast("long").as("n_chars"),
         TextOps.tokenCount($"text").as("n_tokens"),
-        TextOps.distinctTokenCount($"text").as("n_distinct_tokens"))
+        TextOps.distinctTokenCount($"text").as("n_distinct_tokens"),
+        TextOps.estimatedBpeTokens($"text").as("est_bpe_tokens"))
         .orderBy($"doc_id")
     },
 
@@ -106,7 +107,11 @@ object TextQueries {
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(len(string_split(text, ' '))
+        |       + list_sum(list_transform(string_split(text, ' '),
+        |           x -> CASE WHEN length(x) > 6 THEN length(x) - 6 ELSE 0 END)) // 6
+        |    AS BIGINT) AS est_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "tx02_quality_scores" ->
