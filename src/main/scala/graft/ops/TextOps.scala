@@ -59,6 +59,20 @@ object TextOps {
   def fingerprint(text: Column): Column =
     graft.functions.PolyHash64(transform(tokens(text), tok => xxhash64(tok)))
 
+  /** Deterministic content-hash train/val split: a document's split is
+    * decided by the first byte of the md5 of its TEXT — not its id — so
+    * byte-identical duplicates can never straddle the split (the exact-dup
+    * leakage guard every training pipeline needs), and the assignment is
+    * stable under repartitioning and replay with no RNG anywhere.
+    * `trainFrac` is quantized to 256ths (the hex-prefix comparison);
+    * must be in (0, 1). */
+  def contentSplit(text: Column, trainFrac: Double = 0.9): Column = {
+    require(trainFrac > 0 && trainFrac < 1, s"trainFrac in (0,1), got $trainFrac")
+    val cut = f"${math.round(trainFrac * 256).toInt}%02x"
+    when(substring(md5(text.cast("binary")), 1, 2) < lit(cut), "train")
+      .otherwise("val")
+  }
+
   /** Tiny per-language stopword profiles for the n-gram/stopword-overlap
     * language-ID heuristic. Real deployments plug in fastText-style models;
     * the *engine shape* (argmax over per-language scores, one pass, no

@@ -74,6 +74,40 @@ object EventQueries {
             / count(lit(1)) / lit(60.0), 4).as("avg_hour"),
           count(lit(1)).as("n"))
         .orderBy($"event_type")
+    },
+
+    // As-of join: each event picks up its user's most recent order at or
+    // before the event time (union + ordered window — one shuffle, no
+    // replication; see TemporalJoins.asOfJoin). Orders are pre-collapsed
+    // to one row per (custkey, orderdate) via max_by so the inclusive
+    // as-of match is deterministic under same-day order ties.
+    "ev05_asof_latest_order" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir).select($"event_id", $"user_id", $"ts")
+      val latest = Tables.orders(s, dir)
+        .groupBy($"o_custkey", $"o_orderdate")
+        .agg(max($"o_orderkey").as("o_orderkey"),
+          max_by($"o_totalprice", $"o_orderkey").as("o_totalprice"))
+      graft.ops.TemporalJoins.asOfJoin(ev, latest,
+          "user_id", "o_custkey", "ts", "o_orderdate")
+        .select($"event_id", $"user_id", $"o_orderkey", $"o_totalprice")
+        .orderBy($"event_id")
+    },
+
+    // Range join via binning: events attributed to the 1-hour window
+    // opened by each purchase of the same user — an equi-join on
+    // (user, hour-bin) instead of the nested loop a raw inequality join
+    // plans (see TemporalJoins.rangeJoin).
+    "ev06_purchase_attribution" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir).select($"user_id", $"ts")
+      val windows = Tables.events(s, dir).filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+          $"ts".as("w_start"), ($"ts" + expr("INTERVAL 1 HOUR")).as("w_end"))
+      graft.ops.TemporalJoins.rangeJoin(ev, windows,
+          "user_id", "p_user", "ts", "w_start", "w_end", binSeconds = 3600)
+        .groupBy($"purchase_id").agg(count(lit(1)).as("n_events"))
+        .orderBy($"purchase_id")
     })
 
   val oracles: Map[String, String] = Map(
@@ -117,5 +151,29 @@ object EventQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM events
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type""".stripMargin,
+
+    // DuckDB's native ASOF JOIN checks the window-based implementation
+    // against an independent one.
+    "ev05_asof_latest_order" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate,
+        |         CAST(max(o_orderkey) AS BIGINT) AS o_orderkey,
+        |         max_by(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
+    // The oracle runs the raw inequality join the binned implementation
+    // replaces.
+    "ev06_purchase_attribution" ->
+      """WITH w AS (SELECT event_id AS purchase_id, user_id AS p_user,
+        |                  ts AS w_start, ts + INTERVAL 1 HOUR AS w_end
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT w.purchase_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM w JOIN events e
+        |  ON e.user_id = w.p_user AND e.ts >= w.w_start AND e.ts < w.w_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -89,6 +89,15 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
+    // Deterministic content-hash train/val split (TextOps.contentSplit):
+    // md5-of-text decides, so exact duplicates never straddle the split.
+    "tx08_train_val_split" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", TextOps.contentSplit($"text", 0.9).as("split"))
+        .orderBy($"doc_id")
+    },
+
     // Multimodal: deterministic frame-sampling plan for (fake) video
     // payloads — every 10th frame, capped at 16, as pure column math (no
     // decode); one row per sampled frame.
@@ -167,6 +176,13 @@ object TextQueries {
          |  lang AS labeled_lang
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    // round(0.9 * 256) = 230 = 0xe6 — the same hex-prefix cut the Spark
+    // side computes.
+    "tx08_train_val_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substring(md5(text), 1, 2) < 'e6' THEN 'train' ELSE 'val' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm02_frame_sampling" ->
       """SELECT doc_id,

@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{TemporalJoins, TextOps}
+
+class TemporalJoinsSpec extends SparkSuite {
+
+  private def ts(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  test("asOfJoin: inclusive latest-prior match, left-outer, per-key") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, "u", ts("10:00")), // exact tie with a right row -> inclusive
+      (2L, "u", ts("10:30")), // between rights -> earlier one
+      (3L, "u", ts("09:00")), // before any right -> null payload
+      (4L, "v", ts("23:00"))  // other key: must not see u's rows
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("u", ts("10:00"), "a"),
+      ("u", ts("11:00"), "b"),
+      ("v", ts("08:00"), "c")
+    ).toDF("rk", "rt", "payload")
+
+    val out = TemporalJoins.asOfJoin(left, right, "k", "rk", "t", "rt")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(out == Map(1L -> Some("a"), 2L -> Some("a"), 3L -> None, 4L -> Some("c")))
+  }
+
+  test("asOfJoin: one shuffle, no nested-loop join in the plan") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "u", ts("10:00"))).toDF("id", "k", "t")
+    val right = Seq(("u", ts("09:00"), 5.0)).toDF("rk", "rt", "x")
+    val plan = TemporalJoins.asOfJoin(left, right, "k", "rk", "t", "rt")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"as-of must not nested-loop:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected exactly one shuffle, got $shuffles:\n$plan")
+  }
+
+  test("rangeJoin: half-open [start,end), per-key, spans bins, no duplicates") {
+    val s = spark
+    import s.implicits._
+    val points = Seq(
+      (10L, "u", ts("10:00")), // == start -> in
+      (11L, "u", ts("10:59")), // inside   -> in
+      (12L, "u", ts("11:00")), // == end   -> out
+      (13L, "v", ts("10:30")), // other key -> out
+      (14L, "u", ts("12:30"))  // inside the long interval only
+    ).toDF("pid", "k", "t")
+    val intervals = Seq(
+      ("u", 100L, ts("10:00"), ts("11:00")),
+      ("u", 200L, ts("09:30"), ts("13:30")) // spans 5 one-hour bins
+    ).toDF("ik", "iid", "s", "e")
+
+    val rows = TemporalJoins.rangeJoin(points, intervals,
+        "k", "ik", "t", "s", "e", binSeconds = 3600)
+      .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((10L, 100L), (11L, 100L), (10L, 200L), (11L, 200L),
+      (12L, 200L), (14L, 200L)))
+    // exactly one row per matching (point, interval): binning must not dup
+    val n = TemporalJoins.rangeJoin(points, intervals,
+      "k", "ik", "t", "s", "e", binSeconds = 3600).count()
+    assert(n == 6L)
+  }
+
+  test("rangeJoin: plans an equi-join, not a nested loop") {
+    val s = spark
+    import s.implicits._
+    val points = Seq((1L, "u", ts("10:00"))).toDF("pid", "k", "t")
+    val intervals = Seq(("u", 1L, ts("09:00"), ts("11:00"))).toDF("ik", "iid", "s", "e")
+    val plan = TemporalJoins.rangeJoin(points, intervals,
+        "k", "ik", "t", "s", "e", binSeconds = 3600)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"),
+      s"range join must plan as equi-join on (key, bin):\n$plan")
+  }
+
+  test("contentSplit: deterministic, duplicates co-assigned, both splits hit") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 200).map(i => (i.toLong, s"document number ${i % 50}"))
+      .toDF("id", "text") // 4 exact copies of each distinct text
+    val out = docs.select($"id", $"text", TextOps.contentSplit($"text").as("split"))
+    // every duplicate group lands in exactly one split
+    assert(out.groupBy($"text").agg(countDistinct($"split").as("n"))
+      .filter($"n" > 1).count() == 0L)
+    val bySplit = out.groupBy($"split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val"))
+    assert(bySplit("train") > bySplit("val"), s"0.9 split skews train: $bySplit")
+    intercept[IllegalArgumentException](TextOps.contentSplit(lit("x"), 1.0))
+  }
+}
