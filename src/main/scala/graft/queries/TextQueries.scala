@@ -98,6 +98,27 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
+    // Flagship composition — the corpus-curation pipeline the library
+    // exists for, as ONE declarative plan Catalyst optimizes end-to-end:
+    // exact-dedup keeper selection (digest aggregate + semi-join on the
+    // 16-byte hash) → quality floor → language filter → content-hash
+    // train/val split. Per-row ops fuse into the scan stage; the only
+    // shuffle is the dedup aggregate.
+    "tx09_corpus_curation" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .withColumn("h", md5($"text".cast("binary")))
+      val keepers = docs.groupBy($"h").agg(min($"doc_id").as("doc_id"))
+      docs.join(keepers, Seq("h", "doc_id"), "left_semi")
+        .filter(TextOps.qualityScore($"text", Stopwords) >= 0.1 &&
+          TextOps.languageId($"text") === "en")
+        .select($"doc_id",
+          TextOps.qualityScore($"text", Stopwords).as("quality_score"),
+          TextOps.tokenCount($"text").as("n_tokens"),
+          TextOps.contentSplit($"text", 0.9).as("split"))
+        .orderBy($"doc_id")
+    },
+
     // Multimodal: deterministic frame-sampling plan for (fake) video
     // payloads — every 10th frame, capped at 16, as pure column math (no
     // decode); one row per sampled frame.
@@ -110,6 +131,32 @@ object TextQueries {
           .cast("array<long>")).as("frame_idx"))
         .orderBy($"doc_id", $"frame_idx")
     })
+
+  /** The tx02/tx09 quality expression in DuckDB SQL (identical int
+    * arithmetic + the same two float divisions as `TextOps.qualityScore`
+    * with [[Stopwords]]). */
+  private val qualitySqlExpr: String =
+    """(1.0 - len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a'))
+      |         / len(string_split(text, ' ')))
+      |  * (LEAST(len(string_split(text, ' ')), 200) / 200.0)""".stripMargin
+
+  /** The tx06/tx09 language-ID argmax in DuckDB SQL: per-language overlap
+    * score + the cascade in descending language order (branch i fires only
+    * when no later language beats it — exactly `array_max` over
+    * (score, lang) structs). */
+  private val langIdSqlExpr: String = {
+    val score: Map[String, String] = graft.ops.TextOps.LangProfiles.map {
+      case (lang, stops) =>
+        val list = stops.map(s => s"'$s'").mkString("[", ", ", "]")
+        lang -> s"len(list_filter(string_split(text, ' '), t -> list_contains($list, t)))"
+    }
+    val langsDesc = graft.ops.TextOps.LangProfiles.keys.toSeq.sorted.reverse
+    val cascade = langsDesc.init.zipWithIndex.map { case (l, i) =>
+      val conds = langsDesc.drop(i + 1).map(o => s"${score(l)} >= ${score(o)}")
+      s"WHEN ${conds.mkString(" AND ")} THEN '$l'"
+    }.mkString("\n       ")
+    s"CASE $cascade\n       ELSE '${langsDesc.last}' END"
+  }
 
   val oracles: Map[String, String] = Map(
     "tx01_text_stats" ->
@@ -156,26 +203,23 @@ object TextQueries {
         |  CAST(octet_length(encode(text)) % 16 AS BIGINT) AS fake_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "tx06_language_id" -> {
-      // per-language overlap score + the argmax cascade in descending
-      // language order (branch i fires only when no later language beats
-      // it — exactly array_max over (score, lang) structs)
-      val score: Map[String, String] = graft.ops.TextOps.LangProfiles.map {
-        case (lang, stops) =>
-          val list = stops.map(s => s"'$s'").mkString("[", ", ", "]")
-          lang -> s"len(list_filter(string_split(text, ' '), t -> list_contains($list, t)))"
-      }
-      val langsDesc = graft.ops.TextOps.LangProfiles.keys.toSeq.sorted.reverse
-      val cascade = langsDesc.init.zipWithIndex.map { case (l, i) =>
-        val conds = langsDesc.drop(i + 1).map(o => s"${score(l)} >= ${score(o)}")
-        s"WHEN ${conds.mkString(" AND ")} THEN '$l'"
-      }.mkString("\n       ")
+    "tx06_language_id" ->
       s"""SELECT doc_id,
-         |  CASE $cascade
-         |       ELSE '${langsDesc.last}' END AS predicted_lang,
+         |  $langIdSqlExpr AS predicted_lang,
          |  lang AS labeled_lang
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx09_corpus_curation" ->
+      s"""WITH k AS (
+         |  SELECT md5(text) AS h, min(doc_id) AS doc_id
+         |  FROM documents GROUP BY 1)
+         |SELECT d.doc_id,
+         |  $qualitySqlExpr AS quality_score,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CASE WHEN substring(md5(text), 1, 2) < 'e6' THEN 'train' ELSE 'val' END AS split
+         |FROM documents d JOIN k ON d.doc_id = k.doc_id AND md5(d.text) = k.h
+         |WHERE $qualitySqlExpr >= 0.1 AND $langIdSqlExpr = 'en'
+         |ORDER BY d.doc_id""".stripMargin,
 
     // round(0.9 * 256) = 230 = 0xe6 — the same hex-prefix cut the Spark
     // side computes.
