@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{PolyHash64, SimHash64}
+import graft.functions.{DotProduct, PolyHash64, SimHash64}
 
 /** Spark session extension registering graft's native expressions in the
   * SQL function registry, so `spark.sql("SELECT simhash64(...)")` works
@@ -21,17 +21,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
-  /** Reject wrong arity at analysis time — `children.head` alone would
-    * silently drop extra arguments (`simhash64(a, b)` ≠ an error). */
-  private def unary(name: String)(children: Seq[Expression]): Expression = {
-    if (children.length != 1)
+  /** Reject wrong arity at analysis time — positional `children` access
+    * alone would silently drop extra arguments (`simhash64(a, b)` ≠ an
+    * error). */
+  private def arity(name: String, n: Int)(children: Seq[Expression]): Seq[Expression] = {
+    if (children.length != n)
       throw new org.apache.spark.sql.AnalysisException(
         errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
         messageParameters = Map(
-          "functionName" -> name, "expectedNum" -> "1",
+          "functionName" -> name, "expectedNum" -> n.toString,
           "actualNum" -> children.length.toString, "docroot" -> ""))
-    children.head
+    children
   }
+  private def unary(name: String)(children: Seq[Expression]): Expression =
+    arity(name, 1)(children).head
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -42,5 +45,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("polyhash64"),
       info("polyhash64", "polyhash64(arr) - order-sensitive wrapping polynomial rolling hash of an array<bigint>."),
       (children: Seq[Expression]) => PolyHash64(unary("polyhash64")(children))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two array<double> vectors."),
+      (children: Seq[Expression]) => {
+        // coerce SQL literal arrays (decimal/int elements) to
+        // array<double>, as the Column-API call sites do upstream
+        val cs = arity("dot_product", 2)(children).map(
+          org.apache.spark.sql.catalyst.expressions.Cast(_,
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)))
+        DotProduct(cs.head, cs(1))
+      }))
   }
 }

@@ -23,14 +23,17 @@ import org.apache.spark.sql.functions._
   * capped iterations, and memoized per (corpus, cells, seed) so every
   * query against the same corpus shares one index.
   *
-  * Dot products use `zip_with` + `aggregate` (codegen'd higher-order
-  * functions, no UDF). Norms are precomputed once per side.
+  * Dot products use the native [[graft.functions.DotProduct]] codegen
+  * expression (no UDF, one compiled loop per pair). Norms are precomputed
+  * once per side.
   */
 object Similarity {
 
-  /** Dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two double arrays — native codegen expression (the
+    * HOF formulation `aggregate(zip_with(a,b,_*_), 0.0, _+_)` evaluates
+    * interpreted per element; see [[graft.functions.DotProduct]]).
+    * Identical summation order, so scores are bit-equal to the HOF form. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))

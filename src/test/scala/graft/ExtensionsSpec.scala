@@ -30,5 +30,27 @@ class ExtensionsSpec extends SparkSuite {
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT polyhash64()").head()
     }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT dot_product(array(1.0))").head()
+    }
+  }
+
+  test("dot_product: SQL-callable, bit-identical to the HOF formulation") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    assert(s.sql("SELECT dot_product(array(1.0, 2.0, 3.0), array(4.0, 5.0, 6.0)) AS d")
+      .head().getDouble(0) == 32.0)
+    // adversarial doubles: the native loop must reproduce the HOF's
+    // left-to-right accumulation exactly (order changes the result here)
+    val vals = Seq((Seq(1e16, 1.0, -1e16, 0.1, 1e-7, 3.33),
+                    Seq(1.0, 1.0, 1.0, 3.7, 1e7, 0.77)))
+    val r = vals.toDF("a", "b").select(
+      graft.functions.DotProduct($"a", $"b").as("native"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("hof"))
+      .head()
+    assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(r.getDouble(1)),
+      s"native ${r.getDouble(0)} != hof ${r.getDouble(1)}")
   }
 }
