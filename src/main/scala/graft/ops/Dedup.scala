@@ -25,24 +25,13 @@ import graft.functions.SimHash64
   */
 object Dedup {
 
-  /** Distinct word k-shingles from a **materialized** token-array column,
-    * each hashed to a long. Hashing first keeps the shuffle rows narrow
-    * (8B per shingle).
-    *
-    * Takes tokens, not text, on purpose: higher-order-function lambdas are
-    * evaluated interpreted, per element — a lambda body referencing
-    * `split(text)` re-splits the document for every shingle, turning an
-    * O(tokens) projection into O(tokens²) per document (measured 20× on
-    * the shingling stage). Callers materialize the token array once per
-    * row (see [[shingled]]) and the lambda only slices it. */
-  def shingleHashes(toks: Column, k: Int): Column = {
-    val shingles =
-      when(size(toks) < k, array(xxhash64(concat_ws(" ", toks))))
-        .otherwise(transform(
-          sequence(lit(1), size(toks) - (k - 1)),
-          i => xxhash64(concat_ws(" ", slice(toks, i, lit(k))))))
-    array_distinct(shingles)
-  }
+  /** Distinct word k-shingles from a token-array column, each hashed to a
+    * long — native one-pass [[graft.functions.ShingleHashes]] codegen
+    * expression (the HOF formulation concat-and-hashes interpreted, per
+    * window; bit-identical semantics, pinned by HashOpsSpec). Hashing
+    * first keeps the shuffle rows narrow (8B per shingle). */
+  def shingleHashes(toks: Column, k: Int): Column =
+    array_distinct(graft.functions.ShingleHashes(toks, k))
 
   /** (id, shingles) projection with the token array materialized in its
     * own project (multiply-referenced non-trivial alias — CollapseProject
@@ -53,10 +42,12 @@ object Dedup {
       .select(col(idCol).as("id"), shingleHashes(col("_toks"), k).as("shingles"))
 
   /** MinHash signature: `sig(i) = min over shingles of xxhash64(shingle, i)`
-    * — an independent permutation per index, all computed in one pass. */
+    * — an independent permutation per index, all indices in ONE pass over
+    * the shingles via the native [[graft.functions.MinHashSig]] expression
+    * (the HOF formulation traverses the array `numHashes` times,
+    * interpreted; bit-identical output, pinned by HashOpsSpec). */
   def minHashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(i =>
-      array_min(transform(shingles, h => xxhash64(h, lit(i))))): _*)
+    graft.functions.MinHashSig(shingles, numHashes)
 
   /** LSH band keys for a signature: one 64-bit key per band of `rowsPerBand`
     * signature entries (docs agreeing on all rows of any band collide). */
@@ -138,9 +129,10 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Per-doc 64-bit SimHash over token hashes (codegen expression). */
+  /** Per-doc 64-bit SimHash over token hashes (codegen end-to-end:
+    * native per-token hashing + native bit-vote). */
   def simHash(text: Column): Column =
-    SimHash64(transform(TextOps.tokens(text), t => xxhash64(t)))
+    SimHash64(graft.functions.XxHash64Array(TextOps.tokens(text)))
 
   /** SimHash near-duplicate pairs: bucket by the high `prefixBits` bits,
     * verify with full-signature Hamming distance ≤ `maxHamming`.

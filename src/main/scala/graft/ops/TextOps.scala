@@ -57,7 +57,7 @@ object TextOps {
     * expression — the column-arithmetic equivalent overflows under ANSI
     * mode. Per-row, distributable, no state. */
   def fingerprint(text: Column): Column =
-    graft.functions.PolyHash64(transform(tokens(text), tok => xxhash64(tok)))
+    graft.functions.PolyHash64(graft.functions.XxHash64Array(tokens(text)))
 
   /** Deterministic content-hash train/val split: a document's split is
     * decided by the first byte of the md5 of its TEXT — not its id — so
