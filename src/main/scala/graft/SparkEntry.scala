@@ -39,5 +39,6 @@ object SparkEntry {
     * that catalog queries amortize; the bench runs these first and
     * reports their cost separately from query time. */
   def indexBuilds: Map[String, QueryUtil.B] =
-    RelationalQueries.builds ++ PipelineQueries.builds ++ IngestQueries.builds
+    RelationalQueries.builds ++ PipelineQueries.builds ++ IngestQueries.builds ++
+      StreamQueries.builds
 }
