@@ -80,6 +80,50 @@ class TemporalJoinsSpec extends SparkSuite {
       s"range join must plan as equi-join on (key, bin):\n$plan")
   }
 
+  test("asOfJoin matches a naive per-row reference on seeded random data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val leftRows = (0 until 400).map(i =>
+      (i.toLong, s"k${rnd.nextInt(12)}", Timestamp.valueOf(
+        f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")))
+    // unique (key, time) on the right, as the contract requires
+    val rights = (0 until 150).map(i =>
+      (s"k${rnd.nextInt(12)}", Timestamp.valueOf(
+        f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"), i.toLong))
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val left = leftRows.toDF("id", "k", "t")
+    val right = rights.toDF("rk", "rt", "payload")
+    val got = TemporalJoins.asOfJoin(left, right, "k", "rk", "t", "rt")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    val want = leftRows.map { case (id, k, t) =>
+      id -> rights.filter(r => r._1 == k && !r._2.after(t))
+        .sortBy(r => (r._2.getTime, r._3)).lastOption.map(_._3)
+    }.toMap
+    assert(got == want)
+  }
+
+  test("rangeJoin matches a naive inequality join on seeded random data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    def t(mins: Int) = Timestamp.valueOf(f"2024-01-01 ${mins / 60}%02d:${mins % 60}%02d:00")
+    val pointRows = (0 until 400).map(i => (i.toLong, s"k${rnd.nextInt(8)}", t(rnd.nextInt(1200))))
+    val intRows = (0 until 120).map { i =>
+      val start = rnd.nextInt(1100)
+      (s"k${rnd.nextInt(8)}", i.toLong, t(start), t(start + 1 + rnd.nextInt(200)))
+    }
+    val got = TemporalJoins.rangeJoin(pointRows.toDF("pid", "k", "t"),
+        intRows.toDF("ik", "iid", "s", "e"), "k", "ik", "t", "s", "e", binSeconds = 3600)
+      .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (pid, pk, pt) <- pointRows
+      (ik, iid, is, ie) <- intRows
+      if pk == ik && !pt.before(is) && pt.before(ie)
+    } yield (pid, iid)).toSet
+    assert(got == want)
+  }
+
   test("contentSplit: deterministic, duplicates co-assigned, both splits hit") {
     val s = spark
     import s.implicits._
