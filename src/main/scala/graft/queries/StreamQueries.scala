@@ -252,6 +252,24 @@ object StreamQueries {
         .dropDuplicates("user_id", "event_type")
       StreamRunner.toMemory(dedup, mode = "append")
         .orderBy($"user_id", $"event_type")
+    },
+
+    // A2 at 100 TB: `dropDuplicates` (st04) keeps every seen key in state
+    // FOREVER — unbounded growth on an unbounded stream. The production
+    // posture is `dropDuplicatesWithinWatermark`: state is evicted once
+    // the watermark passes a key's event time. The 40-day delay exceeds
+    // the replay's 30-day span, so no state is evicted mid-replay and the
+    // result equals exact distinct — same oracle as st04 — while the plan
+    // is the state-bounded operator.
+    "st08_stream_distinct_bounded" -> { (s, dir) =>
+      import s.implicits._
+      val dedup = StreamSources.eventsStream(s, dir)
+        .select($"user_id", $"event_type", $"ts")
+        .withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select($"user_id", $"event_type")
+      StreamRunner.toMemory(dedup, mode = "append")
+        .orderBy($"user_id", $"event_type")
     })
 
   /** The batch twin of the state machine's weighted per-invoice fold. */
@@ -305,6 +323,10 @@ object StreamQueries {
          |ORDER BY key""".stripMargin,
 
     "st04_stream_distinct" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "st08_stream_distinct_bounded" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
 
