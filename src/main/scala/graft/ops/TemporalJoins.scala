@@ -40,6 +40,9 @@ object TemporalJoins {
   def asOfJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left/right column names must be disjoint, both have: ${overlap.mkString(", ")}")
     val payloadCols = right.columns.filterNot(c => c == rightKey || c == rightTime).toSeq
     val payloadType = StructType(right.schema.fields.filter(f => payloadCols.contains(f.name)))
     val lPart = left.select(
@@ -47,7 +50,10 @@ object TemporalJoins {
       struct(left.columns.map(col).toIndexedSeq: _*).as("_l"),
       lit(null).cast(payloadType).as("_p"))
     val rPart = right.select(
-      col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_side"),
+      col(rightKey).as("_k"),
+      // align mixed timestamp flavors (e.g. ntz vs ltz) to the left side
+      col(rightTime).cast(left.schema(leftTime).dataType).as("_t"),
+      lit(0).as("_side"),
       lit(null).cast(StructType(left.schema.fields)).as("_l"),
       struct(payloadCols.map(col): _*).as("_p"))
     // right rows sort before left rows at equal time (side 0 < 1), which

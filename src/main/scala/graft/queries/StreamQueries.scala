@@ -254,6 +254,40 @@ object StreamQueries {
         .orderBy($"user_id", $"event_type")
     },
 
+    // Streaming enrichment-with-history: each event picks up its user's
+    // most recent order as of the event time, on a live stream. The batch
+    // as-of operator composes into `foreachBatch` soundly because each
+    // left row's match depends only on that row and the STATIC right side
+    // — batch boundaries cannot change the result (unlike stateful
+    // aggregation, which st01/st07 prove separately). Same oracle as the
+    // batch twin ev05.
+    "st09_stream_asof_enrich" -> { (s, dir) =>
+      import s.implicits._
+      val latest = Tables.orders(s, dir)
+        .groupBy($"o_custkey", $"o_orderdate")
+        .agg(max($"o_orderkey").as("o_orderkey"),
+          max_by($"o_totalprice", $"o_orderkey").as("o_totalprice"))
+      val ev = StreamSources.eventsStream(s, dir)
+        .select($"event_id", $"user_id", $"ts")
+      val base = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
+        "asof-").toString
+      val q = ev.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.ops.TemporalJoins.asOfJoin(batch, latest,
+              "user_id", "o_custkey", "ts", "o_orderdate")
+            .write.mode("append").parquet(base)
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(base)
+        .select($"event_id", $"user_id", $"o_orderkey", $"o_totalprice")
+        .orderBy($"event_id")
+    },
+
     // A2 at 100 TB: `dropDuplicates` (st04) keeps every seen key in state
     // FOREVER — unbounded growth on an unbounded stream. The production
     // posture is `dropDuplicatesWithinWatermark`: state is evicted once
@@ -329,6 +363,19 @@ object StreamQueries {
     "st08_stream_distinct_bounded" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // identical to ev05's oracle — the streaming composition must not
+    // change the as-of result
+    "st09_stream_asof_enrich" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate,
+        |         CAST(max(o_orderkey) AS BIGINT) AS o_orderkey,
+        |         max_by(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
 
     // New session when the gap reaches the 30-minute horizon (Spark's
     // session window is [start, last+gap), so an event at exactly
