@@ -88,6 +88,27 @@ object IngestQueries {
             col("CustomerID").as("customer_id"),
             col("Country").as("country"))).as("payload"))
         .orderBy(col("key"))
+    },
+
+    // P7/P9 closed loop: the JSON sink payload parsed back with
+    // `from_json` (the consumer-side leg of the Kafka contract). The
+    // oracle is the identity on the source fields — exactly what a
+    // serialize→parse roundtrip must reproduce.
+    "cs05_json_roundtrip" -> { (s, dir) =>
+      ensureFixture(s, dir)
+      val payloadSchema =
+        "invoice_no STRING, quantity BIGINT, customer_id STRING, country STRING"
+      PurchaseCsv.read(s, fixtureDir)
+        .select(to_json(struct(
+          col("InvoiceNo").as("invoice_no"),
+          col("Quantity").cast("long").as("quantity"),
+          col("CustomerID").as("customer_id"),
+          col("Country").as("country"))).as("payload"))
+        .select(from_json(col("payload"),
+          org.apache.spark.sql.types.StructType.fromDDL(payloadSchema)).as("p"))
+        .select(col("p.invoice_no").as("invoice_no"), col("p.quantity").as("quantity"),
+          col("p.customer_id").as("customer_id"), col("p.country").as("country"))
+        .orderBy(col("invoice_no"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -110,6 +131,13 @@ object IngestQueries {
          |  COALESCE(CAST(hour(strptime(InvoiceDate, '%m/%d/%Y %H:%M')) AS DOUBLE), -1.0) AS hour_of_day,
          |  CAST(hour(strptime(InvoiceDate, '%m/%d/%Y %H:%M'))*60
          |       + minute(strptime(InvoiceDate, '%m/%d/%Y %H:%M')) AS BIGINT) AS minute_of_day
+         |FROM $duckReadCsv
+         |ORDER BY invoice_no""".stripMargin,
+
+    // the roundtrip must reproduce the source fields exactly
+    "cs05_json_roundtrip" ->
+      s"""SELECT InvoiceNo AS invoice_no, CAST(Quantity AS BIGINT) AS quantity,
+         |  CustomerID AS customer_id, Country AS country
          |FROM $duckReadCsv
          |ORDER BY invoice_no""".stripMargin,
 

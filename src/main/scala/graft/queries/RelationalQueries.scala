@@ -155,6 +155,20 @@ object RelationalQueries {
         .orderBy($"returnflag", $"linestatus")
     },
 
+    // CUBE: all grouping-set combinations (rollup's lattice completion) —
+    // one pass, Catalyst expands to a single Expand + hash aggregate.
+    "q14_cube_quantities" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_lines"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"sum_qty", $"n_lines")
+        .orderBy($"returnflag", $"linestatus")
+    },
+
     // Salted join (skew tool): deterministic per-row salt spreads each
     // order key over 8 sub-partitions, orders replicated per salt —
     // result must be identical to the plain join (the oracle is the
@@ -299,6 +313,15 @@ object RelationalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_lines
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q14_cube_quantities" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
 
     "q13_quantity_percentiles" ->
