@@ -288,6 +288,31 @@ object StreamQueries {
         .orderBy($"event_id")
     },
 
+    // Stream-stream inner join — the last big Structured Streaming
+    // surface: clicks matched to the 1-hour window after each purchase of
+    // the same user, BOTH sides watermarked (the watermark bounds each
+    // side's join state; without it the engine must buffer the streams
+    // forever). Inner-join matches emit as rows arrive, so a finite
+    // AvailableNow replay emits exactly the batch answer — the oracle is
+    // the raw inequality join (ev06's shape, pair-level).
+    "st10_stream_stream_join" -> { (s, dir) =>
+      import s.implicits._
+      val ev = StreamSources.eventsStream(s, dir)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id", $"ts")
+        .withWatermark("ts", "1 hour")
+      val purchases = StreamSources.eventsStream(s, dir)
+        .filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+          $"ts".as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        expr("user_id = p_user AND ts >= p_ts AND ts < p_ts + INTERVAL 1 HOUR"))
+        .select($"purchase_id", $"click_id")
+      StreamRunner.toMemory(joined, mode = "append")
+        .orderBy($"purchase_id", $"click_id")
+    },
+
     // A2 at 100 TB: `dropDuplicates` (st04) keeps every seen key in state
     // FOREVER — unbounded growth on an unbounded stream. The production
     // posture is `dropDuplicatesWithinWatermark`: state is evicted once
@@ -363,6 +388,17 @@ object StreamQueries {
     "st08_stream_distinct_bounded" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "st10_stream_stream_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, c.click_id
+        |FROM c JOIN p
+        |  ON c.user_id = p.p_user AND c.ts >= p.p_ts
+        | AND c.ts < p.p_ts + INTERVAL 1 HOUR
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     // identical to ev05's oracle — the streaming composition must not
     // change the as-of result
