@@ -7,20 +7,18 @@ import org.apache.spark.sql.functions._
   * `InvoicePipeline.scala:216-236` — four near-identical copies collapse
   * to one generic implementation here).
   *
-  * Centers are embedded as a literal array in the plan (equivalent to an
+  * Centers ride along as a plan reference object (equivalent to an
   * explicit broadcast: serialized once per executor, not per task like the
-  * reference's closure capture). The min-sqdist is computed with
-  * higher-order functions — no UDF, stays in codegen.
+  * reference's closure capture). The min-sqdist kernel is the native
+  * [[graft.functions.SqDistToNearest]] codegen expression — no UDF, one
+  * compiled loop (bit-identical to the HOF formulation it replaced;
+  * MlSpec pins the equivalence).
   */
 object Scoring {
 
   /** Squared distance from a feature array to the nearest of `centers`. */
-  def sqDistToNearest(features: Column, centers: Seq[Seq[Double]]): Column = {
-    val centersCol = array(centers.map(c => typedlit(c)): _*)
-    array_min(transform(centersCol, c =>
-      aggregate(zip_with(features, c, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)))
-  }
+  def sqDistToNearest(features: Column, centers: Seq[Seq[Double]]): Column =
+    graft.functions.SqDistToNearest(features, centers)
 
   /** Anomaly predicate: nearest-centroid sqdist above threshold. */
   def isAnomaly(features: Column, centers: Seq[Seq[Double]], threshold: Double): Column =

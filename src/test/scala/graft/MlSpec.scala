@@ -6,6 +6,24 @@ import graft.ml.{ModelStore, Persistence, Scoring, Training}
 
 class MlSpec extends SparkSuite {
 
+  test("native SqDistToNearest == HOF min-sqdist, bit-identical") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val centers = Seq(Seq(1.5, -2.0, 0.1), Seq(1e8, 3.7, -0.9), Seq(0.0, 0.0, 0.0))
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 500).map(_ => Seq.fill(3)(rnd.nextDouble() * 100 - 50))
+    val df = rows.toDF("f")
+    val hof = array_min(transform(
+      array(centers.map(c => typedlit(c)): _*),
+      c => aggregate(zip_with(col("f"), c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)))
+    val bad = df.select(
+        graft.functions.SqDistToNearest(col("f"), centers).as("a"), hof.as("b"))
+      .filter(not(col("a") === col("b")))
+    assert(bad.count() == 0L, bad.collect().take(3).mkString("\n"))
+  }
+
   test("threshold artifact round-trips through the text file") {
     val p = java.nio.file.Files.createTempDirectory("thr-").toString + "/threshold.txt"
     Persistence.saveThreshold(p, 123.456)
