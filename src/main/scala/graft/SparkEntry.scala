@@ -40,5 +40,5 @@ object SparkEntry {
     * reports their cost separately from query time. */
   def indexBuilds: Map[String, QueryUtil.B] =
     RelationalQueries.builds ++ PipelineQueries.builds ++ IngestQueries.builds ++
-      StreamQueries.builds
+      StreamQueries.builds ++ EventQueries.builds
 }

@@ -15,6 +15,24 @@ import QueryUtil._
   */
 object EventQueries {
 
+  private val partDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** One-time layout build: events rewritten date-partitioned
+    * (`event_date=.../part-*.parquet`), memoized per source dir. */
+  private[graft] def ensurePartitionedEvents(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    partDirs.computeIfAbsent(dir, _ => {
+      val out = new java.io.File(
+        s"target/partitioned/events_${dir.replaceAll("[^A-Za-z0-9]", "_")}").getAbsolutePath
+      Tables.events(s, dir)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(out)
+      out
+    })
+
+  val builds: Map[String, B] = Map(
+    "build_partitioned_events" -> ((s, dir) => { ensurePartitionedEvents(s, dir); () }))
+
   val queries: Map[String, Q] = Map(
     // Tumbling-window counts (window → one hash aggregate on trunc(ts)).
     "ev01_tumbling_hour_counts" -> { (s, dir) =>
@@ -73,6 +91,21 @@ object EventQueries {
           round(sum(hour($"ts") * 60 + minute($"ts")).cast("long")
             / count(lit(1)) / lit(60.0), 4).as("avg_hour"),
           count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    },
+
+    // Partition pruning: the 100 TB layout for time-series data is a
+    // date-partitioned table — a day-filtered query must read 1/Nth of
+    // the files, decided at PLANNING time from directory structure
+    // (PartitionFilters in the scan node, asserted in PruningSpec), not
+    // by scanning row groups. The partitioned rewrite is a one-time
+    // layout build (build_partitioned_events).
+    "ev07_partition_pruned_day" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(ensurePartitionedEvents(s, dir))
+        .filter($"event_date" === lit("2024-01-05").cast("date"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sumMoney($"value").as("sum_value"))
         .orderBy($"event_type")
     },
 
@@ -152,6 +185,14 @@ object EventQueries {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "ev07_partition_pruned_day" ->
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${sqlSumMoney("value")} AS sum_value
+         |FROM events
+         |WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin,
 
     // DuckDB's native ASOF JOIN checks the window-based implementation
     // against an independent one.

@@ -91,7 +91,7 @@ class DedupSpec extends SparkSuite {
     val approx = neighbors(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
       nCells = 16, nProbe = 8, quantizerKey = "recall-spec"))
     val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF recall@5 with nProbe=8/16 too low: $recall")
+    assert(recall >= 0.85, s"IVF recall@5 with nProbe=8/16 regressed below its measured 0.9: $recall")
   }
 
   test("embedding dup pairs: finds near-dups; degenerate corpus is capped, not quadratic") {
