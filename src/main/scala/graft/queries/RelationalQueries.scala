@@ -169,6 +169,39 @@ object RelationalQueries {
         .orderBy($"returnflag", $"linestatus")
     },
 
+    // Exact moments: mean/variance/stddev derived from EXACT decimal sums
+    // (Σcents, Σcents²) in one pass. Float-accumulated variance
+    // (`var_samp`) is partition-order-dependent — results wiggle with
+    // parallelism; exact integer moments are order-independent, so the
+    // same doubles come out at any cluster size (and match DuckDB's
+    // hugeint arithmetic bit-for-bit).
+    "q15_exact_moments" -> { (s, dir) =>
+      import s.implicits._
+      val cents = round($"l_extendedprice" * 100).cast("decimal(18,0)")
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(cents).as("s1"), sum(cents * cents).as("s2"))
+        .select($"l_returnflag", $"n_lines",
+          ($"s1".cast("double") / 100.0 / $"n_lines").as("mean_price"),
+          (($"n_lines" * $"s2" - $"s1" * $"s1").cast("double")
+            / 10000.0 / $"n_lines" / $"n_lines").as("var_price"),
+          sqrt(($"n_lines" * $"s2" - $"s1" * $"s1").cast("double")
+            / 10000.0 / $"n_lines" / $"n_lines").as("stddev_price"))
+        .orderBy($"l_returnflag")
+    },
+
+    // PIVOT: long-to-wide reshape (one hash aggregate; the pivot values
+    // are fixed so no extra distinct pass).
+    "q16_pivot_quantities" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum($"l_quantity"))
+        .orderBy($"l_returnflag")
+    },
+
     // Salted join (skew tool): deterministic per-row salt spreads each
     // order key over 8 sub-partitions, orders replicated per salt —
     // result must be identical to the plain join (the oracle is the
@@ -323,6 +356,26 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q15_exact_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         SUM(CAST(round(l_extendedprice*100) AS HUGEINT)) AS s1,
+        |         SUM(CAST(round(l_extendedprice*100) AS HUGEINT)
+        |             * CAST(round(l_extendedprice*100) AS HUGEINT)) AS s2
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_lines,
+        |  CAST(s1 AS DOUBLE)/100.0/n AS mean_price,
+        |  CAST(n*s2 - s1*s1 AS DOUBLE)/10000.0/n/n AS var_price,
+        |  sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)/10000.0/n/n) AS stddev_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "q16_pivot_quantities" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS "F",
+        |  SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS "O"
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q13_quantity_percentiles" ->
       """SELECT l_returnflag,
