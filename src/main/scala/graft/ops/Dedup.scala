@@ -168,6 +168,49 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicate-pair list → duplicate CLUSTERS (connected components):
+    * the step every dedup pipeline needs after pair generation, because
+    * keeper selection is per *group* (A~B, B~C ⇒ {A,B,C} keep one), not
+    * per pair.
+    *
+    * Distributed min-label propagation: every node starts labeled with
+    * its own id; each round takes the min label over itself and its
+    * neighbors; fixpoint = components labeled by their min member. One
+    * join + one aggregate per round, converging in O(component diameter)
+    * rounds — dedup graphs are near-cliques (diameter ~1-2), so a handful
+    * of rounds even at 100 TB. Lineage is truncated per round
+    * (`localCheckpoint`), the standard guard for iterative DataFrame
+    * algorithms. Throws if not converged within `maxRounds` (raise it for
+    * pathological chain graphs).
+    *
+    * @param pairs (id_a, id_b) undirected duplicate pairs
+    * @return (id, component) — component = min id in the node's component
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("vcomp")).as("nmin"))
+      val next = labels
+        .join(nbrMin.select(col("u").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp2"))
+        .localCheckpoint()
+      converged = next.filter(col("comp2") < col("comp")).isEmpty
+      labels = next.select(col("id"), col("comp2").as("comp"))
+      round += 1
+    }
+    require(converged, s"components did not converge in $maxRounds rounds")
+    labels
+  }
+
   /** Exact n-gram-Jaccard duplicate pairs via rare-shingle blocking: only
     * shingles whose document frequency ≤ `maxDf` generate candidates (a
     * shingle shared by half the corpus carries no signal but would

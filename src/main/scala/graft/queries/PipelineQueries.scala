@@ -58,6 +58,19 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Pair list → duplicate clusters (connected components over the exact
+    // dd03 pairs): keeper selection is per GROUP, so this is the step that
+    // turns near-dup detection into an actual dedup pass. Oracle-checked
+    // via a recursive-CTE transitive closure over the same pairs.
+    "dd05_dup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleK = 4, threshold = 0.5, maxDf = 16)
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // Brute-force cosine top-k (ANN correctness baseline): first 10
     // vectors as queries against the whole corpus.
     "an01_cosine_topk_brute" -> { (s, dir) =>
@@ -304,26 +317,51 @@ object PipelineQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dd03_ngram_jaccard_pairs" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |         list_distinct(CASE WHEN len(t) < 4
-        |           THEN [array_to_string(t, ' ')]
-        |           ELSE list_transform(generate_series(1, len(t) - 3),
-        |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
-        |         END) AS shingles
-        |  FROM toks),
-        |post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-        |rare AS (SELECT shingle FROM post GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 16),
-        |rp AS (SELECT p.doc_id, p.shingle FROM post p JOIN rare USING (shingle)),
-        |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-        |         FROM rp l JOIN rp r ON l.shingle = r.shingle AND l.doc_id < r.doc_id)
-        |SELECT c.id_a, c.id_b,
-        |       len(list_intersect(a.shingles, b.shingles))
-        |         / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) AS jaccard
-        |FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
-        |WHERE len(list_intersect(a.shingles, b.shingles))
-        |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin)
+      s"""WITH $NgramPipelineSql
+         |SELECT c.id_a, c.id_b,
+         |       len(list_intersect(a.shingles, b.shingles))
+         |         / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) AS jaccard
+         |FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+         |WHERE len(list_intersect(a.shingles, b.shingles))
+         |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // transitive closure over the same exact pairs: component label =
+    // min id among (self ∪ everything reachable)
+    "dd05_dup_clusters" ->
+      s"""WITH RECURSIVE $NgramPipelineSql,
+         |pairs AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+         |  WHERE len(list_intersect(a.shingles, b.shingles))
+         |        / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |SELECT u AS doc_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY u
+         |ORDER BY doc_id""".stripMargin)
+
+  /** Shared CTE prefix of the dd03/dd05 oracles: string-shingle pipeline →
+    * blocked candidate pairs (k=4, df ≤ 16). Lazy: referenced by the
+    * `oracles` val above during object init. */
+  private lazy val NgramPipelineSql: String =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(t) < 4
+      |           THEN [array_to_string(t, ' ')]
+      |           ELSE list_transform(generate_series(1, len(t) - 3),
+      |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |         END) AS shingles
+      |  FROM toks),
+      |post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |rare AS (SELECT shingle FROM post GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 16),
+      |rp AS (SELECT p.doc_id, p.shingle FROM post p JOIN rare USING (shingle)),
+      |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      |         FROM rp l JOIN rp r ON l.shingle = r.shingle AND l.doc_id < r.doc_id)""".stripMargin
 }

@@ -82,6 +82,19 @@ class DedupSpec extends SparkSuite {
       "pairs found by several probes are deduplicated")
   }
 
+  test("connected components: chains merge, separate clusters stay apart") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3-4 (diameter 3, needs multiple rounds), pair 10-11,
+    // self-loop 20-20
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (20L, 20L))
+      .toDF("id_a", "id_b")
+    val comp = graft.ops.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("IVF ANN recall vs brute force") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 20)
