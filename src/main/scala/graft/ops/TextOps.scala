@@ -73,6 +73,27 @@ object TextOps {
       .otherwise("val")
   }
 
+  /** Deterministic stratified sampling: keep a row iff the first hex byte
+    * of md5(text) falls under its group's quantized rate — the
+    * training-data-mix primitive (e.g. keep 100% of rare languages, 10%
+    * of the dominant one). Same properties as [[contentSplit]]: no RNG,
+    * stable under repartitioning/replay, duplicates sampled identically;
+    * rates quantized to 1/256ths. Unknown group keys → `defaultFrac`. */
+  def stratifiedKeep(text: Column, group: Column, rates: Map[String, Double],
+                     defaultFrac: Double = 0.0): Column = {
+    def cut(f: Double) = {
+      require(f >= 0 && f <= 1, s"rate must be in [0,1], got $f")
+      f"${math.min(math.round(f * 256).toInt, 256)}%03x"
+    }
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(cut(defaultFrac))) {
+      case (acc, (k, f)) => when(group === k, lit(cut(f))).otherwise(acc)
+    }
+    // 3-hex-digit zero-padded cut ("0e6") vs 2-digit hash prefix keeps the
+    // string compare numeric even at rate 1.0 ("100" > "ff"... padded to
+    // compare as "0ff" < "100")
+    concat(lit("0"), substring(md5(text.cast("binary")), 1, 2)) < rate
+  }
+
   /** Tiny per-language stopword profiles for the n-gram/stopword-overlap
     * language-ID heuristic. Real deployments plug in fastText-style models;
     * the *engine shape* (argmax over per-language scores, one pass, no

@@ -98,6 +98,19 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
+    // Stratified downsampling by language (the training-data-mix
+    // primitive): keep 25% of English, 50% of Spanish, everything else —
+    // decided by content hash, so it is deterministic under replay and
+    // duplicates are sampled identically.
+    "tx10_stratified_sample" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(TextOps.stratifiedKeep($"text", $"lang",
+          Map("en" -> 0.25, "es" -> 0.5), defaultFrac = 1.0))
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    },
+
     // Flagship composition — the corpus-curation pipeline the library
     // exists for, as ONE declarative plan Catalyst optimizes end-to-end:
     // exact-dedup keeper selection (digest aggregate + semi-join on the
@@ -220,6 +233,16 @@ object TextQueries {
          |FROM documents d JOIN k ON d.doc_id = k.doc_id AND md5(d.text) = k.h
          |WHERE $qualitySqlExpr >= 0.1 AND $langIdSqlExpr = 'en'
          |ORDER BY d.doc_id""".stripMargin,
+
+    // cuts: 0.25→'040', 0.5→'080', 1.0→'100'; the hash prefix is padded
+    // to 3 hex digits so the string compare stays numeric at rate 1.0
+    "tx10_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE '0' || substring(md5(text), 1, 2) <
+        |      (CASE WHEN lang = 'en' THEN '040'
+        |            WHEN lang = 'es' THEN '080'
+        |            ELSE '100' END)
+        |ORDER BY doc_id""".stripMargin,
 
     // round(0.9 * 256) = 230 = 0xe6 — the same hex-prefix cut the Spark
     // side computes.

@@ -32,4 +32,23 @@ class TextOpsSpec extends SparkSuite {
     assert(got(0) == ((3L * 31L + 5L) * 31L + 7L))
     assert(got(1) == 0L)
   }
+
+  test("stratifiedKeep: rate 1 keeps all, rate 0 keeps none, dups co-sampled") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 300).map(i => (i.toLong, s"doc ${i % 75}",
+      if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c")).toDF("id", "text", "g")
+    val kept = docs.filter(TextOps.stratifiedKeep($"text", $"g",
+      Map("a" -> 1.0, "b" -> 0.0), defaultFrac = 0.5))
+    val byG = kept.groupBy($"g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG.getOrElse("a", 0L) == 100L, s"rate 1.0 must keep all: $byG")
+    assert(!byG.contains("b"), s"rate 0.0 must keep none: $byG")
+    assert(byG.getOrElse("c", 0L) > 20L && byG("c") < 80L, s"default 0.5 way off: $byG")
+    // duplicates of one text in one group are sampled identically
+    assert(kept.filter($"g" === "c").groupBy($"text").count()
+      .filter($"count" =!= 4).count() == 0L)
+    intercept[IllegalArgumentException] {
+      docs.filter(TextOps.stratifiedKeep($"text", $"g", Map("a" -> 1.5))).count()
+    }
+  }
 }
