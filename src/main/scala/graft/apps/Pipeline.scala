@@ -99,11 +99,12 @@ object Pipeline {
       .foreach(d => new java.io.File(d).mkdirs())
     val trigger = if (once) Trigger.AvailableNow() else Trigger.ProcessingTime("20 seconds")
     // update-mode branches (stateful operators re-emit on update) cannot
-    // use the append-only file sink directly — append each update batch
+    // use the append-only file sink directly — write each update batch
+    // idempotently (foreachBatch is at-least-once; see writeBatch)
     def updateSink(df: DataFrame, name: String) = df.writeStream
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(s"$outDir/$name")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, s"$outDir/$name", batchId)
       }
       .option("checkpointLocation", s"$outDir/_checkpoints/$name")
       .trigger(trigger)
@@ -114,19 +115,18 @@ object Pipeline {
     // stateful consumers below.
     val qRoute = Router.classified(spark.readStream.schema(schema).parquet(recordsDir))
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.cache()
         try {
-          cached.filter(col("route") === "invalid").select(col("key"), col("value"))
-            .write.mode("append").parquet(s"$outDir/facturas_erroneas")
+          writeBatch(cached.filter(col("route") === "invalid")
+            .select(col("key"), col("value")), s"$outDir/facturas_erroneas", batchId)
           // per-batch distinct (A2, ref :68-71) + arrival timestamp for
           // the processing-time window
-          graft.stream.CancellationWindow.perBatchDistinct(
+          writeBatch(graft.stream.CancellationWindow.perBatchDistinct(
               cached.filter(col("route") === "cancelled").select(col("key")), "key")
-            .withColumn("ts", current_timestamp())
-            .write.mode("append").parquet(s"$staged/cancelled")
-          cached.filter(col("route") === "good").select(col("key"), col("value"))
-            .write.mode("append").parquet(s"$staged/good")
+            .withColumn("ts", current_timestamp()), s"$staged/cancelled", batchId)
+          writeBatch(cached.filter(col("route") === "good")
+            .select(col("key"), col("value")), s"$staged/good", batchId)
         } finally cached.unpersist()
       }
       .option("checkpointLocation", s"$outDir/_checkpoints/route")
@@ -163,13 +163,13 @@ object Pipeline {
     val qAnomalies = InvoiceStateMachine(purchases, idleTimeoutMs = idleMs).toDF()
       .writeStream
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.cache()
         try {
-          anomalies(cached, kmCenters, kmThreshold)
-            .write.mode("append").parquet(s"$outDir/anomalias_kmeans")
-          anomalies(cached, bisCenters, bisThreshold)
-            .write.mode("append").parquet(s"$outDir/anomalias_bisect_kmeans")
+          writeBatch(anomalies(cached, kmCenters, kmThreshold),
+            s"$outDir/anomalias_kmeans", batchId)
+          writeBatch(anomalies(cached, bisCenters, bisThreshold),
+            s"$outDir/anomalias_bisect_kmeans", batchId)
         } finally cached.unpersist()
       }
       .option("checkpointLocation", s"$outDir/_checkpoints/anomalias")
@@ -177,6 +177,27 @@ object Pipeline {
       .start()
 
     Seq(qRoute, qCancel, qAnomalies)
+  }
+
+  /** Idempotent per-batch parquet write — `foreachBatch` is at-least-once
+    * (a crash between the write and the checkpoint commit re-executes the
+    * batch), so a bare `mode("append")` would duplicate the batch's rows
+    * on retry, permanently corrupting staged input and downstream state.
+    * Instead: write to a per-batch staging dir with `overwrite` (retry
+    * starts clean), then move the files to DETERMINISTIC batch-scoped
+    * names (`b<batchId>-<i>.parquet`) with replace-existing — replaying a
+    * partially-committed batch converges to exactly one copy. `_staging`
+    * is underscore-prefixed, so readers ignore it. */
+  private def writeBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
+    val stage = new java.io.File(s"$dir/_staging/b$batchId")
+    batch.write.mode("overwrite").parquet(stage.toString)
+    val files = Option(stage.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    files.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$dir/b$batchId-$i.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** InvoiceAgg column name for a training feature-column name (the agg

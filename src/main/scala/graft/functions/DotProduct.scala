@@ -2,9 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Dot product of two `array<double>` columns as a native Catalyst
   * expression with codegen.
@@ -24,6 +25,18 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+
+  /** `compute` reads 8-byte doubles straight out of the array buffers —
+    * a float-typed input would silently yield garbage, so reject anything
+    * but `array<double>` at analysis (the Column API and the SQL builder
+    * both insert casts; this guards direct construction). */
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> inputs, got ${l.sql} and ${r.sql}")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any =
     DotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -49,9 +62,13 @@ object DotProduct {
     acc
   }
 
-  /** Column API: `dotProduct(a, b)` (inputs: `array<double>`). */
+  /** Column API: `dotProduct(a, b)` — inputs are cast to `array<double>`
+    * (a no-op when already that type), so e.g. raw `array<float>`
+    * embedding columns work directly. */
   def apply(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a.cast("array<double>")),
+      ColumnBridge.expression(b.cast("array<double>"))))
   }
 }

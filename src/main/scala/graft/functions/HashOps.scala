@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native one-pass replacements for the dedup family's hottest
@@ -27,6 +28,17 @@ object HashOps {
   /** ≡ `xxhash64(s)`: null child leaves the running hash at the seed. */
   private def hashStringOrNull(s: UTF8String): Long =
     if (s == null) Seed else hashString(s, Seed)
+
+  /** Analysis-time element-type check shared by the three expressions —
+    * `compute` reads typed values straight out of the array buffers, so a
+    * mistyped input would yield garbage, not an error. */
+  private[functions] def requireArrayOf(name: String, t: DataType,
+                                        elem: DataType): TypeCheckResult =
+    t match {
+      case ArrayType(e, _) if e == elem => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<${elem.sql.toLowerCase}>, got ${other.sql}")
+    }
 
   // ------------------------------------------------------- shingle hashes —
 
@@ -97,6 +109,8 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   require(k > 0, s"shingle width must be positive, got $k")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashOps.requireArrayOf(prettyName, child.dataType, StringType)
 
   override def nullSafeEval(input: Any): Any =
     HashOps.computeShingles(input.asInstanceOf[ArrayData], k)
@@ -120,6 +134,8 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
   require(numHashes > 0, s"signature length must be positive, got $numHashes")
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "minhash_sig"
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashOps.requireArrayOf(prettyName, child.dataType, LongType)
 
   override def nullSafeEval(input: Any): Any =
     HashOps.computeMinHash(input.asInstanceOf[ArrayData], numHashes)
@@ -142,6 +158,8 @@ object MinHashSig {
 case class XxHash64Array(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "xxhash64_array"
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashOps.requireArrayOf(prettyName, child.dataType, StringType)
 
   override def nullSafeEval(input: Any): Any =
     HashOps.computeTokenHashes(input.asInstanceOf[ArrayData])

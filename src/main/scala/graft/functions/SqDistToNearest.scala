@@ -2,9 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Squared distance from an `array<double>` feature vector to the nearest
   * of a fixed set of centroids — the scoring kernel of the trained-model
@@ -24,6 +25,12 @@ case class SqDistToNearest(child: Expression, centers: Seq[Seq[Double]])
   require(centers.nonEmpty, "need at least one center")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sqdist_to_nearest"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> features, got ${t.sql}")
+  }
 
   @transient private lazy val flat: Array[Array[Double]] =
     centers.map(_.toArray).toArray
@@ -65,6 +72,7 @@ object SqDistToNearest {
 
   def apply(features: Column, centers: Seq[Seq[Double]]): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    ColumnBridge.column(SqDistToNearest(ColumnBridge.expression(features), centers))
+    ColumnBridge.column(SqDistToNearest(
+      ColumnBridge.expression(features.cast("array<double>")), centers))
   }
 }

@@ -81,10 +81,18 @@ object Similarity {
     * can't have more centroids than its training sample). Reads the scan's
     * row-count statistic; falls back to a count only when stats are
     * unavailable. */
+  private val cellCounts = new ConcurrentHashMap[String, Int]()
+
   def autoCells(corpus: DataFrame, maxCell: Int = 256): Int = {
-    val n = corpus.queryExecution.optimizedPlan.stats.rowCount
-      .map(_.toLong).getOrElse(corpus.count())
-    (4L * n / maxCell).max(16L).min(QuantizerSampleCap / 4L).toInt
+    // plain parquet scans expose no rowCount statistic without CBO, so
+    // the fallback is a count() — memoize it per corpus plan (same
+    // content-based key as the quantizer memo) or the "auto" sizing costs
+    // a full scan on every query over the same corpus
+    cellCounts.computeIfAbsent(s"${defaultKey(corpus, "")}|$maxCell", _ => {
+      val n = corpus.queryExecution.optimizedPlan.stats.rowCount
+        .map(_.toLong).getOrElse(corpus.count())
+      (4L * n / maxCell).max(16L).min(QuantizerSampleCap / 4L).toInt
+    })
   }
 
   /** Memo key for a corpus' quantizer: the explicit key if given, else a

@@ -68,8 +68,12 @@ object TextOps {
     * must be in (0, 1). */
   def contentSplit(text: Column, trainFrac: Double = 0.9): Column = {
     require(trainFrac > 0 && trainFrac < 1, s"trainFrac in (0,1), got $trainFrac")
-    val cut = f"${math.round(trainFrac * 256).toInt}%02x"
-    when(substring(md5(text.cast("binary")), 1, 2) < lit(cut), "train")
+    // 3-hex-digit cut vs '0'-padded prefix: fractions near 1 quantize to
+    // 256 = "100", which a 2-digit compare would order BELOW most
+    // prefixes ("ff" < "100" is false lexicographically) and flip ~93% of
+    // the corpus to "val"
+    val cut = f"${math.min(math.round(trainFrac * 256).toInt, 256)}%03x"
+    when(concat(lit("0"), substring(md5(text.cast("binary")), 1, 2)) < lit(cut), "train")
       .otherwise("val")
   }
 

@@ -92,18 +92,6 @@ object StreamQueries {
         .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey"), s)
   }
 
-  /** Chunked multi-batch replay of the invoice state machine: the lineitem
-    * scan (pruned to the three purchase columns) is rewritten to `nFiles`
-    * scratch parquet files and streamed with `maxFilesPerTrigger=1`, so
-    * `Trigger.AvailableNow` crosses ≥ `nFiles` micro-batches. Rows of one
-    * invoice are hash-spread across the files (`repartition`), so the
-    * per-key fold genuinely merges state across batches — the cross-batch
-    * semantics StreamSpec pins with `MemoryStream`, here under the driver's
-    * hash oracle. The memory sink accumulates every update-mode emission;
-    * an invoice's **final** emission (its largest `lines` — the fold count
-    * is strictly increasing per touched batch) is the complete aggregate
-    * and must equal the batch oracle. Returns the result plus the
-    * terminated query so specs can assert `lastProgress.batchId >= 2`. */
   private val chunkDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** One-time fixture build for the chunked replay: rewrite the pruned
@@ -126,6 +114,18 @@ object StreamQueries {
   val builds: Map[String, B] = Map(
     "build_stream_chunks" -> ((s, dir) => { ensureStreamChunks(s, dir, 3); () }))
 
+  /** Chunked multi-batch replay of the invoice state machine: the lineitem
+    * scan (pruned to the three purchase columns) is rewritten to `nFiles`
+    * scratch parquet files and streamed with `maxFilesPerTrigger=1`, so
+    * `Trigger.AvailableNow` crosses ≥ `nFiles` micro-batches. Rows of one
+    * invoice are hash-spread across the files (`repartition`), so the
+    * per-key fold genuinely merges state across batches — the cross-batch
+    * semantics StreamSpec pins with `MemoryStream`, here under the driver's
+    * hash oracle. The memory sink accumulates every update-mode emission;
+    * an invoice's **final** emission (its largest `lines` — the fold count
+    * is strictly increasing per touched batch) is the complete aggregate
+    * and must equal the batch oracle. Returns the result plus the
+    * terminated query so specs can assert `lastProgress.batchId >= 2`. */
   private[graft] def multibatchInvoiceState(s: org.apache.spark.sql.SparkSession,
                                             dir: String, nFiles: Int)
       : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {

@@ -34,8 +34,6 @@ class PruningSpec extends SparkSuite {
     }
     assert(parts.headOption.contains(1),
       s"expected exactly 1 selected partition, got $parts")
-    assert(parts.nonEmpty && parts.head == 1,
-      s"expected exactly 1 selected partition, got $parts")
     // correctness of the pruned result vs the unpartitioned scan
     val pruned = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val full = graft.model.Tables.events(s, sf)
