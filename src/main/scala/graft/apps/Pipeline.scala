@@ -183,21 +183,35 @@ object Pipeline {
     * (a crash between the write and the checkpoint commit re-executes the
     * batch), so a bare `mode("append")` would duplicate the batch's rows
     * on retry, permanently corrupting staged input and downstream state.
-    * Instead: write to a per-batch staging dir with `overwrite` (retry
-    * starts clean), then move the files to DETERMINISTIC batch-scoped
-    * names (`b<batchId>-<i>.parquet`) with replace-existing — replaying a
-    * partially-committed batch converges to exactly one copy. `_staging`
-    * is underscore-prefixed, so readers ignore it. */
+    *
+    * Protocol, all through the Hadoop FileSystem of the target path (so
+    * it works on HDFS/S3A, not just `file:`):
+    *  1. write the batch to `_staging/b<id>` with `overwrite` — a retry
+    *     starts from a clean staging dir;
+    *  2. delete every previously-committed `b<id>-*.parquet` for this
+    *     batch — a prior partial commit may have left MORE files than
+    *     this attempt produces (partition counts can change across
+    *     restarts), and stale leftovers would duplicate rows;
+    *  3. rename the staged files to deterministic `b<id>-<i>.parquet`
+    *     names and drop the staging dir.
+    * Replaying any prefix of these steps converges to exactly one copy
+    * of the batch. `_staging` is underscore-prefixed, so readers ignore
+    * it; downstream file-stream sources see each committed name once. */
   private def writeBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
-    val stage = new java.io.File(s"$dir/_staging/b$batchId")
+    import org.apache.hadoop.fs.Path
+    val out = new Path(dir)
+    val fs = out.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val stage = new Path(out, s"_staging/b$batchId")
     batch.write.mode("overwrite").parquet(stage.toString)
-    val files = Option(stage.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    files.zipWithIndex.foreach { case (f, i) =>
-      java.nio.file.Files.move(f.toPath,
-        java.nio.file.Paths.get(s"$dir/b$batchId-$i.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val staged = fs.listStatus(stage)
+      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+    if (fs.exists(out)) fs.listStatus(out)
+      .filter(_.getPath.getName.matches(s"b$batchId-\\d+\\.parquet"))
+      .foreach(f => fs.delete(f.getPath, false))
+    staged.zipWithIndex.foreach { case (f, i) =>
+      fs.rename(f.getPath, new Path(out, s"b$batchId-$i.parquet"))
     }
+    fs.delete(stage, true)
   }
 
   /** InvoiceAgg column name for a training feature-column name (the agg

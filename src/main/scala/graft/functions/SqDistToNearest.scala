@@ -32,15 +32,33 @@ case class SqDistToNearest(child: Expression, centers: Seq[Seq[Double]])
       s"$prettyName requires array<double> features, got ${t.sql}")
   }
 
+  /** A null feature element nulls the result — the HOF formulation's
+    * semantics (null poisons every center's sum, `array_min` of nulls is
+    * null), NOT a silent 0.0 read. */
+  override def nullable: Boolean = child.nullable || (child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
+
   @transient private lazy val flat: Array[Array[Double]] =
     centers.map(_.toArray).toArray
 
-  override def nullSafeEval(input: Any): Any =
-    SqDistToNearest.compute(input.asInstanceOf[ArrayData], flat)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (SqDistToNearest.hasNullSlot(arr)) null
+    else SqDistToNearest.compute(arr, flat)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("centers", flat, "double[][]")
-    defineCodeGen(ctx, ev, c => s"graft.functions.SqDistToNearest.compute($c, $ref)")
+    nullSafeCodeGen(ctx, ev, c =>
+      if (nullable)
+        s"""if (graft.functions.SqDistToNearest.hasNullSlot($c)) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = graft.functions.SqDistToNearest.compute($c, $ref);
+           |}""".stripMargin
+      else s"${ev.value} = graft.functions.SqDistToNearest.compute($c, $ref);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SqDistToNearest =
@@ -48,6 +66,14 @@ case class SqDistToNearest(child: Expression, centers: Seq[Seq[Double]])
 }
 
 object SqDistToNearest {
+  /** Shared by interpreted eval and generated code. */
+  def hasNullSlot(features: ArrayData): Boolean = {
+    var i = 0
+    val n = features.numElements()
+    while (i < n) { if (features.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
   /** Shared by interpreted eval and generated code. */
   def compute(features: ArrayData, centers: Array[Array[Double]]): Double = {
     val n = features.numElements()

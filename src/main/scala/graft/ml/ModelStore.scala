@@ -35,8 +35,7 @@ object ModelStore {
     * must be a bounded sample or the "index build" is a full corpus pass
     * per model. */
   private def sampled(feats: DataFrame, idCol: String, sampleMod: Int): DataFrame =
-    if (sampleMod <= 1) feats
-    else feats.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+    Training.hashSample(feats, idCol, sampleMod)
 
   /** KMeans flavor (reference `train.scala:11-49`). */
   def kmeansAnomaly(key: String, feats: => DataFrame, featureCols: Seq[String],

@@ -16,6 +16,14 @@ object Training {
     df.withColumn("features",
       array_to_vector(array(featureCols.map(c => col(c).cast("double")): _*)))
 
+  /** Deterministic 1-in-`mod` training sample, keyed on a content hash of
+    * `idCol` — stable under repartitioning and replay, unlike
+    * `df.sample`. The shared device behind every bounded fit (ModelStore,
+    * ml01/ml03/ml05's sweeps); `mod <= 1` disables. */
+  def hashSample(df: DataFrame, idCol: String, mod: Int): DataFrame =
+    if (mod <= 1) df
+    else df.filter(pmod(xxhash64(col(idCol)), lit(mod)) === 0)
+
   /** k-sweep KMeans training (reference A10, `train.scala:55-59`): fit one
     * model per k, return (k, model, cost). Cost = within-set sum of squared
     * distances (`summary.trainingCost`, the `computeCost` equivalent). */

@@ -86,6 +86,9 @@ object TemporalJoins {
                 timeCol: String, startCol: String, endCol: String,
                 binSeconds: Long): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"point/interval column names must be disjoint, both have: ${overlap.mkString(", ")}")
     val binOf: Column => Column = t => floor(unix_micros(t) / (binSeconds * 1000000L))
     val p = points.withColumn("_bin", binOf(col(timeCol)))
     val i = intervals.withColumn("_bin",

@@ -116,8 +116,7 @@ object PipelineQueries {
       import org.apache.spark.ml.functions.array_to_vector
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), array_to_vector(col("embedding").cast("array<double>")).as("features"))
-      val sample = emb
-        .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+      val sample = Training.hashSample(emb, "vec_id", 4)
         .repartition(1).sortWithinPartitions(col("vec_id"))
       val model = new KMeans().setK(10).setSeed(7L).setMaxIter(10)
         .setInitMode("random").setFeaturesCol("features").fit(sample)
@@ -149,8 +148,7 @@ object PipelineQueries {
     // replay-deterministic, capped iterations, random init.
     "ml03_elbow_selection" -> { (s, dir) =>
       import s.implicits._
-      val emb = Tables.embeddings(s, dir)
-        .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+      val emb = Training.hashSample(Tables.embeddings(s, dir), "vec_id", 4)
         .repartition(1).sortWithinPartitions(col("vec_id"))
       val assembled = emb.select(
         org.apache.spark.ml.functions.array_to_vector(
@@ -194,8 +192,7 @@ object PipelineQueries {
       // range-partition boundaries vary run to run) or the raw double
       // costs in the output wiggle in the last bits. Fine here because
       // the input is a bounded sample, not the corpus.
-      val feats = InvoiceQueries.invoiceFeatures(s, dir)
-        .filter(pmod(xxhash64(col("invoice_no")), lit(16)) === 0)
+      val feats = Training.hashSample(InvoiceQueries.invoiceFeatures(s, dir), "invoice_no", 16)
         .repartition(1)
         .sortWithinPartitions(col("invoice_no"))
       val assembled = Training.assemble(feats, InvoiceFeaturizer.FeatureCols)

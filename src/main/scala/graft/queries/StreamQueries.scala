@@ -331,12 +331,18 @@ object StreamQueries {
         .orderBy($"user_id", $"event_type")
     })
 
-  /** The batch twin of the state machine's weighted per-invoice fold. */
+  /** The batch twin of the state machine's weighted per-invoice fold.
+    * The zero-net-quantity CASE mirrors `InvoiceStateMachine.toAgg`'s
+    * guard (fully-cancelled invoices emit 0.0, not Infinity/NULL) so the
+    * streaming fold and its oracle stay identical on EVERY input class,
+    * not just ones without cancellation lines. */
   private[queries] val weightedAggSql =
     """SELECT l_orderkey AS invoice_no,
-      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
-      |           * CAST(l_quantity AS BIGINT)) AS BIGINT)/100.0
-      |    / CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS avg_unit_price,
+      |  CASE WHEN SUM(CAST(l_quantity AS BIGINT)) = 0 THEN 0.0
+      |       ELSE CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+      |                * CAST(l_quantity AS BIGINT)) AS BIGINT)/100.0
+      |         / CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+      |  END AS avg_unit_price,
       |  MIN(l_extendedprice) AS min_unit_price,
       |  MAX(l_extendedprice) AS max_unit_price,
       |  CAST(MIN(hour(o_orderdate)*60 + minute(o_orderdate)) AS BIGINT)/60.0 AS time_of_day,
