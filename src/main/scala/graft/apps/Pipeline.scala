@@ -197,7 +197,7 @@ object Pipeline {
     * Replaying any prefix of these steps converges to exactly one copy
     * of the batch. `_staging` is underscore-prefixed, so readers ignore
     * it; downstream file-stream sources see each committed name once. */
-  private def writeBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
+  private[graft] def writeBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
     import org.apache.hadoop.fs.Path
     val out = new Path(dir)
     val fs = out.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)

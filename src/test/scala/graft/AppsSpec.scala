@@ -11,6 +11,27 @@ import graft.apps.{Pipeline, Train}
   */
 class AppsSpec extends SparkSuite {
 
+  test("writeBatch: at-least-once replay converges to exactly one copy") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wb-").toString + "/out"
+    // first attempt commits 4 part files, "crashes" before the checkpoint
+    Pipeline.writeBatch(s.range(100).toDF("v").repartition(4), dir, batchId = 7)
+    assert(s.read.parquet(dir).count() == 100)
+    // the replayed batch produces FEWER files (partition count changed
+    // across restart) — stale b7-2/b7-3 must not survive as duplicates
+    Pipeline.writeBatch(s.range(100).toDF("v").repartition(2), dir, batchId = 7)
+    assert(s.read.parquet(dir).count() == 100,
+      "replay with fewer part files must not leave stale duplicates")
+    // a later batch lands alongside, earlier commit untouched
+    Pipeline.writeBatch(s.range(5).toDF("v"), dir, batchId = 8)
+    assert(s.read.parquet(dir).count() == 105)
+    // staging is cleaned up per batch
+    val staging = new java.io.File(s"$dir/_staging")
+    assert(!staging.exists() || staging.listFiles().isEmpty,
+      s"staging leftovers: ${Option(staging.listFiles()).getOrElse(Array.empty).mkString(",")}")
+  }
+
   test("train job + online pipeline end-to-end over the artifact contract") {
     val s = spark
     import s.implicits._

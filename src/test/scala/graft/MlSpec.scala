@@ -22,6 +22,12 @@ class MlSpec extends SparkSuite {
         graft.functions.SqDistToNearest(col("f"), centers).as("a"), hof.as("b"))
       .filter(not(col("a") === col("b")))
     assert(bad.count() == 0L, bad.collect().take(3).mkString("\n"))
+    // a null feature element nulls the score (HOF semantics), never a
+    // silent 0.0 read
+    val withNull = s.sql("SELECT array(1.0D, CAST(NULL AS DOUBLE), 2.0D) AS f")
+      .select(graft.functions.SqDistToNearest(col("f"), centers).as("d"))
+      .head()
+    assert(withNull.isNullAt(0), s"null element must null the result, got $withNull")
   }
 
   test("threshold artifact round-trips through the text file") {
