@@ -127,6 +127,45 @@ object EventQueries {
         .orderBy($"event_id")
     },
 
+    // Time-series resample + forward fill: an hourly grid per user over
+    // the user's event span, each grid point carrying the latest event
+    // value at or before it — the classic gap-filling op, composed from
+    // the as-of join (grid = left side). Events are pre-collapsed to one
+    // row per (user, ts) via max_by so the fill is deterministic.
+    "ev08_resample_ffill" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val uniq = ev.groupBy($"user_id".as("u"), $"ts".as("ets"))
+        .agg(max_by($"value", $"event_id").as("last_value"))
+      val grid = ev.groupBy($"user_id")
+        .agg(date_trunc("hour", min($"ts")).as("t0"),
+          date_trunc("hour", max($"ts")).as("t1"))
+        .select($"user_id",
+          explode(sequence($"t0", $"t1", expr("INTERVAL 1 HOUR"))).as("g"))
+      graft.ops.TemporalJoins.asOfJoin(grid, uniq, "user_id", "u", "g", "ets")
+        .select($"user_id",
+          date_format($"g", "yyyy-MM-dd HH:mm:ss").as("grid_ts"), $"last_value")
+        .orderBy($"user_id", $"grid_ts")
+    },
+
+    // Weekly cohort retention: users grouped by first-active week, counted
+    // per week-offset they return in — two aggregates and a join, no
+    // iteration.
+    "ev09_cohort_retention" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val cohort = ev.groupBy($"user_id")
+        .agg(date_trunc("week", min($"ts")).as("cohort_week"))
+      val active = ev.select($"user_id", date_trunc("week", $"ts").as("week")).distinct()
+      cohort.join(active, "user_id")
+        .groupBy($"cohort_week",
+          floor(datediff($"week", $"cohort_week") / 7).cast("long").as("week_offset"))
+        .agg(countDistinct($"user_id").as("n_users"))
+        .select(date_format($"cohort_week", "yyyy-MM-dd").as("cohort_week"),
+          $"week_offset", $"n_users")
+        .orderBy($"cohort_week", $"week_offset")
+    },
+
     // Range join via binning: events attributed to the 1-hour window
     // opened by each purchase of the same user — an equi-join on
     // (user, hour-bin) instead of the nested loop a raw inequality join
@@ -193,6 +232,36 @@ object EventQueries {
          |WHERE CAST(ts AS DATE) = DATE '2024-01-05'
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin,
+
+    "ev08_resample_ffill" ->
+      """WITH uniq AS (
+        |  SELECT user_id AS u, ts AS ets, max_by(value, event_id) AS last_value
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+        |         date_trunc('hour', max(ts)) AS t1
+        |  FROM events GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS g
+        |  FROM span)
+        |SELECT grid.user_id,
+        |       strftime(grid.g, '%Y-%m-%d %H:%M:%S') AS grid_ts,
+        |       uniq.last_value
+        |FROM grid ASOF LEFT JOIN uniq
+        |  ON grid.user_id = uniq.u AND grid.g >= uniq.ets
+        |ORDER BY user_id, grid_ts""".stripMargin,
+
+    "ev09_cohort_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cw FROM events GROUP BY 1),
+        |active AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+        |       CAST(date_diff('day', cw, w) // 7 AS BIGINT) AS week_offset,
+        |       CAST(COUNT(DISTINCT cohort.user_id) AS BIGINT) AS n_users
+        |FROM cohort JOIN active ON cohort.user_id = active.user_id
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     // DuckDB's native ASOF JOIN checks the window-based implementation
     // against an independent one.
