@@ -35,13 +35,16 @@ object ModelStore {
     * must be a bounded sample or the "index build" is a full corpus pass
     * per model. */
   private def sampled(feats: DataFrame, idCol: String, sampleMod: Int): DataFrame =
+    if (sampleMod <= 1) feats
     // single-partition + total sort: KMeans/Bisecting float accumulation
     // (and sampling-based init) must see a fully deterministic row order
     // or the trained centers differ with the CLUSTER SIZE — verified by
     // running Verify under 4-way vs 7-way parallelism: without this,
-    // ml02/ml04's entire anomaly set changes. Safe because the training
-    // frame is a bounded sample, not the corpus (same device as ml05).
-    Training.hashSample(feats, idCol, sampleMod)
+    // ml02/ml04's entire anomaly set changes. Safe because the sampled
+    // training frame is bounded, not the corpus (same device as ml05);
+    // the unsampled path (sampleMod <= 1) is the caller's explicit
+    // full-frame choice and is left partitioned.
+    else Training.hashSample(feats, idCol, sampleMod)
       .repartition(1).sortWithinPartitions(col(idCol))
 
   /** KMeans flavor (reference `train.scala:11-49`). */
