@@ -179,40 +179,11 @@ object Pipeline {
     Seq(qRoute, qCancel, qAnomalies)
   }
 
-  /** Idempotent per-batch parquet write — `foreachBatch` is at-least-once
-    * (a crash between the write and the checkpoint commit re-executes the
-    * batch), so a bare `mode("append")` would duplicate the batch's rows
-    * on retry, permanently corrupting staged input and downstream state.
-    *
-    * Protocol, all through the Hadoop FileSystem of the target path (so
-    * it works on HDFS/S3A, not just `file:`):
-    *  1. write the batch to `_staging/b<id>` with `overwrite` — a retry
-    *     starts from a clean staging dir;
-    *  2. delete every previously-committed `b<id>-*.parquet` for this
-    *     batch — a prior partial commit may have left MORE files than
-    *     this attempt produces (partition counts can change across
-    *     restarts), and stale leftovers would duplicate rows;
-    *  3. rename the staged files to deterministic `b<id>-<i>.parquet`
-    *     names and drop the staging dir.
-    * Replaying any prefix of these steps converges to exactly one copy
-    * of the batch. `_staging` is underscore-prefixed, so readers ignore
-    * it; downstream file-stream sources see each committed name once. */
-  private[graft] def writeBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
-    import org.apache.hadoop.fs.Path
-    val out = new Path(dir)
-    val fs = out.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
-    val stage = new Path(out, s"_staging/b$batchId")
-    batch.write.mode("overwrite").parquet(stage.toString)
-    val staged = fs.listStatus(stage)
-      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
-    if (fs.exists(out)) fs.listStatus(out)
-      .filter(_.getPath.getName.matches(s"b$batchId-\\d+\\.parquet"))
-      .foreach(f => fs.delete(f.getPath, false))
-    staged.zipWithIndex.foreach { case (f, i) =>
-      fs.rename(f.getPath, new Path(out, s"b$batchId-$i.parquet"))
-    }
-    fs.delete(stage, true)
-  }
+  /** See [[graft.stream.IdempotentSink]] — foreachBatch is at-least-once,
+    * so every sink in this app commits batches through the idempotent
+    * staging/rename protocol. */
+  private[graft] def writeBatch(batch: DataFrame, dir: String, batchId: Long): Unit =
+    graft.stream.IdempotentSink.writeBatch(batch, dir, batchId)
 
   /** InvoiceAgg column name for a training feature-column name (the agg
     * emits `time_of_day`/`number_items`; training used `time`/
@@ -234,8 +205,7 @@ object Pipeline {
         $"Quantity".cast("long").as("quantity"),
         $"UnitPrice".as("unitPrice"),
         graft.queries.QueryUtil.cents($"UnitPrice").as("unitPriceCents"),
-        coalesce(hour(ts) * 60 + minute(ts), lit(-60)).as("minuteOfDay"),
-        ($"CustomerID".isNotNull && trim($"CustomerID") =!= "").as("hasCustomer"))
+        coalesce(hour(ts) * 60 + minute(ts), lit(-60)).as("minuteOfDay"))
       .as[PurchaseLine]
   }
 }

@@ -75,8 +75,7 @@ object StreamQueries {
       $"l_quantity".cast("long").as("quantity"),
       $"l_extendedprice".as("unitPrice"),
       cents($"l_extendedprice").as("unitPriceCents"),
-      (hour($"o_orderdate") * 60 + minute($"o_orderdate")).as("minuteOfDay"),
-      $"o_custkey".isNotNull.as("hasCustomer"))
+      (hour($"o_orderdate") * 60 + minute($"o_orderdate")).as("minuteOfDay"))
       .as[PurchaseLine]
   }
 

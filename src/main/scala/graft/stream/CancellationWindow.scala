@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * windows it falls in, and the state store keeps one running count per
   * open window. With a watermark the state is also *bounded*: windows
   * older than the watermark are dropped, which the reference's DStream
-  * checkpoint never did. At 100 TB/day rates the state size is
-  * `windows_per_slide × active_keys`, independent of input volume.
+  * checkpoint never did. The count is GLOBAL per window — faithful to
+  * the reference, whose `map(_ => ("cancelled", 1))` collapses every
+  * record onto one literal key before `reduceByKeyAndWindow` — so state
+  * is O(open windows), independent of both input volume and key count.
   */
 object CancellationWindow {
 

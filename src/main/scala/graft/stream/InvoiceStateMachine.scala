@@ -13,12 +13,19 @@ case class PurchaseLine(
     quantity: Long,
     unitPrice: Double,
     unitPriceCents: Long,
-    minuteOfDay: Int,
-    hasCustomer: Boolean)
+    minuteOfDay: Int)
 
 /** A purchase line carrying its event time, for the watermarked variant
   * of the state machine ([[InvoiceStateMachine.eventTimed]]). */
 case class TimedPurchaseLine(line: PurchaseLine, eventTime: java.sql.Timestamp)
+
+/** [[InvoiceState]] plus the key's ALL-TIME newest event time — the
+  * idle-purge anchor for [[InvoiceStateMachine.eventTimed]]. Anchoring to
+  * the current batch's max instead would let an out-of-order (but
+  * on-time) row PULL THE TIMEOUT EARLIER, making purge points depend on
+  * how rows happen to fall into batches — the same input with different
+  * batching could purge a live key and split its aggregate. */
+case class TimedInvoiceState(inv: InvoiceState, maxEventMs: Long)
 
 /** Running per-invoice aggregate — the stream state (the reference's
   * `Invoice`, `InvoicePipeline.scala:22-24`), kept as exact integer sums
@@ -30,8 +37,7 @@ case class InvoiceState(
     minPrice: Double,
     maxPrice: Double,
     earliestMinute: Int,
-    lines: Long,
-    hasCustomer: Boolean)
+    lines: Long)
 
 /** Emitted view of the state after each update. */
 case class InvoiceAgg(
@@ -76,7 +82,7 @@ case class InvoiceAgg(
 object InvoiceStateMachine {
 
   val Empty: InvoiceState =
-    InvoiceState(0L, 0L, Double.MaxValue, Double.MinValue, Int.MaxValue, 0L, false)
+    InvoiceState(0L, 0L, Double.MaxValue, Double.MinValue, Int.MaxValue, 0L)
 
   def fold(s: InvoiceState, p: PurchaseLine): InvoiceState = InvoiceState(
     sumPriceQtyCents = s.sumPriceQtyCents + p.unitPriceCents * p.quantity,
@@ -84,8 +90,7 @@ object InvoiceStateMachine {
     minPrice = math.min(s.minPrice, p.unitPrice),
     maxPrice = math.max(s.maxPrice, p.unitPrice),
     earliestMinute = math.min(s.earliestMinute, p.minuteOfDay),
-    lines = s.lines + 1L,
-    hasCustomer = s.hasCustomer || p.hasCustomer)
+    lines = s.lines + 1L)
 
   /** Merge two partial states — every field is a commutative monoid, so
     * partial folds combine exactly (the property that lets the same
@@ -97,8 +102,7 @@ object InvoiceStateMachine {
     minPrice = math.min(a.minPrice, b.minPrice),
     maxPrice = math.max(a.maxPrice, b.maxPrice),
     earliestMinute = math.min(a.earliestMinute, b.earliestMinute),
-    lines = a.lines + b.lines,
-    hasCustomer = a.hasCustomer || b.hasCustomer)
+    lines = a.lines + b.lines)
 
   def toAgg(invoiceNo: String, s: InvoiceState): InvoiceAgg = InvoiceAgg(
     invoice_no = invoiceNo,
@@ -158,29 +162,35 @@ object InvoiceStateMachine {
   private def updateEventTimed(idleMs: Long)(
       invoiceNo: String,
       rows: Iterator[TimedPurchaseLine],
-      state: GroupState[InvoiceState]): Iterator[InvoiceAgg] = {
+      state: GroupState[TimedInvoiceState]): Iterator[InvoiceAgg] = {
     if (state.hasTimedOut) {
       state.remove() // delete-on-idle without emission, watermark-driven
       Iterator.empty
     } else {
-      var lastEventMs = Long.MinValue
-      val next = rows.foldLeft(state.getOption.getOrElse(Empty)) { (acc, t) =>
-        if (t.eventTime.getTime > lastEventMs) lastEventMs = t.eventTime.getTime
+      var batchMax = Long.MinValue
+      val prev = state.getOption.getOrElse(TimedInvoiceState(Empty, Long.MinValue))
+      val inv = rows.foldLeft(prev.inv) { (acc, t) =>
+        if (t.eventTime.getTime > batchMax) batchMax = t.eventTime.getTime
         fold(acc, t.line)
       }
+      // the purge anchor is the key's ALL-TIME newest event (carried in
+      // state), so an out-of-order row can never pull the horizon
+      // backwards — purge points are a function of the input, not of how
+      // it was batched (see TimedInvoiceState)
+      val next = TimedInvoiceState(inv, math.max(prev.maxEventMs, batchMax))
       state.update(next)
-      // purge when the watermark passes idleMs beyond the key's LAST EVENT
-      // (not the batch-start watermark, which lags a full batch behind: a
-      // key whose own rows advance the watermark would otherwise time out
-      // in the no-data batch the engine runs right after, losing live
-      // state). Rows here survived the watermark filter, so lastEventMs >=
+      // purge when the watermark passes idleMs beyond that anchor (not
+      // the batch-start watermark, which lags a full batch behind: a key
+      // whose own rows advance the watermark would otherwise time out in
+      // the no-data batch the engine runs right after, losing live
+      // state). Rows here survived the watermark filter, so the anchor >=
       // current watermark and the timestamp is legal. Replay-deterministic
       // (event time, not wall clock), and safe under Trigger.AvailableNow —
       // the engine only reruns while the watermark still moves, so finite
       // replays terminate (unlike the processing-time timeout, see [[apply]])
       state.setTimeoutTimestamp(
-        math.max(lastEventMs, state.getCurrentWatermarkMs) + idleMs)
-      Iterator.single(toAgg(invoiceNo, next))
+        math.max(next.maxEventMs, state.getCurrentWatermarkMs) + idleMs)
+      Iterator.single(toAgg(invoiceNo, inv))
     }
   }
 
@@ -196,9 +206,15 @@ object InvoiceStateMachine {
     * @param watermarkDelay how far out-of-order events may arrive
     *                       (e.g. "10 minutes")
     * @param idleMs state is purged once the watermark has advanced this
-    *               far past the key's newest event time */
+    *               far past the key's newest event time; must be positive
+    *               (there is no "disabled" mode here — bounding state
+    *               lifetime by the watermark is this variant's point, and
+    *               a non-positive horizon would register timeouts at or
+    *               before the current watermark, which the state API
+    *               rejects) */
   def eventTimed(lines: Dataset[TimedPurchaseLine], watermarkDelay: String,
                  idleMs: Long): Dataset[InvoiceAgg] = {
+    require(idleMs > 0, s"idleMs must be positive, got $idleMs")
     import lines.sparkSession.implicits._
     lines
       .withWatermark("eventTime", watermarkDelay)

@@ -38,6 +38,9 @@ object Replay {
       .map { case (l, i) => (i, l) }.toDF("idx", "line")
       .cache()
     val n = indexed.count()
+    // ANSI mode turns `value % 0` into a DIVIDE_BY_ZERO inside the first
+    // micro-batch — fail with a usage error instead
+    require(n > 0, s"replay input is empty: nothing to produce")
     // sanity sample before starting, like the reference's take(5) preview
     // (`train.scala:36`)
     indexed.orderBy($"idx").select($"line").show(5, truncate = false)

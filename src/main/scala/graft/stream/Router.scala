@@ -52,13 +52,20 @@ object Router {
     * Blocks until all input is processed. */
   def runToSinks(records: DataFrame, baseDir: String, arity: Int = 8): Unit = {
     val q = classified(records, arity).writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.cache()
         try Routes.foreach { r =>
           val branch = cached.filter(col("route") === r).select(col("key"), col("value"))
+          // cancelled: one row per invoice per batch (A2) with a
+          // DETERMINISTIC surviving value — dropDuplicates("key") keeps a
+          // task-order-dependent row when one invoice has several
+          // distinct lines, which would make replayed output differ
           val out = if (r == "cancelled")
-            CancellationWindow.perBatchDistinct(branch, "key") else branch
-          out.write.mode("append").parquet(s"$baseDir/$r")
+            branch.groupBy(col("key")).agg(min(col("value")).as("value"))
+          else branch
+          // at-least-once foreachBatch: commit through the idempotent
+          // staging/rename protocol, never a bare append
+          IdempotentSink.writeBatch(out, s"$baseDir/$r", batchId)
         } finally cached.unpersist()
       }
       .option("checkpointLocation", s"$baseDir/_checkpoint")

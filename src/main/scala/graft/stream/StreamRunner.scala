@@ -32,6 +32,7 @@ object StreamRunner {
         new java.io.File("target/stream-scratch").getAbsolutePath)),
       "in-").toString
     df.write.mode("overwrite").parquet(dir)
+    deleteOnExit(dir)
     df.sparkSession.readStream.schema(df.schema).parquet(dir)
   }
 
@@ -58,6 +59,22 @@ object StreamRunner {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // the memory-sink table is complete and the query is terminated: its
+    // checkpoint has no further use — delete it rather than leaking one
+    // tree per invocation into the temp dir
+    deleteRecursively(new java.io.File(ckpt))
     (spark.table(sink), q)
+  }
+
+  /** Scratch inputs created by [[asStream]] must outlive the returned
+    * stream (readers list the dir per trigger), so they are deleted at
+    * JVM exit instead of eagerly. */
+  private[stream] def deleteOnExit(dir: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      deleteRecursively(new java.io.File(dir))))
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }

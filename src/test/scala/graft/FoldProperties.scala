@@ -16,12 +16,11 @@ object FoldProperties extends Properties("InvoiceStateFold") {
     qty <- Gen.choose(1L, 50L)
     cents <- Gen.choose(1L, 100_000L)
     minute <- Gen.choose(0, 1439)
-    hasCust <- Gen.oneOf(true, false)
-  } yield PurchaseLine("A", qty, cents / 100.0, cents, minute, hasCust)
+  } yield PurchaseLine("A", qty, cents / 100.0, cents, minute)
 
   private val genLines: Gen[List[PurchaseLine]] = Gen.nonEmptyListOf(genLine)
 
-  private val Empty = InvoiceState(0L, 0L, Double.MaxValue, Double.MinValue, Int.MaxValue, 0L, false)
+  private val Empty = InvoiceState(0L, 0L, Double.MaxValue, Double.MinValue, Int.MaxValue, 0L)
 
   private def foldAll(lines: Seq[PurchaseLine]): InvoiceState =
     lines.foldLeft(Empty)(InvoiceStateMachine.fold)
@@ -62,7 +61,7 @@ object FoldProperties extends Properties("InvoiceStateFold") {
   property("zero net quantity emits finite avg (cancellation lines)") =
     forAll(Gen.choose(1L, 50L), Gen.choose(1L, 100_000L)) { (qty, cents) =>
       // a purchase fully cancelled: +qty then −qty of the same line
-      val buy = PurchaseLine("A", qty, cents / 100.0, cents, 600, true)
+      val buy = PurchaseLine("A", qty, cents / 100.0, cents, 600)
       val cancel = buy.copy(quantity = -qty)
       val agg = InvoiceStateMachine.toAgg("A", foldAll(Seq(buy, cancel)))
       agg.number_items == 0L && agg.avg_unit_price == 0.0 &&

@@ -17,7 +17,7 @@ import graft.stream._
 class StreamSpec extends SparkSuite {
 
   private def line(inv: String, qty: Long, price: Double, minute: Int = 600): PurchaseLine =
-    PurchaseLine(inv, qty, price, math.round(price * 100), minute, hasCustomer = true)
+    PurchaseLine(inv, qty, price, math.round(price * 100), minute)
 
   private def waitUntil(what: String, timeoutMs: Long = 30000L)(cond: => Boolean): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
