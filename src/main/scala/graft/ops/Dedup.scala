@@ -61,6 +61,17 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)) / size(array_union(a, b)).cast("double")
 
+  /** Rejoin candidate id-pairs with their shingle sets and keep pairs at
+    * or above the exact-Jaccard threshold (shared verification tail of
+    * the MinHash and n-gram pipelines). */
+  private def verifyPairs(cand: DataFrame, sh: DataFrame,
+                          threshold: Double): DataFrame =
+    cand
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sa")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sa"), col("sb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
   /** All unordered pairs of a (sorted) array: `(xs[i], xs[j])` for i<j —
     * codegen'd higher-order functions, no join. */
   private def arrayPairs(xs: Column): Column =
@@ -121,12 +132,7 @@ object Dedup {
     val cand = bucketPairs(banded, "band", col("id"), maxBucket)
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
-    val sets = sh
-    cand
-      .join(sets.select(col("id").as("id_a"), col("shingles").as("sa")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("shingles").as("sb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sa"), col("sb")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyPairs(cand, sh, threshold)
   }
 
   /** Per-doc 64-bit SimHash over token hashes (codegen end-to-end:
@@ -225,10 +231,6 @@ object Dedup {
     val cand = bucketPairs(posting, "shingle", col("id"), maxDf)
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
-    cand
-      .join(sh.select(col("id").as("id_a"), col("shingles").as("sa")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("shingles").as("sb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sa"), col("sb")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyPairs(cand, sh, threshold)
   }
 }

@@ -38,6 +38,9 @@ object Joins {
     * replay yields identical partitioning — no rand()). */
   def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
                      saltEntropy: Seq[String], saltFactor: Int): DataFrame = {
+    // saltFactor <= 0 would silently return an EMPTY join (explode of an
+    // empty salt array + null pmod), not an identical one
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     val salted = big.withColumn("_salt",
       pmod(xxhash64(saltEntropy.map(col): _*), lit(saltFactor)).cast("int"))
     val replicated = small.withColumn("_salt",
@@ -55,8 +58,12 @@ object Joins {
     * every later query). Returns the table name. */
   def ensureBucketed(spark: SparkSession, dir: String, name: String,
                      bucketCol: String, nBuckets: Int): String = {
-    val table = s"graft_bkt_${name}_" +
-      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${bucketCol}_$nBuckets".toLowerCase
+    // suffix the sanitized dir with a hash of the RAW dir: sanitizing is
+    // lossy ("ds-1" and "ds_1" collide) and table names are lowercased,
+    // so without it two sources could silently share one bucketed copy
+    val table = (s"graft_bkt_${name}_" +
+      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${bucketCol}_$nBuckets" +
+      f"_${dir.hashCode & 0x7fffffff}%08x").toLowerCase
     // the JVM-wide memo only dedups concurrent builds; the authority on
     // whether the table exists is the session CATALOG — a recreated
     // SparkSession in the same JVM starts with a fresh in-memory catalog,

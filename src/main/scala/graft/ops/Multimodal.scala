@@ -33,7 +33,7 @@ object Multimodal {
     val n = if (payload == null) 0 else payload.length
     MediaMeta(
       width = (n % 640) + 1,
-      height = ((n * 7) % 480) + 1,
+      height = ((n.toLong * 7) % 480).toInt + 1, // Int mul overflows >~306MB payloads
       channels = (n % 3) + 1,
       format = if (n % 2 == 0) "png" else "jpeg")
   }
@@ -65,7 +65,9 @@ object Multimodal {
 
   /** Deterministic frame sampling plan for a (fake) video payload: every
     * `stride`-th frame index under `maxFrames` — pure column math, no
-    * decode. */
+    * decode. A zero-frame video samples nothing (the `greatest` clamp
+    * alone would fabricate frame index 0). */
   def frameSamplePlan(nFrames: org.apache.spark.sql.Column, stride: Int, maxFrames: Int): org.apache.spark.sql.Column =
-    slice(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride)), 1, maxFrames)
+    when(nFrames <= 0, array().cast("array<int>"))
+      .otherwise(slice(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride)), 1, maxFrames))
 }

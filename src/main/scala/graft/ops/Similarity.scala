@@ -43,7 +43,29 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Rank scored candidates per query, keep top-k (shared by brute force
+    * and IVF). Ties break by neighbor id — deterministic under replay. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Zero-norm vectors have no direction: their cosine is 0/0 = NaN, and
+    * Spark sorts NaN ABOVE every real number, so one all-zero corpus row
+    * would outrank every true neighbor. Excluded up front. */
+  private def nonZeroNorm(df: DataFrame, normCol: String): DataFrame =
+    df.filter(col(normCol) > 0.0)
+
   /** Exact top-k neighbors by cosine for each query vector.
+    *
+    * Queries and corpus must share one id space (self-matches are
+    * excluded by id equality — a query whose id collides with an
+    * UNRELATED corpus row would wrongly drop that row; keep ids disjoint
+    * or make queries a subset of the corpus). Null ids never match.
     *
     * @param corpus  (idCol, vecCol) corpus — arbitrarily large
     * @param queries (idCol, vecCol) query set — small enough to broadcast
@@ -51,24 +73,27 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cvec"))
-      .withColumn("cnorm", norm(col("cvec")))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
-      .withColumn("qnorm", norm(col("qvec")))
+    val c = nonZeroNorm(corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cvec"))
+      .withColumn("cnorm", norm(col("cvec"))), "cnorm")
+    val q = nonZeroNorm(queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("qnorm", norm(col("qvec"))), "qnorm")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm"))).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    topK(scored, k)
   }
 
   // ---------------------------------------------------------------- IVF —
 
   /** Memoized coarse quantizers: one index build per (corpus key, cells,
-    * seed) per session, shared by every IVF query over that corpus. */
+    * seed) per session, shared by every IVF query over that corpus.
+    *
+    * SESSION-SCOPED CACHE semantics: the default key is a fingerprint of
+    * the corpus' logical plan, not its data — overwriting the files
+    * behind the same path mid-session serves the stale quantizer. Long-
+    * lived drivers cycling many corpora should pass explicit
+    * `quantizerKey`s and treat index refresh as part of data refresh
+    * (the same contract as any external index). */
   private val quantizers = new ConcurrentHashMap[String, Array[Array[Double]]]()
 
   /** Max rows the quantizer is ever fit on. Cell centroids are a coarse
@@ -83,12 +108,14 @@ object Similarity {
     * unavailable. */
   private val cellCounts = new ConcurrentHashMap[String, Int]()
 
-  def autoCells(corpus: DataFrame, maxCell: Int = 256): Int = {
+  def autoCells(corpus: DataFrame, maxCell: Int = 256,
+                quantizerKey: String = ""): Int = {
     // plain parquet scans expose no rowCount statistic without CBO, so
-    // the fallback is a count() — memoize it per corpus plan (same
-    // content-based key as the quantizer memo) or the "auto" sizing costs
-    // a full scan on every query over the same corpus
-    cellCounts.computeIfAbsent(s"${defaultKey(corpus, "")}|$maxCell", _ => {
+    // the fallback is a count() — memoize it per corpus key (the explicit
+    // quantizerKey when given, else the plan fingerprint — same scheme as
+    // the quantizer memo) or the "auto" sizing costs a full scan on every
+    // query over the same corpus
+    cellCounts.computeIfAbsent(s"${defaultKey(corpus, quantizerKey)}|$maxCell", _ => {
       val n = corpus.queryExecution.optimizedPlan.stats.rowCount
         .map(_.toLong).getOrElse(corpus.count())
       (4L * n / maxCell).max(16L).min(QuantizerSampleCap / 4L).toInt
@@ -160,23 +187,19 @@ object Similarity {
               seed: Long = 42L, quantizerKey: String = ""): DataFrame = {
     val centers = coarseQuantizer(corpus, idCol, vecCol,
       defaultKey(corpus, quantizerKey), nCells, seed)
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cvec"))
+    val c = nonZeroNorm(corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cvec"))
       .withColumn("cell", nearestCells(centers, col("cvec"), 1).getItem(0).getField("cell"))
-      .withColumn("cnorm", norm(col("cvec")))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("cnorm", norm(col("cvec"))), "cnorm")
+    val q = nonZeroNorm(queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
       .withColumn("cells", transform(nearestCells(centers, col("qvec"), nProbe), x => x.getField("cell")))
-      .withColumn("qnorm", norm(col("qvec")))
+      .withColumn("qnorm", norm(col("qvec"))), "qnorm")
       .select(col("query_id"), explode(col("cells")).as("cell"), col("qvec"), col("qnorm"))
 
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm"))).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    topK(scored, k)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold among vectors
@@ -203,11 +226,13 @@ object Similarity {
                         threshold: Double = 0.95, nCells: Int = 0,
                         nProbe: Int = 2, maxCell: Int = 256,
                         seed: Long = 42L, quantizerKey: String = ""): DataFrame = {
-    val cells = if (nCells > 0) nCells else autoCells(corpus, maxCell)
+    val cells = if (nCells > 0) nCells else autoCells(corpus, maxCell, quantizerKey)
     val centers = coarseQuantizer(corpus, idCol, vecCol,
       defaultKey(corpus, quantizerKey), cells, seed)
-    val assigned = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
-      .withColumn("vnorm", norm(col("vec")))
+    // zero-norm vectors compare NaN to everything (never >= threshold);
+    // drop them up front rather than paying their pair generation
+    val assigned = nonZeroNorm(corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      .withColumn("vnorm", norm(col("vec"))), "vnorm")
       .withColumn("cell", explode(transform(
         nearestCells(centers, col("vec"), math.max(nProbe, 1)),
         x => x.getField("cell"))))

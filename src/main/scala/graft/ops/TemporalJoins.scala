@@ -45,11 +45,17 @@ object TemporalJoins {
       s"left/right column names must be disjoint, both have: ${overlap.mkString(", ")}")
     val payloadCols = right.columns.filterNot(c => c == rightKey || c == rightTime).toSeq
     val payloadType = StructType(right.schema.fields.filter(f => payloadCols.contains(f.name)))
+    // JOIN semantics for nulls: a right row with a null key or null time
+    // matches nothing (without this, the window's NULL-key partition
+    // would hand such payloads to null-keyed left rows, and a null time
+    // sorts first and would "precede" every left row). Null-keyed/timed
+    // LEFT rows still come out, payload null — left-outer semantics.
+    val cleanRight = right.filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
     val lPart = left.select(
       col(leftKey).as("_k"), col(leftTime).as("_t"), lit(1).as("_side"),
       struct(left.columns.map(col).toIndexedSeq: _*).as("_l"),
       lit(null).cast(payloadType).as("_p"))
-    val rPart = right.select(
+    val rPart = cleanRight.select(
       col(rightKey).as("_k"),
       // align mixed timestamp flavors (e.g. ntz vs ltz) to the left side
       col(rightTime).cast(left.schema(leftTime).dataType).as("_t"),

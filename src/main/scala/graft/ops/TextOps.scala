@@ -11,7 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokenization (single-space separated corpus). */
+  /** Whitespace tokenization (single-space separated corpus). NOTE:
+    * empty text tokenizes to one empty token — the SQL `string_split`
+    * semantics the DuckDB oracles share — so an empty document counts as
+    * a 1-token doc throughout the stats/quality stack; filter
+    * `length(text) > 0` upstream where that matters. */
   def tokens(text: Column): Column = split(text, " ", -1)
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")

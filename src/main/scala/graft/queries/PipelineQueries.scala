@@ -226,7 +226,8 @@ object PipelineQueries {
     "build_dup_quantizer" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.coarseQuantizer(emb, "vec_id", "embedding",
-        s"emb-dup-$dir", Similarity.autoCells(emb), seed = 42L); ()
+        s"emb-dup-$dir", Similarity.autoCells(emb, quantizerKey = s"emb-dup-$dir"),
+        seed = 42L); ()
     })
 
   /** Two oracle families here:

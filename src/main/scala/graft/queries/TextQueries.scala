@@ -251,10 +251,13 @@ object TextQueries {
         |  CASE WHEN substring(md5(text), 1, 2) < 'e6' THEN 'train' ELSE 'val' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // zero-frame docs sample nothing (mirrors frameSamplePlan's guard)
     "mm02_frame_sampling" ->
       """SELECT doc_id,
         |  CAST(unnest(list_slice(
         |    generate_series(0, greatest(CAST(n_chars % 1000 AS BIGINT) - 1, 0), 10),
         |    1, 16)) AS BIGINT) AS frame_idx
-        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin)
+        |FROM documents
+        |WHERE n_chars % 1000 > 0
+        |ORDER BY doc_id, frame_idx""".stripMargin)
 }

@@ -30,6 +30,25 @@ class TemporalJoinsSpec extends SparkSuite {
     assert(out == Map(1L -> Some("a"), 2L -> Some("a"), 3L -> None, 4L -> Some("c")))
   }
 
+  test("asOfJoin: null keys/times follow join semantics (match nothing)") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, Option("u"), Option(ts("10:00"))),
+      (2L, Option.empty[String], Option(ts("10:00"))), // null key: no match
+      (3L, Option("u"), Option.empty[java.sql.Timestamp]) // null time: no match
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (Option("u"), Option(ts("09:00")), 1L),
+      (Option.empty[String], Option(ts("08:00")), 2L), // null key: donates nothing
+      (Option("u"), Option.empty[java.sql.Timestamp], 3L) // null time: donates nothing
+    ).toDF("rk", "rt", "payload")
+    val out = TemporalJoins.asOfJoin(left, right, "k", "rk", "t", "rt")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out == Map(1L -> Some(1L), 2L -> None, 3L -> None))
+  }
+
   test("asOfJoin: one shuffle, no nested-loop join in the plan") {
     val s = spark
     import s.implicits._
