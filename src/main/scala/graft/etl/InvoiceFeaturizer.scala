@@ -54,7 +54,10 @@ object InvoiceFeaturizer {
     // partitioning-order-dependent, so a plain avg() is not
     // replay-deterministic on a cluster; integer cents are exact.
     lines.groupBy(invoiceNo.as("invoice_no")).agg(
-      (sum(round(unitPrice * 100).cast("long")) / lit(100.0) / count(lit(1)))
+      // divide by the NON-NULL price count (avg() semantics): count(*)
+      // would skew the mean whenever a parsed line has a null price,
+      // since the cents sum skips nulls but the denominator would not
+      (sum(round(unitPrice * 100).cast("long")) / lit(100.0) / count(unitPrice))
         .as("avg_unit_price"),
       min(unitPrice).as("min_unit_price"),
       max(unitPrice).as("max_unit_price"),
@@ -82,6 +85,12 @@ object InvoiceFeaturizer {
     * §7.4.4). Exposed as a named alternative so callers pick explicitly.
     * Accumulates in exact integer cents like every money aggregate here
     * (floating sums are partitioning-order-dependent). */
+  /** Quantities are cast to long (the stream fold holds them as exact
+    * long sums — see `PurchaseLine.quantity`); fractional quantities
+    * would be truncated, fine for this integral-quantity domain but
+    * wrong weights elsewhere. Inputs with null prices must be filtered
+    * upstream (the stream path does) — the cents sum skips nulls but
+    * `sum(quantity)` would not. */
   def weightedAvgUnitPrice(unitPrice: Column, quantity: Column): Column =
     sum(round(unitPrice * 100).cast("long") * quantity.cast("long")).cast("long") / 100.0 /
       sum(quantity.cast("long")).cast("long")

@@ -9,7 +9,15 @@ import org.apache.spark.sql.functions._
   */
 object Validity {
 
-  /** Malformed-line predicate: wrong field count or any empty field
+  /** NOTE a deliberate divergence from the reference here: Scala's
+    * `String.split(",")` DROPS trailing empty fields, so the reference
+    * routes "a,b,c,d,e,f,g,h," (8 fields + trailing comma) as VALID;
+    * `split(col, ",", -1)` keeps them (9 fields, one empty) and routes it
+    * invalid — matching SQL `string_split` semantics, which is what the
+    * DuckDB oracle computes. Feeds with trailing commas split routes
+    * differently from the reference pipeline.
+    *
+    * Malformed-line predicate: wrong field count or any empty field
     * (reference `InvoicePipeline.scala:57-60`). The reference's naive
     * `split(",")` corrupts quoted fields containing commas; this keeps the
     * same arity semantics (documented in SURVEY.md §7.4.5) — use

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -23,6 +24,8 @@ case class PolyHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "polyhash64"
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashOps.requireArrayOf(prettyName, child.dataType, LongType)
 
   override def nullSafeEval(input: Any): Any =
     PolyHash64.compute(input.asInstanceOf[ArrayData])

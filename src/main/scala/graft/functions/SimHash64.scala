@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -15,12 +16,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * codegen so the dedup pipeline stays inside whole-stage codegen; input is
   * `array<bigint>` (e.g. `transform(tokens, t -> xxhash64(t))`).
   *
-  * Null tokens are ignored; a null/empty array yields 0L.
+  * Null tokens are ignored; an empty array yields 0L; a NULL array
+  * yields null (standard null-intolerant expression semantics).
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "simhash64"
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashOps.requireArrayOf(prettyName, child.dataType, LongType)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

@@ -74,14 +74,18 @@ object SqDistToNearest {
     false
   }
 
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code. A dimensionality
+    * mismatch between features and centers fails fast — a truncated
+    * partial distance would silently corrupt every score. */
   def compute(features: ArrayData, centers: Array[Array[Double]]): Double = {
     val n = features.numElements()
     var best = Double.PositiveInfinity
     var ci = 0
     while (ci < centers.length) {
       val c = centers(ci)
-      val d = math.min(n, c.length)
+      if (c.length != n) throw new IllegalArgumentException(
+        s"feature vector has $n dims but a center has ${c.length}")
+      val d = c.length
       var acc = 0.0
       var i = 0
       while (i < d) {

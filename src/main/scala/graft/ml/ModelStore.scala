@@ -34,30 +34,60 @@ object ModelStore {
     * reference's train-job/pipeline split; at 100 TB the training frame
     * must be a bounded sample or the "index build" is a full corpus pass
     * per model. */
+  /** Hard cap on the training-sample size: a proportional 1-in-mod
+    * sample is NOT bounded (1/4 of 100 TB is 25 TB); the modulus widens
+    * with the corpus so the expected sample stays under this many rows.
+    * Sized so the check-SF corpora keep their configured modulus
+    * unchanged. */
+  private val SampleCap = 65536L
+
   private def sampled(feats: DataFrame, idCol: String, sampleMod: Int): DataFrame =
     if (sampleMod <= 1) feats
-    // single-partition + total sort: KMeans/Bisecting float accumulation
-    // (and sampling-based init) must see a fully deterministic row order
-    // or the trained centers differ with the CLUSTER SIZE — verified by
-    // running Verify under 4-way vs 7-way parallelism: without this,
-    // ml02/ml04's entire anomaly set changes. Safe because the sampled
-    // training frame is bounded, not the corpus (same device as ml05);
-    // the unsampled path (sampleMod <= 1) is the caller's explicit
-    // full-frame choice and is left partitioned.
-    else Training.hashSample(feats, idCol, sampleMod)
-      .repartition(1).sortWithinPartitions(col(idCol))
+    else {
+      // the count is one pass, paid once per model build (an index cost)
+      val n = feats.count()
+      val mod = math.max(sampleMod.toLong, (n + SampleCap - 1) / SampleCap).toInt
+      // single-partition + total sort: KMeans/Bisecting float accumulation
+      // (and sampling-based init) must see a fully deterministic row order
+      // or the trained centers differ with the CLUSTER SIZE — verified by
+      // running Verify under 4-way vs 7-way parallelism: without this,
+      // ml02/ml04's entire anomaly set changes. Safe because the sample is
+      // hard-capped above; the unsampled path (sampleMod <= 1) is the
+      // caller's explicit full-frame choice and is left partitioned.
+      Training.hashSample(feats, idCol, mod)
+        .repartition(1).sortWithinPartitions(col(idCol))
+    }
+
+  /** Every parameter that changes the trained artifact participates in
+    * the memo key AND the on-disk artifact name — distinct configurations
+    * must never share a cache entry or a directory (two saves racing on
+    * one dir can interleave). Feature columns are hashed for
+    * filesystem-safety. */
+  private def cacheKey(algo: String, key: String, featureCols: Seq[String],
+                       idCol: String, sampleMod: Int, k: Int, seed: Long,
+                       maxIter: Int, thresholdRank: Int): String =
+    s"$algo|$key|${featureCols.mkString(",")}|$idCol|$sampleMod|$k|$seed|$maxIter|$thresholdRank"
+
+  private def artifactName(algo: String, key: String, featureCols: Seq[String],
+                           idCol: String, sampleMod: Int, k: Int, seed: Long,
+                           maxIter: Int, thresholdRank: Int): String = {
+    val featHash = f"${(featureCols.mkString(",") + "|" + idCol).hashCode & 0x7fffffff}%08x"
+    s"$algo-$key-$featHash-$sampleMod-$k-$seed-$maxIter-$thresholdRank"
+  }
 
   /** KMeans flavor (reference `train.scala:11-49`). */
   def kmeansAnomaly(key: String, feats: => DataFrame, featureCols: Seq[String],
                     idCol: String = "invoice_no", sampleMod: Int = 1,
                     k: Int = 4, seed: Long = 1L, maxIter: Int = 10,
                     thresholdRank: Int = 2000): AnomalyModel =
-    cache.computeIfAbsent(s"kmeans|$key|$k|$seed|$sampleMod", _ => {
+    cache.computeIfAbsent(cacheKey("kmeans", key, featureCols, idCol, sampleMod,
+        k, seed, maxIter, thresholdRank), _ => {
       val f = sampled(feats, idCol, sampleMod).cache()
       try {
         val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
           .setFeaturesCol("features").fit(Training.assemble(f, featureCols))
-        val dir = Persistence.artifactDir(s"kmeans-$key-$k-$seed")
+        val dir = Persistence.artifactDir(artifactName("kmeans", key, featureCols,
+          idCol, sampleMod, k, seed, maxIter, thresholdRank))
         model.write.overwrite().save(dir)
         calibrate(KMeansModel.load(dir).clusterCenters.map(_.toArray.toSeq).toSeq,
           dir, f, featureCols, thresholdRank)
@@ -69,12 +99,14 @@ object ModelStore {
                        idCol: String = "invoice_no", sampleMod: Int = 1,
                        k: Int = 4, seed: Long = 1L, maxIter: Int = 10,
                        thresholdRank: Int = 2000): AnomalyModel =
-    cache.computeIfAbsent(s"bisecting|$key|$k|$seed|$sampleMod", _ => {
+    cache.computeIfAbsent(cacheKey("bisecting", key, featureCols, idCol, sampleMod,
+        k, seed, maxIter, thresholdRank), _ => {
       val f = sampled(feats, idCol, sampleMod).cache()
       try {
         val model = new BisectingKMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
           .setFeaturesCol("features").fit(Training.assemble(f, featureCols))
-        val dir = Persistence.artifactDir(s"bisecting-$key-$k-$seed")
+        val dir = Persistence.artifactDir(artifactName("bisecting", key, featureCols,
+          idCol, sampleMod, k, seed, maxIter, thresholdRank))
         model.write.overwrite().save(dir)
         calibrate(BisectingKMeansModel.load(dir).clusterCenters.map(_.toArray.toSeq).toSeq,
           dir, f, featureCols, thresholdRank)

@@ -76,11 +76,20 @@ object Training {
   /** Anomaly threshold: the `rank`-th largest squared distance to the
     * assigned centroid over the training set (reference A5,
     * `train.scala:45-46`). Exact top-k via TakeOrderedAndProject; at
-    * calibration-set sizes beyond memory use `approxQuantile`. */
+    * calibration-set sizes beyond memory use `approxQuantile`.
+    *
+    * When the set holds FEWER than `rank` rows this degenerates to the
+    * minimum distance — i.e. nearly everything scores as anomalous.
+    * That is the reference's own `top(rank).last` behavior, kept for
+    * fidelity, but it is almost never what a caller wants: size the
+    * calibration set (or shrink `rank`) so `rows >= rank`. An empty set
+    * is an error (there is nothing to calibrate on). */
   def threshold(distances: DataFrame, distCol: String, rank: Int): Double = {
     import distances.sparkSession.implicits._
     val top = distances.select(col(distCol).cast("double"))
       .orderBy(col(distCol).desc).limit(rank)
-    top.agg(min(col(distCol))).as[Double].head()
+    val m = top.agg(min(col(distCol))).as[java.lang.Double].head()
+    require(m != null, "cannot calibrate a threshold on an empty distance set")
+    m.doubleValue()
   }
 }

@@ -16,7 +16,13 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader only
     * accepts as a raw long (`spark.sql.legacy.parquet.nanosAsLong`, set by
     * Verify/Bench/tests). Convert to a microsecond timestamp here with
-    * exact integer division so every query sees a real timestamp column. */
+    * exact integer division so every query sees a real timestamp column.
+    *
+    * CAVEAT: `timestamp_micros` yields session-timezone-sensitive
+    * TimestampType, so hour()/date_trunc/window results depend on
+    * `spark.sql.session.timeZone` — every entry point in this repo pins
+    * UTC (matching DuckDB's naive timestamps); a new entry point that
+    * forgets the pin shifts every time-derived result. */
   private def nanosToTimestamp(df: DataFrame, c: String): DataFrame =
     df.schema(c).dataType match {
       case org.apache.spark.sql.types.LongType =>

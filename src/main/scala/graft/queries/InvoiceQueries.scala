@@ -39,7 +39,8 @@ object InvoiceQueries {
     * InvoiceFeaturizer.featurize). */
   private val featuresSql =
     """SELECT l_orderkey AS invoice_no,
-      |       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0/COUNT(*)
+      |       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0
+      |         /COUNT(l_extendedprice)
       |         AS avg_unit_price,
       |       MIN(l_extendedprice) AS min_unit_price,
       |       MAX(l_extendedprice) AS max_unit_price,
