@@ -26,13 +26,18 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // optional comma-separated name-prefix filter for timing a subset in
+    // isolation (e.g. SPARK_GRAFT_BENCH_ONLY=st03); unset = full catalog
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String) = only.forall(_.exists(name.startsWith))
     // index builds run (and are reported) first, so their one-time cost —
     // bucket-table writes, model fits, quantizer fits, the CSV fixture —
     // is never silently attributed to whichever query runs first
-    val builds = SparkEntry.indexBuilds.keys.toSeq.sorted.map { name =>
+    val builds = SparkEntry.indexBuilds.keys.toSeq.sorted.filter(wanted).map { name =>
       timed("build", name)(SparkEntry.indexBuilds(name)(spark, sfDir))
     }
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val results = SparkEntry.queries.keys.toSeq.sorted.filter(wanted).map { name =>
       timed("query", name)(SparkEntry.queries(name)(spark, sfDir).count(): Unit)
     }
     def obj(kvs: Seq[(String, Double)]) =

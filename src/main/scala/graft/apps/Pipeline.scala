@@ -139,7 +139,9 @@ object Pipeline {
     // (ref :68-80). Input volume here is the cancelled fraction only.
     val cancelledSchema = StructType(Seq(StructField("key", StringType),
       StructField("ts", org.apache.spark.sql.types.TimestampType)))
-    val cancelled = spark.readStream.schema(cancelledSchema).parquet(s"$staged/cancelled")
+    // `b*` glob: IdempotentSink publishes per-batch DIRECTORIES; the glob
+    // is re-resolved each trigger, picking up new batches as they commit
+    val cancelled = spark.readStream.schema(cancelledSchema).parquet(s"$staged/cancelled/b*")
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("key")
       .groupBy(window($"ts", "8 minutes", "1 minute"))
@@ -152,7 +154,7 @@ object Pipeline {
     // foreachBatch (scoring is stateless column math over the emitted
     // updates — it needs no second state store or source scan)
     val purchases = toPurchaseLines(PurchaseCsv.parseLines(
-      spark.readStream.schema(schema).parquet(s"$staged/good").select($"value")))
+      spark.readStream.schema(schema).parquet(s"$staged/good/b*").select($"value")))
     val idleMs = if (once) 0L else 20000L // delete-on-idle ≈ one trigger
     def anomalies(aggs: DataFrame, centers: Seq[Seq[Double]], threshold: Double): DataFrame =
       Scoring.score(aggs, InvoiceFeaturizer.FeatureCols.map(featureCol), centers, threshold)

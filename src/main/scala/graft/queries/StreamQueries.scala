@@ -207,7 +207,7 @@ object StreamQueries {
       Router.Routes.map { r =>
         val dir = new java.io.File(s"$base/$r")
         if (dir.exists())
-          s.read.parquet(dir.toString).withColumn("route", lit(r))
+          graft.stream.IdempotentSink.read(s, dir.toString).withColumn("route", lit(r))
         else s.emptyDataFrame
           .withColumn("key", lit("")).withColumn("value", lit(""))
           .withColumn("route", lit(r)).limit(0)

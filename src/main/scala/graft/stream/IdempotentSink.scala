@@ -1,7 +1,7 @@
 package graft.stream
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Idempotent per-batch parquet commit for `foreachBatch` sinks.
   *
@@ -11,35 +11,75 @@ import org.apache.spark.sql.DataFrame
   * since downstream consumers cannot tell a duplicate file from new data.
   *
   * Protocol, all through the Hadoop FileSystem of the target path (works
-  * on HDFS/S3A, not just `file:`):
-  *  1. write the batch to `_staging/b<id>` with `overwrite` — a retry
-  *     starts from a clean staging dir;
-  *  2. delete every previously-committed `b<id>-*.parquet` for this batch
-  *     — a prior partial commit may have left MORE files than this
-  *     attempt produces (partition counts can change across restarts),
-  *     and stale leftovers would duplicate rows;
-  *  3. rename the staged files to deterministic `b<id>-<i>.parquet` names
-  *     and drop the staging dir.
+  * on HDFS/S3A-with-atomic-rename, not just `file:`): the unit of commit
+  * is a whole per-batch DIRECTORY, published by ONE atomic rename —
+  *
+  *  1. if `dir/b<id>` exists, the batch already committed: a retry is a
+  *     no-op (the name→content mapping of a committed batch is immutable,
+  *     so a downstream file-stream source that listed first-attempt files
+  *     can never see them replaced or partially duplicated);
+  *  2. otherwise write the batch to `dir/_staging/b<id>` with `overwrite`
+  *     (a retry starts from a clean staging dir);
+  *  3. rename `_staging/b<id>` → `dir/b<id>`. The rename either publishes
+  *     the complete directory or fails — its boolean result is checked and
+  *     a `false` raises, failing the batch so the streaming checkpoint is
+  *     not advanced past rows that never landed.
   *
   * Replaying any prefix of these steps converges to exactly one copy of
-  * the batch. `_staging` is underscore-prefixed, so readers ignore it;
-  * downstream file-stream sources see each committed name once.
+  * the batch. `_staging` is underscore-prefixed, so readers skip it; a
+  * committed `b<id>` directory appears atomically and never changes.
+  * Readers consume the sink with [[read]] (batch) or a `dir/b*` glob
+  * (file-stream source — the glob is re-resolved every trigger, so later
+  * batch directories are picked up as they are published).
   */
 object IdempotentSink {
 
+  /** Commit `batch` as the atomic directory `dir/b<batchId>`. */
   def writeBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
     val out = new Path(dir)
     val fs = out.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val target = new Path(out, s"b$batchId")
+    if (fs.exists(target)) return // prior attempt committed — retry is a no-op
     val stage = new Path(out, s"_staging/b$batchId")
     batch.write.mode("overwrite").parquet(stage.toString)
-    val staged = fs.listStatus(stage)
-      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
-    if (fs.exists(out)) fs.listStatus(out)
-      .filter(_.getPath.getName.matches(s"b$batchId-\\d+\\.parquet"))
-      .foreach(f => fs.delete(f.getPath, false))
-    staged.zipWithIndex.foreach { case (f, i) =>
-      fs.rename(f.getPath, new Path(out, s"b$batchId-$i.parquet"))
-    }
+    commitDir(fs, stage, target)
+  }
+
+  /** Fan a route-classified batch out to per-route sinks in ONE Spark job:
+    * a single `partitionBy(routeCol)` staged write (instead of one filtered
+    * write per route — N source scans, N jobs), then one atomic directory
+    * rename per populated route, committing `baseDir/<route>/b<batchId>`.
+    * Routes absent from the batch produce no directory — their sinks
+    * simply gain nothing this batch. */
+  def writeRoutedBatch(classified: DataFrame, baseDir: String, routeCol: String,
+                       batchId: Long): Unit = {
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(classified.sparkSession.sparkContext.hadoopConfiguration)
+    val stage = new Path(base, s"_staging/b$batchId")
+    classified.write.mode("overwrite").partitionBy(routeCol).parquet(stage.toString)
+    fs.listStatus(stage)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$routeCol="))
+      .foreach { st =>
+        val route = st.getPath.getName.stripPrefix(s"$routeCol=")
+        commitDir(fs, st.getPath, new Path(new Path(base, route), s"b$batchId"))
+      }
     fs.delete(stage, true)
+  }
+
+  /** Read back everything committed to a sink directory (all `b<id>`
+    * subdirectories; `_staging` and `_SUCCESS` markers are skipped by the
+    * standard hidden-path filter). */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(dir)
+
+  /** Publish a staged directory at `target` via one atomic rename. If a
+    * prior attempt already committed `target`, the staged copy is
+    * discarded — committed names and contents are immutable. */
+  private def commitDir(fs: FileSystem, staged: Path, target: Path): Unit = {
+    if (fs.exists(target)) { fs.delete(staged, true); return }
+    fs.mkdirs(target.getParent)
+    if (!fs.rename(staged, target))
+      throw new java.io.IOException(
+        s"idempotent commit failed: rename $staged -> $target returned false")
   }
 }

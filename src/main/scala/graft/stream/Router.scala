@@ -54,18 +54,22 @@ object Router {
     val q = classified(records, arity).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.cache()
-        try Routes.foreach { r =>
-          val branch = cached.filter(col("route") === r).select(col("key"), col("value"))
+        try {
           // cancelled: one row per invoice per batch (A2) with a
           // DETERMINISTIC surviving value — dropDuplicates("key") keeps a
           // task-order-dependent row when one invoice has several
           // distinct lines, which would make replayed output differ
-          val out = if (r == "cancelled")
-            branch.groupBy(col("key")).agg(min(col("value")).as("value"))
-          else branch
-          // at-least-once foreachBatch: commit through the idempotent
-          // staging/rename protocol, never a bare append
-          IdempotentSink.writeBatch(out, s"$baseDir/$r", batchId)
+          val cancelled = cached.filter(col("route") === "cancelled")
+            .groupBy(col("key")).agg(min(col("value")).as("value"))
+            .withColumn("route", lit("cancelled"))
+          val out = cached.filter(col("route") =!= "cancelled")
+            .select(col("key"), col("value"), col("route"))
+            .unionByName(cancelled)
+          // at-least-once foreachBatch: ONE partitionBy(route) staged write
+          // per batch (single job, all three sink directories), committed
+          // per route through the idempotent atomic-rename protocol —
+          // never a bare append
+          IdempotentSink.writeRoutedBatch(out, baseDir, "route", batchId)
         } finally cached.unpersist()
       }
       .option("checkpointLocation", s"$baseDir/_checkpoint")

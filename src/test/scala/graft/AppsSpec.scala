@@ -15,17 +15,24 @@ class AppsSpec extends SparkSuite {
     val s = spark
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("wb-").toString + "/out"
-    // first attempt commits 4 part files, "crashes" before the checkpoint
+    def committed() = graft.stream.IdempotentSink.read(s, dir)
+    // first attempt commits batch 7 as one atomic directory, "crashes"
+    // before the streaming checkpoint advances
     Pipeline.writeBatch(s.range(100).toDF("v").repartition(4), dir, batchId = 7)
-    assert(s.read.parquet(dir).count() == 100)
+    assert(committed().count() == 100)
+    val files7 = new java.io.File(s"$dir/b7").list().sorted.toSeq
     // the replayed batch produces FEWER files (partition count changed
-    // across restart) — stale b7-2/b7-3 must not survive as duplicates
+    // across restart) — the committed directory must be untouched: same
+    // names, same contents, no duplicates (a downstream file-stream source
+    // has already listed the first-attempt names)
     Pipeline.writeBatch(s.range(100).toDF("v").repartition(2), dir, batchId = 7)
-    assert(s.read.parquet(dir).count() == 100,
-      "replay with fewer part files must not leave stale duplicates")
+    assert(committed().count() == 100,
+      "replay must not duplicate rows or replace committed files")
+    assert(new java.io.File(s"$dir/b7").list().sorted.toSeq == files7,
+      "replay must leave the committed name->content mapping untouched")
     // a later batch lands alongside, earlier commit untouched
     Pipeline.writeBatch(s.range(5).toDF("v"), dir, batchId = 8)
-    assert(s.read.parquet(dir).count() == 105)
+    assert(committed().count() == 105)
     // staging is cleaned up per batch
     val staging = new java.io.File(s"$dir/_staging")
     assert(!staging.exists() || staging.listFiles().isEmpty,
@@ -70,9 +77,9 @@ class AppsSpec extends SparkSuite {
       s"$base/out", once = true)
     queries.foreach(_.awaitTermination())
 
-    val invalid = s.read.parquet(s"$base/out/facturas_erroneas")
-    val cancels = s.read.parquet(s"$base/out/cancelaciones")
-    val kmAnoms = s.read.parquet(s"$base/out/anomalias_kmeans")
+    val invalid = graft.stream.IdempotentSink.read(s, s"$base/out/facturas_erroneas")
+    val cancels = graft.stream.IdempotentSink.read(s, s"$base/out/cancelaciones")
+    val kmAnoms = graft.stream.IdempotentSink.read(s, s"$base/out/anomalias_kmeans")
     assert(invalid.count() > 0, "invalid route must fire")
     // every invalid line is a truncated (%13) one and vice versa
     assert(invalid.filter(!$"value".endsWith(",ES")).count() == invalid.count())

@@ -293,9 +293,9 @@ class StreamSpec extends SparkSuite {
     assert(Router.goodRecords(recs).collect().map(_.getString(0)).toSet == Set("1"))
     val base = java.nio.file.Files.createTempDirectory("router-spec-").toString
     Router.runToSinks(StreamRunner.asStream(recs), base)
-    val good = s.read.parquet(s"$base/good").collect()
-    val cancelled = s.read.parquet(s"$base/cancelled").collect()
-    val invalid = s.read.parquet(s"$base/invalid").collect()
+    val good = graft.stream.IdempotentSink.read(s, s"$base/good").collect()
+    val cancelled = graft.stream.IdempotentSink.read(s, s"$base/cancelled").collect()
+    val invalid = graft.stream.IdempotentSink.read(s, s"$base/invalid").collect()
     assert(good.map(_.getString(0)).toSeq == Seq("1"))
     assert(cancelled.length == 1, "per-batch distinct must collapse the duplicate")
     assert(invalid.map(_.getString(0)).toSet == Set("3", "4"))
