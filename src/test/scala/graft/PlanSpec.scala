@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+
+/** Catalog-wide physical-plan invariants — "the plan I'd want at 100×"
+  * as enforced asserts, not per-query comments.
+  *
+  * Every batch catalog query is planned (not executed) and checked for
+  * scale-killers: a `CartesianProduct` or an unhinted
+  * `BroadcastNestedLoopJoin` is O(n·m) at cluster scale no matter how
+  * fast it runs at test SF. The load-bearing plan shapes are then pinned
+  * individually: scan-level pushdown (q01/q06), top-k without a global
+  * sort (q02), dimension broadcast (q03), and the exchange-free bucketed
+  * join (q12). A negative control proves the pins have teeth.
+  *
+  * Streaming catalog entries (st*) are excluded: their query functions
+  * RUN a finite stream and return the sink read-back, so the returned
+  * plan is just a parquet/memory scan — their plan shapes (state bounds,
+  * watermarks, broadcast stream-static joins) are pinned in StreamSpec.
+  */
+class PlanSpec extends SparkSuite {
+
+  /** an01 is the documented brute-force ANN baseline: the query side is
+    * small and explicitly broadcast, the corpus side streams — a
+    * BroadcastNestedLoopJoin is the intended plan, not an accident. */
+  private val bnljWhitelist = Set("an01_cosine_topk_brute")
+
+  private def unwrap(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case other => other
+  }
+
+  private def planOf(df: DataFrame): SparkPlan =
+    unwrap(df.queryExecution.executedPlan)
+
+  private val batchQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    .filterNot(_._1.startsWith("st"))
+
+  for ((name, fn) <- batchQueries) {
+    test(s"$name plans without cartesian products or unhinted BNL joins") {
+      val plan = planOf(fn(spark, sf)).toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct — O(n*m) at scale:\n$plan")
+      if (!bnljWhitelist(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin — non-equi fallback, " +
+            s"O(n*m) work at scale:\n$plan")
+    }
+  }
+
+  test("q01/q06: predicates and projection reach the lineitem parquet scan") {
+    for ((name, maxCols) <- Seq("q01_pricing_summary" -> 7,
+                                "q06_revenue_forecast_filter" -> 4)) {
+      val scans = planOf(SparkEntry.queries(name)(spark, sf)).collect {
+        case f: FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, s"$name: no FileSourceScanExec found")
+      for (scan <- scans) {
+        assert(scan.metadata.getOrElse("PushedFilters", "[]") != "[]",
+          s"$name: scan has no pushed filters — the parquet reader would " +
+            s"decode every row group at scale:\n$scan")
+        assert(scan.requiredSchema.size <= maxCols,
+          s"$name: scan reads ${scan.requiredSchema.size} columns " +
+            s"(${scan.requiredSchema.fieldNames.mkString(",")}), " +
+            s"expected <= $maxCols — column pruning regressed")
+      }
+    }
+  }
+
+  test("q02: global top-k plans TakeOrderedAndProject, not a full sort") {
+    val plan = planOf(SparkEntry.queries("q02_top_orders")(spark, sf)).toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q02 must plan per-partition heaps + driver merge of k rows:\n$plan")
+  }
+
+  test("q03: the customer dimension joins as exactly one BroadcastHashJoin") {
+    // broadcast-by-stats off, so the ONE BroadcastHashJoin present is the
+    // explicit broadcast() hint on customer — the plan shape that holds at
+    // any fact-table size, not just when sf0.001 stats allow it
+    val s = spark
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planOf(SparkEntry.queries("q03_revenue_by_segment")(spark, sf)).toString
+      val nBhj = "BroadcastHashJoin".r.findAllIn(plan).size
+      assert(nBhj == 1,
+        s"q03 expected exactly 1 hinted BroadcastHashJoin (customer dim), got $nBhj:\n$plan")
+      assert(plan.contains("SortMergeJoin"),
+        s"q03's lineitem-orders join must shuffle-merge, not replicate:\n$plan")
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("q12: the bucketed join reads co-located buckets — no exchange below the join") {
+    // force the sort-merge path so bucket co-location (not a broadcast)
+    // is what removes the exchanges
+    val s = spark
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val root = planOf(SparkEntry.queries("q12_bucketed_join")(spark, sf))
+      val smjs = root.collect { case j: SortMergeJoinExec => j }
+      assert(smjs.nonEmpty, s"q12 expected a SortMergeJoin:\n$root")
+      for (j <- smjs) {
+        val shuffles = j.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.isEmpty,
+          s"q12's bucketed join must not shuffle either side:\n$root")
+      }
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("negative control: dropping q03's broadcast hint is caught by the pin") {
+    // the same join tree WITHOUT the hint: with stats-based broadcast off,
+    // no BroadcastHashJoin appears — proving the q03 pin fails when the
+    // hint is removed rather than passing vacuously
+    val s = spark
+    import s.implicits._
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val unhinted = graft.model.Tables.lineitem(s, sf)
+        .join(graft.model.Tables.orders(s, sf), $"l_orderkey" === $"o_orderkey")
+        .join(graft.model.Tables.customer(s, sf), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+      val plan = planOf(unhinted).toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        "unhinted twin unexpectedly broadcast — the q03 pin would not " +
+          s"detect a dropped hint:\n$plan")
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
