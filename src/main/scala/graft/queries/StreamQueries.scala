@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.model.{Schemas, Tables}
-import graft.stream.{CancellationWindow, InvoiceStateMachine, PurchaseLine, Router, StreamRunner, StreamSources}
+import graft.stream.{CancellationWindow, InvoiceStateMachine, PurchaseLine, Router, StreamRunner, StreamSources, TimedPurchaseLine}
 import QueryUtil._
 
 /** The Structured Streaming surface, proven by **batch equivalence**: each
@@ -138,15 +138,65 @@ object StreamQueries {
       stream.join(broadcast(Tables.orders(s, dir)), $"l_orderkey" === $"o_orderkey"), s)
     val (raw, q) = StreamRunner.toMemoryWithQuery(
       InvoiceStateMachine(lines, idleTimeoutMs = 0L))
+    (lastEmissionPerKey(raw, s), q)
+  }
+
+  /** An update-mode replay accumulates one emission per key per touched
+    * batch; the key's FINAL emission (largest `lines` — the fold count is
+    * strictly increasing per touched batch) is the complete aggregate the
+    * batch oracle compares against. */
+  private def lastEmissionPerKey(raw: DataFrame,
+                                 s: org.apache.spark.sql.SparkSession): DataFrame = {
+    import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"invoice_no").orderBy($"lines".desc)
-    val last = raw
+    raw
       .withColumn("_rn", row_number().over(w)).filter($"_rn" === 1).drop("_rn")
       .select($"invoice_no".cast("long").as("invoice_no"),
         $"avg_unit_price", $"min_unit_price", $"max_unit_price",
         $"time_of_day", $"number_items", $"lines")
       .orderBy($"invoice_no")
-    (last, q)
+  }
+
+  /** The same ≥3-trigger chunked replay as [[multibatchInvoiceState]], but
+    * through the EVENT-TIME state machine
+    * ([[InvoiceStateMachine.eventTimed]]): watermarked input, state
+    * lifecycle driven by the event-time watermark instead of a
+    * processing-time timeout — the production shape for out-of-order
+    * sources, here under the driver's hash oracle. The watermark delay and
+    * idle horizon both exceed the whole `o_orderdate` span of the replay,
+    * so no row is late-dropped and no key is purged mid-replay: the final
+    * emission per key must equal the batch weighted aggregate exactly
+    * (same oracle as st01/st07). Termination under `Trigger.AvailableNow`
+    * is sound for event-time timeouts — the engine only reruns while the
+    * watermark still advances (unlike processing-time timeouts, see
+    * [[InvoiceStateMachine.apply]]). */
+  private[graft] def eventTimedMultibatch(s: org.apache.spark.sql.SparkSession,
+                                          dir: String, nFiles: Int)
+      : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
+    import s.implicits._
+    val scratch = ensureStreamChunks(s, dir, nFiles)
+    val needed = Seq("l_orderkey", "l_quantity", "l_extendedprice")
+    val schema = StructType(Schemas.lineitem.filter(f => needed.contains(f.name)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(scratch)
+    val timed = stream
+      .join(broadcast(Tables.orders(s, dir)), $"l_orderkey" === $"o_orderkey")
+      .select(
+        struct(
+          $"l_orderkey".cast("string").as("invoiceNo"),
+          $"l_quantity".cast("long").as("quantity"),
+          $"l_extendedprice".as("unitPrice"),
+          cents($"l_extendedprice").as("unitPriceCents"),
+          (hour($"o_orderdate") * 60 + minute($"o_orderdate")).as("minuteOfDay"))
+          .as("line"),
+        $"o_orderdate".cast("timestamp").as("eventTime"))
+      .as[TimedPurchaseLine]
+    // > the ~7-year o_orderdate span: nothing is late, nothing purges
+    val horizonMs = 4000L * 24 * 3600 * 1000
+    val (raw, q) = StreamRunner.toMemoryWithQuery(
+      InvoiceStateMachine.eventTimed(timed, "4000 days", idleMs = horizonMs))
+    (lastEmissionPerKey(raw, s), q)
   }
 
   val queries: Map[String, Q] = Map(
@@ -240,6 +290,13 @@ object StreamQueries {
     // what the oracle hash-checks — not just the single-batch fold.
     "st07_invoice_state_multibatch" -> { (s, dir) =>
       multibatchInvoiceState(s, dir, nFiles = 3)._1
+    },
+
+    // A4, event-time flavor: the same cross-batch state merge as st07, but
+    // under a watermark with event-time-driven state lifecycle — the
+    // watermarked operator itself is what the oracle hash-checks.
+    "st11_invoice_state_eventtime" -> { (s, dir) =>
+      eventTimedMultibatch(s, dir, nFiles = 3)._1
     },
 
     // A2 (modern shape): streaming dropDuplicates in append mode — each
@@ -356,6 +413,10 @@ object StreamQueries {
     // The final per-key emission of the chunked replay must equal the same
     // batch aggregate — cross-batch state folding is exact.
     "st07_invoice_state_multibatch" -> s"$weightedAggSql ORDER BY invoice_no",
+
+    // Same aggregate through the watermarked event-time state machine: an
+    // over-span watermark makes the streaming result exactly the batch one.
+    "st11_invoice_state_eventtime" -> s"$weightedAggSql ORDER BY invoice_no",
 
     "st05_stream_anomalies" -> {
       val f = Seq("avg_unit_price", "min_unit_price", "max_unit_price",

@@ -275,6 +275,32 @@ class StreamSpec extends SparkSuite {
     assert(streamed.sameElements(batch), "cross-batch fold diverged from batch path")
   }
 
+  test("event-time state machine crosses >=3 micro-batches and matches the batch fold") {
+    val s = spark
+    import s.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val (df, q) = graft.queries.StreamQueries.eventTimedMultibatch(s, dir, nFiles = 3)
+    val streamed = df.collect()
+    // the watermarked replay genuinely ran >=3 data triggers
+    assert(q.lastProgress.batchId >= 2,
+      s"expected >=3 micro-batches, lastBatchId=${q.lastProgress.batchId}")
+    // over-span watermark: no late drops, no mid-replay purges — the final
+    // per-key emissions equal the untimed batch fold exactly
+    val joined = graft.model.Tables.lineitem(s, dir)
+      .join(graft.model.Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+    val batch = InvoiceStateMachine(
+      graft.queries.StreamQueries.purchaseLines(joined, s), idleTimeoutMs = 0L)
+      .toDF()
+      .select($"invoice_no".cast("long").as("invoice_no"),
+        $"avg_unit_price", $"min_unit_price", $"max_unit_price",
+        $"time_of_day", $"number_items", $"lines")
+      .orderBy($"invoice_no")
+      .collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    assert(streamed.sameElements(batch),
+      "event-time cross-batch fold diverged from batch path")
+  }
+
   test("router classifies and fans out; cancelled branch deduped per batch") {
     val s = spark
     import s.implicits._
