@@ -50,11 +50,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("dot_product", "dot_product(a, b) - dot product of two array<double> vectors."),
       (children: Seq[Expression]) => {
         // coerce SQL literal arrays (decimal/int elements) to
-        // array<double>, as the Column-API call sites do upstream
-        val cs = arity("dot_product", 2)(children).map(
-          org.apache.spark.sql.catalyst.expressions.Cast(_,
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType)))
+        // array<double>, as the Column-API call sites do upstream — but
+        // ONLY numeric arrays: an unconditional cast would turn e.g.
+        // array<string> into all-NULL doubles, which compute() skips,
+        // returning a plausible-looking wrong result instead of an
+        // analysis error (non-numeric inputs fall through to
+        // DotProduct.checkInputDataTypes, which rejects them)
+        import org.apache.spark.sql.types.{ArrayType, DoubleType, NumericType}
+        val cs = arity("dot_product", 2)(children).map { c =>
+          if (c.resolved) c.dataType match {
+            case ArrayType(DoubleType, _) => c
+            case ArrayType(_: NumericType, _) =>
+              org.apache.spark.sql.catalyst.expressions.Cast(
+                c, ArrayType(DoubleType))
+            case _ => c
+          } else c
+        }
         DotProduct(cs.head, cs(1))
       }))
   }

@@ -71,7 +71,15 @@ object ModelStore {
   private def artifactName(algo: String, key: String, featureCols: Seq[String],
                            idCol: String, sampleMod: Int, k: Int, seed: Long,
                            maxIter: Int, thresholdRank: Int): String = {
-    val featHash = f"${(featureCols.mkString(",") + "|" + idCol).hashCode & 0x7fffffff}%08x"
+    // MD5, not String.hashCode: the 32-bit hash collides two distinct
+    // (featureCols, idCol) configurations into one on-disk directory —
+    // exactly the racing-saves interleaving the name must prevent (the
+    // in-memory cacheKey is complete, but separate JVMs share only the
+    // directory)
+    val featHash = java.security.MessageDigest.getInstance("MD5")
+      .digest((featureCols.mkString(",") + "|" + idCol)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
     s"$algo-$key-$featHash-$sampleMod-$k-$seed-$maxIter-$thresholdRank"
   }
 

@@ -175,6 +175,15 @@ object RelationalQueries {
     // parallelism; exact integer moments are order-independent, so the
     // same doubles come out at any cluster size (and match DuckDB's
     // hugeint arithmetic bit-for-bit).
+    //
+    // Exactness envelope: the variance numerator n·s2 − s1² is computed in
+    // decimal(38,0), so it must stay below 10^38. With cents ≤ 10^7
+    // (prices ≤ $10^5), n·s2 ≤ n²·10^14 — exact up to n ≈ 10^12 rows PER
+    // GROUP; past that, Spark raises under ANSI mode (nulls otherwise)
+    // rather than silently losing precision. Beyond the envelope, either
+    // pre-aggregate per sub-key and combine the (n, s1, s2) triples on the
+    // few post-agg rows in arbitrary precision, or switch to Welford-style
+    // `var_pop` and give up bit-reproducibility.
     "q15_exact_moments" -> { (s, dir) =>
       import s.implicits._
       val cents = round($"l_extendedprice" * 100).cast("decimal(18,0)")

@@ -35,6 +35,20 @@ class ExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("dot_product: non-numeric arrays fail analysis, not silent NULL math") {
+    // an unconditional array<double> cast would element-wise-NULL an
+    // array<string> argument and return a plausible wrong number; the
+    // builder must instead let checkInputDataTypes reject it
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT dot_product(array('a','b'), array(1.0, 2.0))").head()
+    }
+    assert(e.getMessage.toLowerCase.contains("dot_product") ||
+      e.getMessage.contains("array<double>"), e.getMessage)
+    // numeric non-double arrays still coerce (the literal-friendly path)
+    assert(spark.sql("SELECT dot_product(array(1, 2), array(3, 4)) AS d")
+      .head().getDouble(0) == 11.0)
+  }
+
   test("dot_product: SQL-callable, bit-identical to the HOF formulation") {
     val s = spark
     import s.implicits._
