@@ -33,6 +33,42 @@ object EventQueries {
   val builds: Map[String, B] = Map(
     "build_partitioned_events" -> ((s, dir) => { ensurePartitionedEvents(s, dir); () }))
 
+  /** ev08's per-user grid bound: 45 days of hourly points. Wider than the
+    * testdata's whole 30-day span (the clamp never binds there), tight
+    * enough that output size is a function of the CONFIG, not of outliers. */
+  private[graft] val MaxResampleSpanHours: Int = 45 * 24
+
+  /** Time-series resample + forward fill: an hourly grid per user over the
+    * user's event span, each grid point carrying the latest event value at
+    * or before it — the classic gap-filling op, composed from the as-of
+    * join (grid = left side). Events are pre-collapsed to one row per
+    * (user, ts) via max_by so the fill is deterministic.
+    *
+    * Output size is `users × min(span, maxSpanHours)/1h` rows — a resample
+    * densifies by design, so the output IS a grid; the clamp keeps it a
+    * bounded one. Each user's grid covers the `maxSpanHours` ending at
+    * their NEWEST event, so one ancient stray event widens the span by
+    * zero rows instead of inflating that user's grid a thousandfold
+    * (points before the clamped start still forward-fill correctly — the
+    * as-of match looks at all events, not just in-grid ones). */
+  private[graft] def resampleFfill(ev: org.apache.spark.sql.DataFrame,
+                                   maxSpanHours: Int): org.apache.spark.sql.DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val uniq = ev.groupBy($"user_id".as("u"), $"ts".as("ets"))
+      .agg(max_by($"value", $"event_id").as("last_value"))
+    val grid = ev.groupBy($"user_id")
+      .agg(date_trunc("hour", min($"ts")).as("tmin"),
+        date_trunc("hour", max($"ts")).as("t1"))
+      .select($"user_id", $"t1",
+        greatest($"tmin", $"t1" - expr(s"INTERVAL $maxSpanHours HOURS")).as("t0"))
+      .select($"user_id",
+        explode(sequence($"t0", $"t1", expr("INTERVAL 1 HOUR"))).as("g"))
+    graft.ops.TemporalJoins.asOfJoin(grid, uniq, "user_id", "u", "g", "ets")
+      .select($"user_id",
+        date_format($"g", "yyyy-MM-dd HH:mm:ss").as("grid_ts"), $"last_value")
+  }
+
   val queries: Map[String, Q] = Map(
     // Tumbling-window counts (window → one hash aggregate on trunc(ts)).
     "ev01_tumbling_hour_counts" -> { (s, dir) =>
@@ -127,24 +163,10 @@ object EventQueries {
         .orderBy($"event_id")
     },
 
-    // Time-series resample + forward fill: an hourly grid per user over
-    // the user's event span, each grid point carrying the latest event
-    // value at or before it — the classic gap-filling op, composed from
-    // the as-of join (grid = left side). Events are pre-collapsed to one
-    // row per (user, ts) via max_by so the fill is deterministic.
+    // Time-series resample + forward fill — see [[resampleFfill]].
     "ev08_resample_ffill" -> { (s, dir) =>
       import s.implicits._
-      val ev = Tables.events(s, dir)
-      val uniq = ev.groupBy($"user_id".as("u"), $"ts".as("ets"))
-        .agg(max_by($"value", $"event_id").as("last_value"))
-      val grid = ev.groupBy($"user_id")
-        .agg(date_trunc("hour", min($"ts")).as("t0"),
-          date_trunc("hour", max($"ts")).as("t1"))
-        .select($"user_id",
-          explode(sequence($"t0", $"t1", expr("INTERVAL 1 HOUR"))).as("g"))
-      graft.ops.TemporalJoins.asOfJoin(grid, uniq, "user_id", "u", "g", "ets")
-        .select($"user_id",
-          date_format($"g", "yyyy-MM-dd HH:mm:ss").as("grid_ts"), $"last_value")
+      resampleFfill(Tables.events(s, dir), MaxResampleSpanHours)
         .orderBy($"user_id", $"grid_ts")
     },
 
@@ -233,12 +255,15 @@ object EventQueries {
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin,
 
+    // the greatest() clamp mirrors MaxResampleSpanHours (45 days)
     "ev08_resample_ffill" ->
       """WITH uniq AS (
         |  SELECT user_id AS u, ts AS ets, max_by(value, event_id) AS last_value
         |  FROM events GROUP BY 1, 2),
         |span AS (
-        |  SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+        |  SELECT user_id,
+        |         greatest(date_trunc('hour', min(ts)),
+        |                  date_trunc('hour', max(ts)) - INTERVAL 1080 HOUR) AS t0,
         |         date_trunc('hour', max(ts)) AS t1
         |  FROM events GROUP BY 1),
         |grid AS (

@@ -143,6 +143,39 @@ class TemporalJoinsSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("resampleFfill: one ancient stray event cannot inflate a user's grid") {
+    val s = spark
+    import s.implicits._
+    def ts(str: String) = java.sql.Timestamp.valueOf(str)
+    val ev = Seq(
+      // u1: one event a DECADE before the rest — unclamped, its grid would
+      // be ~87k hourly rows
+      (1L, "u1", ts("2014-01-01 00:30:00"), 5.0),
+      (2L, "u1", ts("2024-01-02 10:15:00"), 7.0),
+      (3L, "u1", ts("2024-01-02 12:45:00"), 9.0),
+      // u2: a well-behaved 2-hour span
+      (4L, "u2", ts("2024-01-02 10:00:00"), 1.0),
+      (5L, "u2", ts("2024-01-02 12:00:00"), 2.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = graft.queries.EventQueries.resampleFfill(ev, maxSpanHours = 48)
+      .orderBy($"user_id", $"grid_ts").collect()
+    val u1 = out.filter(_.getString(0) == "u1")
+    // u1's grid covers the 48h ending at its newest hour, not the decade
+    assert(u1.length == 49, s"expected 49 clamped grid rows, got ${u1.length}")
+    assert(u1.head.getString(1) == "2023-12-31 12:00:00")
+    assert(u1.last.getString(1) == "2024-01-02 12:00:00")
+    // pre-clamp history still forward-fills: the first grid points carry
+    // the ancient event's value, later ones pick up the in-span updates
+    // (the 12:45 event lands after the last grid point 12:00 — hour-
+    // truncated max — so 9.0 never appears on the grid)
+    assert(u1.head.getDouble(2) == 5.0)
+    assert(u1.count(_.getDouble(2) == 7.0) == 2) // 11:00 and 12:00 >= 10:15
+    assert(u1.last.getDouble(2) == 7.0)
+    assert(!u1.exists(_.getDouble(2) == 9.0))
+    // u2 is untouched by the clamp
+    assert(out.filter(_.getString(0) == "u2").length == 3)
+  }
+
   test("contentSplit: deterministic, duplicates co-assigned, both splits hit") {
     val s = spark
     import s.implicits._
