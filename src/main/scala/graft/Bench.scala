@@ -15,6 +15,31 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var failed = List.empty[String]
+    // Session state accumulated by earlier queries taxes later ones (the
+    // round-4 full run inflated late streaming queries 2-4x over their
+    // isolated times): each StreamRunner memory sink pins its query's full
+    // output for the rest of the session, terminated queries leave state
+    // store providers (and their maintenance thread) loaded, and asStream
+    // scratch inputs pile up on disk. Scrub between timed entries — never
+    // inside them — so each query runs against a session as clean as an
+    // isolated SPARK_GRAFT_BENCH_ONLY run.
+    def scrub(): Unit = {
+      val catalog = spark.sessionState.catalog
+      catalog.listLocalTempViews("graft_sink_*")
+        .foreach(t => spark.catalog.dropTempView(t.table))
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      val scratch = new java.io.File("target/stream-scratch")
+      Option(scratch.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("in-")) // keep memoized chunk fixtures
+        .foreach(del)
+      // nudge the ContextCleaner: shuffle files and localCheckpoint blocks
+      // of finished queries are reclaimed on GC of their references
+      System.gc()
+    }
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete(): Unit
+    }
     def timed(kind: String, name: String)(f: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
       try f
@@ -24,7 +49,9 @@ object Bench {
         failed ::= name
         System.err.println(s"[bench] $kind $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = name -> (System.nanoTime() - t0) / 1e9
+      scrub()
+      t
     }
     // optional comma-separated name-prefix filter for timing a subset in
     // isolation (e.g. SPARK_GRAFT_BENCH_ONLY=st03); unset = full catalog

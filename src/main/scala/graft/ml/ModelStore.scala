@@ -27,6 +27,12 @@ object ModelStore {
 
   private val cache = new ConcurrentHashMap[String, AnomalyModel]()
 
+  /** Count of actual model fits this session (cache misses). Specs use it
+    * to assert that an index build and its query resolve to the SAME memo
+    * key — i.e. a query after its build is a pure probe, never a silent
+    * retrain. */
+  private[graft] val trains = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Bound the training set with a deterministic hash sample on the key
     * column (1 in `sampleMod`; ≤1 disables). The offline leg — fit +
     * threshold calibration — runs on the sample, the online leg scores
@@ -68,9 +74,12 @@ object ModelStore {
                        maxIter: Int, thresholdRank: Int): String =
     s"$algo|$key|${featureCols.mkString(",")}|$idCol|$sampleMod|$k|$seed|$maxIter|$thresholdRank"
 
-  private def artifactName(algo: String, key: String, featureCols: Seq[String],
-                           idCol: String, sampleMod: Int, k: Int, seed: Long,
-                           maxIter: Int, thresholdRank: Int): String = {
+  /** Package-visible so specs derive the expected on-disk directory
+    * through the SAME naming scheme the store uses — never a hard-coded
+    * string that silently rots when the scheme changes. */
+  private[graft] def artifactName(algo: String, key: String, featureCols: Seq[String],
+                                  idCol: String, sampleMod: Int, k: Int, seed: Long,
+                                  maxIter: Int, thresholdRank: Int): String = {
     // MD5, not String.hashCode: the 32-bit hash collides two distinct
     // (featureCols, idCol) configurations into one on-disk directory —
     // exactly the racing-saves interleaving the name must prevent (the
@@ -90,6 +99,7 @@ object ModelStore {
                     thresholdRank: Int = 2000): AnomalyModel =
     cache.computeIfAbsent(cacheKey("kmeans", key, featureCols, idCol, sampleMod,
         k, seed, maxIter, thresholdRank), _ => {
+      trains.incrementAndGet()
       val f = sampled(feats, idCol, sampleMod).cache()
       try {
         val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
@@ -109,6 +119,7 @@ object ModelStore {
                        thresholdRank: Int = 2000): AnomalyModel =
     cache.computeIfAbsent(cacheKey("bisecting", key, featureCols, idCol, sampleMod,
         k, seed, maxIter, thresholdRank), _ => {
+      trains.incrementAndGet()
       val f = sampled(feats, idCol, sampleMod).cache()
       try {
         val model = new BisectingKMeans().setK(k).setSeed(seed).setMaxIter(maxIter)

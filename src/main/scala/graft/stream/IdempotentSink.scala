@@ -55,6 +55,14 @@ object IdempotentSink {
                        batchId: Long): Unit = {
     val base = new Path(baseDir)
     val fs = base.getFileSystem(classified.sparkSession.sparkContext.hadoopConfiguration)
+    // A single route directory existing is NOT proof the whole batch
+    // committed (a crash can land between per-route renames), so full
+    // completion gets its own marker: `_committed/b<id>` is created only
+    // after every populated route's rename. A retry of a fully-committed
+    // batch then skips the staging write entirely instead of re-running
+    // the whole partitionBy job and discarding every directory.
+    val done = new Path(base, s"_committed/b$batchId")
+    if (fs.exists(done)) return
     val stage = new Path(base, s"_staging/b$batchId")
     classified.write.mode("overwrite").partitionBy(routeCol).parquet(stage.toString)
     fs.listStatus(stage)
@@ -64,6 +72,7 @@ object IdempotentSink {
         commitDir(fs, st.getPath, new Path(new Path(base, route), s"b$batchId"))
       }
     fs.delete(stage, true)
+    fs.mkdirs(done): Unit
   }
 
   /** Read back everything committed to a sink directory (all `b<id>`

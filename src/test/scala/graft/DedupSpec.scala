@@ -82,6 +82,48 @@ class DedupSpec extends SparkSuite {
       "pairs found by several probes are deduplicated")
   }
 
+  test("simhash dup pairs: recall vs brute-force exact hamming ground truth") {
+    // Ground truth: the EXACT hamming-≤h pair sets over the corpus, from a
+    // signature self-join (500 docs → 125k pairs — fine in a spec; the
+    // operator under test exists precisely so production never does this).
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sigs = docs.select(col("doc_id").as("id"), Dedup.simHash(col("text")).as("sig"))
+    val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    def truthAt(h: Int): Set[(Long, Long)] = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= h)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth8 = truthAt(8)
+    val truth4 = truthAt(4)
+    assert(truth8.size > 100 && truth4.nonEmpty,
+      "corpus must contain hamming-close pairs to measure recall")
+    def foundAt(rot: Int): Set[(Long, Long)] =
+      Dedup.simHashDupPairs(docs, "doc_id", "text",
+        prefixBits = 12, maxHamming = 8, rotations = rot)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(found: Set[(Long, Long)], truth: Set[(Long, Long)]): Double =
+      (truth intersect found).size.toDouble / truth.size
+    // single probe: the differing bits of a hamming-8 pair dodge ONE 12-bit
+    // prefix window with probability ≈ (52/64)^8 ≈ 0.19 — measured 0.142
+    val single = foundAt(1)
+    assert(single.subsetOf(truth8), "every emitted pair must be a true hamming-≤8 pair")
+    info(f"single-probe recall@8 = ${recall(single, truth8)}%.3f over ${truth8.size} true pairs")
+    assert(recall(single, truth8) >= 0.10,
+      s"single-probe recall regressed below its measured 0.142: ${recall(single, truth8)}")
+    // dd02's production configuration (8 rotation probes): measured 0.891
+    // on hamming-≤8, 1.0 on the genuine near-dups (hamming-≤4)
+    val multi = foundAt(8)
+    assert(multi.subsetOf(truth8))
+    info(f"8-probe recall@8 = ${recall(multi, truth8)}%.3f, recall@4 = ${recall(multi, truth4)}%.3f")
+    assert(recall(multi, truth8) >= 0.80,
+      s"dd02's 8-probe recall regressed below its measured 0.891: ${recall(multi, truth8)}")
+    assert(recall(multi, truth4) >= 0.95,
+      s"8-probe recall on tight (hamming-≤4) pairs regressed below its measured 1.0")
+  }
+
   test("connected components: chains merge, separate clusters stay apart") {
     val s = spark
     import s.implicits._

@@ -45,8 +45,12 @@ class MlSpec extends SparkSuite {
       k = 2, seed = 5L, thresholdRank = 10)
     assert(m1.centers.size == 2)
     assert(m1.threshold > 0.0 || m1.threshold == 0.0) // finite, loaded back
-    // artifacts exist on disk (model dir + threshold file)
-    val dir = Persistence.artifactDir("kmeans-spec-2-5")
+    // artifacts exist on disk (model dir + threshold file) — the expected
+    // directory is derived through the store's OWN naming scheme, so this
+    // assertion cannot rot when the scheme changes (it did in round 4)
+    val dir = Persistence.artifactDir(ModelStore.artifactName(
+      "kmeans", "spec", Seq("a", "b"), idCol = "invoice_no", sampleMod = 1,
+      k = 2, seed = 5L, maxIter = 10, thresholdRank = 10))
     assert(new java.io.File(dir, "metadata").exists())
     assert(new java.io.File(dir, "threshold.txt").exists())
     // memoized: second call returns the identical instance
@@ -57,6 +61,24 @@ class MlSpec extends SparkSuite {
     val b = ModelStore.bisectingAnomaly("spec", feats, Seq("a", "b"),
       k = 2, seed = 5L, thresholdRank = 10)
     assert(b.centers.size == 2)
+  }
+
+  test("build_kmeans_model and ml02 resolve to the SAME ModelStore key (no silent retrain)") {
+    // The bench amortizes training as an index build; if the query's
+    // invocation ever drifts from the build's (a parameter, the key, the
+    // feature list), query time silently swallows a retrain. Run the
+    // build, then the query, and assert the second call was a pure probe.
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.indexBuilds("build_kmeans_model")(spark, dir)
+    val after = ModelStore.trains.get()
+    SparkEntry.queries("ml02_invoice_anomalies_trained")(spark, dir).count()
+    assert(ModelStore.trains.get() == after,
+      "ml02 retrained: its ModelStore invocation no longer matches build_kmeans_model's")
+    SparkEntry.indexBuilds("build_bisecting_model")(spark, dir)
+    val after2 = ModelStore.trains.get()
+    SparkEntry.queries("ml04_bisecting_anomalies")(spark, dir).count()
+    assert(ModelStore.trains.get() == after2,
+      "ml04 retrained: its ModelStore invocation no longer matches build_bisecting_model's")
   }
 
   test("elbow selection: documented semantics (first k where ratio exceeded)") {

@@ -301,6 +301,35 @@ class StreamSpec extends SparkSuite {
       "event-time cross-batch fold diverged from batch path")
   }
 
+  test("routed-batch retry after full commit skips the staging write entirely") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit, raise_error, when}
+    val base = java.nio.file.Files.createTempDirectory("routed-retry-").toString
+    val df = Seq(("1", "good"), ("2", "bad")).toDF("v", "route")
+    graft.stream.IdempotentSink.writeRoutedBatch(df, base, "route", batchId = 3)
+    def goodVals() = graft.stream.IdempotentSink.read(s, s"$base/good")
+      .collect().map(_.getString(0)).toSeq
+    assert(goodVals() == Seq("1"))
+    // a retry of a fully-committed batch must not re-run the staging job:
+    // this frame raises on evaluation, so reaching the next assert proves
+    // the early-exit returned before any write was attempted
+    val poisoned = df.withColumn("v",
+      when(lit(true), raise_error(lit("retry evaluated the batch"))).otherwise(col("v")))
+    graft.stream.IdempotentSink.writeRoutedBatch(poisoned, base, "route", batchId = 3)
+    assert(goodVals() == Seq("1"))
+    // a PARTIALLY committed batch (route dir landed, marker did not — crash
+    // between renames) must still re-stage and converge to one copy
+    val df4 = Seq(("5", "good"), ("6", "bad")).toDF("v", "route")
+    graft.stream.IdempotentSink.writeRoutedBatch(df4, base, "route", batchId = 4)
+    val marker = new java.io.File(s"$base/_committed/b4")
+    assert(marker.exists(), "full commit must leave the completion marker")
+    marker.delete()
+    graft.stream.IdempotentSink.writeRoutedBatch(df4, base, "route", batchId = 4)
+    assert(goodVals().sorted == Seq("1", "5"), "partial-commit retry must not duplicate")
+    assert(marker.exists(), "retry must restore the completion marker")
+  }
+
   test("router classifies and fans out; cancelled branch deduped per batch") {
     val s = spark
     import s.implicits._
