@@ -26,7 +26,15 @@ def canon(df):
     """Canonical row multiset: columns sorted by name, every cell
     stringified (floats via repr of float64 — both engines hand back
     IEEE doubles, and catalog queries round any float output, so exact
-    repr compare is the driver-faithful check)."""
+    repr compare is the driver-faithful check).
+
+    INVARIANT this relies on: every catalog query ROUNDS its float
+    outputs (round(x, n)) so both engines serialize the identical
+    double. A new catalog entry emitting raw unrounded doubles can
+    hash-mismatch on last-bit noise even when semantically equal —
+    when that happens the report entry carries
+    ``floats_within_eps: true`` (see rows_close) to distinguish float
+    formatting drift from a real divergence."""
     df = df.reindex(sorted(df.columns), axis=1)
 
     def cell(v):
@@ -44,6 +52,28 @@ def canon(df):
     return list(df.columns), rows
 
 
+def rows_close(s_rows, o_rows, rel=1e-9):
+    """Diagnostic only (the gate stays exact, like the driver's): true
+    iff every cell matches exactly OR both parse as floats within
+    relative epsilon — flags mismatches that are float-formatting
+    noise rather than real divergence."""
+    if len(s_rows) != len(o_rows):
+        return False
+    for a, b in zip(s_rows, o_rows):
+        if len(a) != len(b):
+            return False
+        for x, y in zip(a, b):
+            if x == y:
+                continue
+            try:
+                fx, fy = float(x), float(y)
+            except ValueError:
+                return False
+            if not abs(fx - fy) <= rel * max(abs(fx), abs(fy)):
+                return False
+    return True
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -57,7 +87,7 @@ def main():
 
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
-    report, failed = {}, []
+    report, failed, warned = {}, [], []
     for name in names:
         glob_path = os.path.join(out_dir, name, "*.parquet")
         try:
@@ -68,10 +98,16 @@ def main():
             failed.append(name)
             continue
         if name not in oracle:
-            report[name] = {"rows_only": True, "spark_rows": len(sdf),
-                            "ok": len(sdf) > 0}
+            # An empty rows-only result is suspicious but not provably
+            # wrong (a filter can legitimately match nothing at a small
+            # SF); warn loudly instead of failing — only the driver's
+            # oracle compare can prove a divergence, and a false RED
+            # here would mask real failures.
+            entry = {"rows_only": True, "spark_rows": len(sdf), "ok": True}
             if len(sdf) == 0:
-                failed.append(name)
+                entry["warn"] = "empty result"
+                warned.append(name)
+            report[name] = entry
             continue
         try:
             odf = con.execute(oracle[name]).fetchdf()
@@ -89,6 +125,8 @@ def main():
         if not (entry["rows_match"] and entry["schema_match"]
                 and entry["hash_match"]):
             failed.append(name)
+            # distinguish float-formatting noise from a real divergence
+            entry["floats_within_eps"] = rows_close(s_rows, o_rows)
             # show the first diverging row to make the diff actionable
             diff = next((i for i, (a, b) in enumerate(zip(s_rows, o_rows))
                          if a != b), None)
@@ -105,6 +143,8 @@ def main():
                   and r.get("hash_match"))
     print(f"selfcheck: {n_green}/{n_oracle} oracle-eligible green, "
           f"{len(report) - n_oracle} rows-only, report at {out_path}")
+    if warned:
+        print("WARN (rows-only, empty result): " + ", ".join(sorted(warned)))
     if failed:
         print("FAILED: " + ", ".join(sorted(failed)))
         sys.exit(1)

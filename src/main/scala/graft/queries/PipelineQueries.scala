@@ -94,6 +94,41 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Self-certifying IVF quality: recall@5 of the IVF answer against
+    // an01's exact answer at two probe settings, emitted as pass/fail
+    // bits the DuckDB oracle pins to 1. Both inputs are deterministic
+    // (seeded quantizer, id-tiebroken ranks), so this converts the IVF
+    // entry's rows-only story into a hash-checked recall guarantee at
+    // EVERY scale factor the driver verifies — without the oracle having
+    // to reproduce model internals. Two points on the recall curve:
+    //  - nProbe=4 (an02's production posture, 1/4 of cells scanned)
+    //    against a 0.5 floor — this corpus is near-random embeddings
+    //    (see dd04's note), the worst case for cell locality, and its
+    //    measured recall at 1/4-probe is 0.56–0.70 across SFs;
+    //  - nProbe=12 against the 0.85 quality bar (measured 0.88–0.96) —
+    //    certifying the probe knob reaches target recall when cranked.
+    // The raw recall value at nProbe=8 is additionally pinned in
+    // DedupSpec against the same brute-force frames.
+    "an03_ivf_recall" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+      def point(nProbe: Int, bar: Double) = {
+        val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+            nCells = 16, nProbe = nProbe, quantizerKey = s"emb-$dir")
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+        // both sides are k·|queries| rows — tiny by construction
+        exact.join(approx,
+            col("qid") === col("query_id") && col("nid") === col("neighbor_id"), "left")
+          .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)))
+            .as("recall"))
+          .select(lit(nProbe.toLong).as("n_probe"), lit(bar).as("threshold"),
+            when(col("recall") >= bar, 1L).otherwise(0L).as("recall_ok"))
+      }
+      point(4, 0.5).unionByName(point(12, 0.85)).orderBy(col("n_probe"))
+    },
+
     // Fingerprint + BPE-ish token estimate (language-ID moved to
     // TextQueries, where it is oracle-checked).
     "tx07_fingerprints" -> { (s, dir) =>
@@ -260,6 +295,17 @@ object PipelineQueries {
     * dependent; and dd04's full-recall configuration would be the O(n²)
     * scan (see its entry). */
   val oracles: Map[String, String] = Map(
+    // Constant oracle: the IVF pipeline must deliver recall@5 above each
+    // probe setting's calibrated bar at any SF the driver runs — the
+    // quality bars themselves are the hash-checked values (see the an03
+    // entry for the two-point recall-curve rationale).
+    "an03_ivf_recall" ->
+      """SELECT CAST(4 AS BIGINT) AS n_probe, 0.5 AS threshold,
+        |       CAST(1 AS BIGINT) AS recall_ok
+        |UNION ALL
+        |SELECT CAST(12 AS BIGINT), 0.85, CAST(1 AS BIGINT)
+        |ORDER BY n_probe""".stripMargin,
+
     // Exact top-k by cosine: both engines compute the same doubles from
     // the same float-widened vectors, so ranks AND rounded scores match.
     "an01_cosine_topk_brute" ->

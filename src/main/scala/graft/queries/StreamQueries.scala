@@ -81,14 +81,18 @@ object StreamQueries {
 
   /** The streaming purchase-line feed: streaming lineitem scan (pruned to
     * the three needed columns) → stream-static join with orders → typed
-    * `PurchaseLine`s. Shared by the state-machine queries. */
-  private def purchaseStream(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    * `PurchaseLine`s. Shared by the state-machine queries. The static
+    * dimension is broadcast EXPLICITLY: AQE is disabled inside stateful
+    * streaming plans, so without the hint the join shape rides on the
+    * static side's size estimate — the hint is what holds at scale.
+    * (Same plan as the multibatch twin; pinned in StreamSpec.) */
+  private[graft] def purchaseStream(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
     val needed = Set("l_orderkey", "l_quantity", "l_extendedprice")
     val schema = StructType(Schemas.lineitem.filter(f => needed(f.name)))
     purchaseLines(
       StreamSources.parquetStream(s, dir, "lineitem", schema)
-        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey"), s)
+        .join(broadcast(Tables.orders(s, dir)), $"l_orderkey" === $"o_orderkey"), s)
   }
 
   private val chunkDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -68,7 +68,7 @@ class MlSpec extends SparkSuite {
     // invocation ever drifts from the build's (a parameter, the key, the
     // feature list), query time silently swallows a retrain. Run the
     // build, then the query, and assert the second call was a pure probe.
-    val dir = "/root/testdata/sf0.001"
+    val dir = sf
     SparkEntry.indexBuilds("build_kmeans_model")(spark, dir)
     val after = ModelStore.trains.get()
     SparkEntry.queries("ml02_invoice_anomalies_trained")(spark, dir).count()

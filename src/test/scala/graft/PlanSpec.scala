@@ -27,8 +27,9 @@ class PlanSpec extends SparkSuite {
 
   /** an01 is the documented brute-force ANN baseline: the query side is
     * small and explicitly broadcast, the corpus side streams — a
-    * BroadcastNestedLoopJoin is the intended plan, not an accident. */
-  private val bnljWhitelist = Set("an01_cosine_topk_brute")
+    * BroadcastNestedLoopJoin is the intended plan, not an accident.
+    * an03 embeds that same brute-force frame as the recall ground truth. */
+  private val bnljWhitelist = Set("an01_cosine_topk_brute", "an03_ivf_recall")
 
   private def unwrap(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => a.executedPlan

@@ -355,4 +355,20 @@ class StreamSpec extends SparkSuite {
     assert(cancelled.length == 1, "per-batch distinct must collapse the duplicate")
     assert(invalid.map(_.getString(0)).toSet == Set("3", "4"))
   }
+
+  test("st01's stream-static join broadcasts the static dimension (pinned plan)") {
+    // AQE is off inside stateful streaming plans, so the broadcast() hint
+    // in purchaseStream is load-bearing — without it the join shape rides
+    // on a size estimate that won't hold at a 100 TB static side. Pin the
+    // EXECUTED streaming plan the way PlanSpec pins q03's batch join.
+    val (df, q) = StreamRunner.toMemoryWithQuery(
+      InvoiceStateMachine(
+        graft.queries.StreamQueries.purchaseStream(spark, sf), idleTimeoutMs = 0L))
+    assert(df.count() > 0)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) { q.explain() }
+    val plan = out.toString("UTF-8")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stream-static join must broadcast the static orders side; got:\n$plan")
+  }
 }
