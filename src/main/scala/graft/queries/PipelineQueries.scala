@@ -138,6 +138,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Self-certifying fingerprint integrity (upgrades tx07's rows-only
+    // story the way an03 upgrades an02's): a fingerprint is useful iff it
+    // is (a) a pure function of the text — every distinct text maps to
+    // exactly one fingerprint, proven across partitioning/replay — and
+    // (b) collision-free on the corpus. Both are checkable against DuckDB
+    // WITHOUT reproducing the hash: the oracle recomputes the doc and
+    // distinct-text counts from the raw table (real data-derived columns,
+    // not constants) and pins the two integrity bits to 1. Distinctness
+    // of text is counted via its 128-bit md5 digest — the same
+    // shuffle-16-bytes-never-text posture as tx03's exact dedup — which
+    // equals count(DISTINCT text) absent an md5 collision.
+    "tx11_fingerprint_integrity" -> { (s, dir) =>
+      val fp = Tables.documents(s, dir)
+        .select(md5(col("text")).as("digest"),
+          TextOps.fingerprint(col("text")).as("fp"))
+      fp.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("digest")).as("n_texts"),
+          countDistinct(col("fp")).as("n_fp"),
+          countDistinct(col("digest"), col("fp")).as("n_text_fp"))
+        .select(col("n_docs"), col("n_texts"),
+          when(col("n_fp") === col("n_texts"), 1L).otherwise(0L)
+            .as("collision_free"),
+          when(col("n_text_fp") === col("n_texts"), 1L).otherwise(0L)
+            .as("fp_is_function_of_text"))
+    },
+
     // Multimodal: binary payload → per-partition (stub) decode → metadata.
     "mm01_media_metadata" -> { (s, dir) =>
       Multimodal.decodeMeta(Multimodal.withPayload(Tables.documents(s, dir)))
@@ -305,6 +332,16 @@ object PipelineQueries {
         |UNION ALL
         |SELECT CAST(12 AS BIGINT), 0.85, CAST(1 AS BIGINT)
         |ORDER BY n_probe""".stripMargin,
+
+    // Doc/distinct-text counts recomputed from the raw table; the two
+    // integrity bits (no fingerprint collisions, fingerprint is a pure
+    // function of text) are pinned to 1 — see the tx11 entry.
+    "tx11_fingerprint_integrity" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT text) AS BIGINT) AS n_texts,
+        |       CAST(1 AS BIGINT) AS collision_free,
+        |       CAST(1 AS BIGINT) AS fp_is_function_of_text
+        |FROM documents""".stripMargin,
 
     // Exact top-k by cosine: both engines compute the same doubles from
     // the same float-widened vectors, so ranks AND rounded scores match.
