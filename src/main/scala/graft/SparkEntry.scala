@@ -24,6 +24,7 @@ object SparkEntry {
     (TextQueries.queries, TextQueries.oracles),
     (PipelineQueries.queries, PipelineQueries.oracles),
     (StreamQueries.queries, StreamQueries.oracles),
+    (SketchQueries.queries, SketchQueries.oracles),
     (IngestQueries.queries, IngestQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */

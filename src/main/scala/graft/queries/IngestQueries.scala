@@ -1,7 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
+import graft.model.Tables
 import graft.sources.PurchaseCsv
 import QueryUtil._
 
@@ -10,6 +12,12 @@ import QueryUtil._
   * is scanned with the explicit purchase schema, destructured with
   * `from_csv`, and serialized back to JSON sink payloads — each leg
   * oracle-checked against DuckDB reading the *same file*.
+  *
+  * Plus the columnar/text interchange formats a lake engine must speak
+  * beyond parquet: ORC (cs06) and JSON-lines (cs07), each certified by a
+  * write→read roundtrip whose content digest must hash-match DuckDB
+  * reading the ORIGINAL parquet — any byte lost or mangled in either leg
+  * of the format conversion breaks the digest.
   */
 object IngestQueries {
 
@@ -25,10 +33,38 @@ object IngestQueries {
       if (writtenFor != dir) { PurchaseCsv.writeFixture(s, dir, fixtureDir); writtenFor = dir }
     }
 
-  /** The CSV fixture write, exposed as a timed build (otherwise it lands
+  /** ORC twin of the lineitem table (pruned to the roundtrip columns),
+    * (re)written once per session like the CSV fixture. */
+  private val orcDir = new java.io.File("target/fixtures/lineitem_orc").getAbsolutePath
+  private var orcFor: String = null
+  private def ensureOrc(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    writeLock.synchronized {
+      if (orcFor != dir) {
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+          .write.mode("overwrite").orc(orcDir)
+        orcFor = dir
+      }
+    }
+
+  /** JSON-lines twin of the documents table. */
+  private val jsonlDir = new java.io.File("target/fixtures/documents_jsonl").getAbsolutePath
+  private var jsonlFor: String = null
+  private def ensureJsonl(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    writeLock.synchronized {
+      if (jsonlFor != dir) {
+        Tables.documents(s, dir).select("doc_id", "lang", "text")
+          .write.mode("overwrite").json(jsonlDir)
+        jsonlFor = dir
+      }
+    }
+
+  /** The fixture writes, exposed as timed builds (otherwise they land
     * on whichever cs* query the bench runs first). */
   val builds: Map[String, QueryUtil.B] = Map(
-    "build_csv_fixture" -> ((s, dir) => ensureFixture(s, dir)))
+    "build_csv_fixture" -> ((s, dir) => ensureFixture(s, dir)),
+    "build_orc_fixture" -> ((s, dir) => ensureOrc(s, dir)),
+    "build_jsonl_fixture" -> ((s, dir) => ensureJsonl(s, dir)))
 
   private val duckReadCsv =
     s"""read_csv('$fixtureDir/*.csv', header=false, columns={
@@ -109,6 +145,40 @@ object IngestQueries {
         .select(col("p.invoice_no").as("invoice_no"), col("p.quantity").as("quantity"),
           col("p.customer_id").as("customer_id"), col("p.country").as("country"))
         .orderBy(col("invoice_no"))
+    },
+
+    // ORC write→read roundtrip, certified by content digest: row count,
+    // exact money sum, and the count of DISTINCT per-row md5 digests
+    // (over integer/string renderings only — double→string formatting is
+    // never compared across engines) must match DuckDB on the original
+    // parquet. ORC is Spark's other first-class columnar source — same
+    // vectorized reader, pushdown, and pruning machinery as parquet
+    // (pushdown pinned in IngestSpec).
+    "cs06_orc_roundtrip" -> { (s, dir) =>
+      ensureOrc(s, dir)
+      val back = s.read.orc(orcDir)
+      back.agg(
+        count(lit(1)).as("n_rows"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+        countDistinct(md5(concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity").cast("long"),
+          cents(col("l_extendedprice")), col("l_returnflag")))).as("n_distinct_rows"))
+    },
+
+    // JSON-lines write→read roundtrip over the documents corpus (the
+    // interchange format raw training-data usually arrives in): read back
+    // with an explicit schema, digest doc_id|lang|text per row. Text
+    // survives JSON escaping byte-for-byte or the digest breaks.
+    "cs07_jsonl_roundtrip" -> { (s, dir) =>
+      ensureJsonl(s, dir)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("text", StringType)))
+      s.read.schema(schema).json(jsonlDir)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(concat_ws("|", col("doc_id"), col("lang"), col("text"))))
+            .as("n_distinct_payloads"),
+          sum(length(col("text"))).as("total_chars"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -146,5 +216,26 @@ object IngestQueries {
          |  '{"invoice_no":"' || InvoiceNo || '","quantity":' || CAST(Quantity AS BIGINT) ||
          |  ',"customer_id":"' || CustomerID || '","country":"' || Country || '"}' AS payload
          |FROM $duckReadCsv
-         |ORDER BY key""".stripMargin)
+         |ORDER BY key""".stripMargin,
+
+    // DuckDB digests the ORIGINAL parquet; our side digests the
+    // ORC-roundtripped copy — a hash match certifies write+read fidelity.
+    "cs06_orc_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  CAST(count(DISTINCT md5(concat_ws('|',
+        |    CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+        |    CAST(CAST(l_quantity AS BIGINT) AS VARCHAR),
+        |    CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS VARCHAR),
+        |    l_returnflag))) AS BIGINT) AS n_distinct_rows
+        |FROM lineitem""".stripMargin,
+
+    "cs07_jsonl_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT md5(concat_ws('|',
+        |    CAST(doc_id AS VARCHAR), lang, text))) AS BIGINT)
+        |    AS n_distinct_payloads,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
+        |FROM documents""".stripMargin)
 }

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.CmsEstimate
+import graft.model.Tables
+import graft.ops.Sketches
+import QueryUtil._
+
+/** Sketch / approximate-query surface — the operators that REPLACE their
+  * exact twins at 100 TB, certified against those twins.
+  *
+  * Exact distinct counts, percentiles, and per-key frequencies all need a
+  * shuffle that carries every key (or every value) of the corpus; the
+  * sketch versions are single-pass, mergeable, fixed-size aggregates —
+  * the only shapes that stay cheap at cluster scale:
+  *
+  *  - sk01: HLL distinct-count sketches (`hll_sketch_agg`, Datasketches
+  *    HLL), including the property that makes them scale: partial
+  *    sketches built per group/partition and `hll_union_agg`-merged give
+  *    the same answer as one pass — partial aggregation for COUNT
+  *    DISTINCT. Plus `approx_count_distinct` (HLL++), the drop-in column.
+  *  - sk02: quantile sketches (`percentile_approx`, Greenwald-Khanna)
+  *    vs exact interpolated percentiles.
+  *  - sk03: Count-Min frequency sketch (`count_min_sketch` aggregate +
+  *    native `cms_estimate` probe) vs exact heavy-hitter counts.
+  *  - sk04: Bloom-filter join pruning — build over the selective side's
+  *    keys, drop non-matching fact rows at the scan, exact join removes
+  *    the false positives; answer provably identical to the plain join.
+  *
+  * Certification pattern (same as an03/tx11): the oracle-checked columns
+  * are the EXACT values — recomputed independently by DuckDB — plus
+  * quality bits pinned to 1 asserting the sketch estimate landed inside
+  * its designed error bound. All sketches here are seeded/deterministic,
+  * so a bit that is 1 locally is 1 on the driver at any tested SF.
+  */
+object SketchQueries {
+
+  /** |est − exact| / exact ≤ bound → 1, else 0 (sketch-quality bit). */
+  private def withinPct(est: Column, exact: Column, bound: Double): Column =
+    when(abs(est.cast("double") - exact.cast("double")) / exact.cast("double") <= bound, 1L)
+      .otherwise(0L)
+
+  val queries: Map[String, Q] = Map(
+    // HLL distinct: direct sketch, merged-from-group-partials sketch, and
+    // HLL++ column, each within 5% of exact (lgK=12 → RSE ≈ 1.6%, so the
+    // bound is ~3σ). The merged path is the load-bearing one: register
+    // state is order- and partition-insensitive, so per-partition
+    // sketches union to the whole-corpus answer — COUNT DISTINCT with
+    // map-side combine, no key shuffle.
+    "sk01_hll_distinct" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      // the two-level merge path rides in as a scalar subquery — the
+      // 1-row "join" construct that plans as a subquery, not a BNLJ
+      val merged = li.groupBy($"l_returnflag")
+        .agg(expr("hll_sketch_agg(l_orderkey, 12)").as("sk"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("merged_est"))
+      li.agg(
+          countDistinct($"l_orderkey").as("n_exact"),
+          expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey, 12))").as("direct_est"),
+          approx_count_distinct($"l_orderkey", 0.01).as("hllpp_est"))
+        .select(
+          $"n_exact",
+          withinPct($"direct_est", $"n_exact", 0.05).as("direct_sketch_ok"),
+          withinPct(merged.scalar(), $"n_exact", 0.05).as("merged_sketch_ok"),
+          withinPct($"hllpp_est", $"n_exact", 0.05).as("hllpp_ok"))
+    },
+
+    // Quantile sketch vs exact: percentile_approx(accuracy=10000) bounds
+    // rank error by n/accuracy; on this data that lands within 1% of the
+    // exact value at both probed quantiles. The exact percentiles (the
+    // q13 shape — sort-based, needs the group's values together, the op
+    // the sketch replaces at scale) are the hash-checked columns.
+    "sk02_quantile_sketch" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99_exact"),
+          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50_sk"),
+          expr("percentile_approx(l_extendedprice, 0.99, 10000)").as("p99_sk"),
+          count(lit(1)).as("n_lines"))
+        .select($"l_returnflag",
+          round($"p50_exact", 4).as("p50_exact"),
+          round($"p99_exact", 4).as("p99_exact"),
+          withinPct($"p50_sk", $"p50_exact", 0.01).as("p50_sketch_ok"),
+          withinPct($"p99_sk", $"p99_exact", 0.01).as("p99_sketch_ok"),
+          $"n_lines")
+        .orderBy($"l_returnflag")
+    },
+
+    // Count-Min heavy hitters: ONE fixed-size sketch aggregate over the
+    // fact (seeded → deterministic), probed for the exact top-10 keys
+    // with the native cms_estimate expression. Certifies both CMS
+    // guarantees: estimates never undercount, and overcount stays within
+    // eps·N. The exact counts (hash-checked) come from the groupBy twin
+    // the sketch replaces when the key space is too wide to shuffle.
+    "sk03_cms_heavy_hitters" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val top = li.groupBy($"l_partkey").agg(count(lit(1)).as("n_lines"))
+        .orderBy($"n_lines".desc, $"l_partkey").limit(10)
+      // ONE sketch pass; the 1-row (sketch, N) result reaches the probe
+      // rows as a scalar subquery (deduplicated + reused at execution)
+      val sketch = li.agg(struct(
+          expr("count_min_sketch(l_partkey, CAST(0.0005 AS DOUBLE), CAST(0.999 AS DOUBLE), 42)")
+            .as("cms"),
+          count(lit(1)).as("n_total")).as("s"))
+      top
+        .select($"l_partkey", $"n_lines",
+          CmsEstimate(sketch.scalar().getField("cms"), $"l_partkey").as("est"),
+          sketch.scalar().getField("n_total").as("n_total"))
+        .select($"l_partkey", $"n_lines",
+          when($"est" >= $"n_lines", 1L).otherwise(0L).as("no_underestimate"),
+          when($"est" <= $"n_lines" + ceil(lit(0.0005) * $"n_total").cast("long"), 1L)
+            .otherwise(0L).as("within_eps_n"))
+        .orderBy($"n_lines".desc, $"l_partkey")
+    },
+
+    // Bloom-pruned selective join: sketch the ~6% of orders above the
+    // price bar (one aggregate; ~10 KB artifact), drop non-candidate
+    // lineitem rows at the scan, then the exact semi-join erases the
+    // false positives. No false negatives → the oracle is the PLAIN
+    // semi-join; a hash match proves pruning lost nothing. At 100 TB the
+    // bloom runs where a broadcast of the build side would not fit and
+    // the shuffle of unmatched fact rows is the bottleneck.
+    "sk04_bloom_prejoin" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val big = Tables.orders(s, dir)
+        .filter($"o_totalprice" > 470000.0)
+        .select($"o_orderkey")
+      val bloom = Sketches.bloomBytes(big, "o_orderkey",
+        expectedItems = big.count(), fpp = 0.01)
+      li.filter(Sketches.mightContain(bloom, $"l_orderkey"))
+        .join(big, $"l_orderkey" === $"o_orderkey", "left_semi")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_lines"), sumMoney($"l_extendedprice").as("revenue"))
+        .orderBy($"l_returnflag")
+    })
+
+  val oracles: Map[String, String] = Map(
+    // Exact distinct recomputed by DuckDB; the three sketch-quality bits
+    // are pinned to 1 (see the sk01 entry for the bound rationale).
+    "sk01_hll_distinct" ->
+      """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+        |       CAST(1 AS BIGINT) AS direct_sketch_ok,
+        |       CAST(1 AS BIGINT) AS merged_sketch_ok,
+        |       CAST(1 AS BIGINT) AS hllpp_ok
+        |FROM lineitem""".stripMargin,
+
+    // Exact interpolated percentiles (identical formula both engines —
+    // proven unrounded by q13; rounded here for belt-and-braces) plus the
+    // pinned sketch-quality bits.
+    "sk02_quantile_sketch" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+        |       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_exact,
+        |       CAST(1 AS BIGINT) AS p50_sketch_ok,
+        |       CAST(1 AS BIGINT) AS p99_sketch_ok,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // Exact top-10 heavy hitters (same deterministic tie-break) with the
+    // two CMS-guarantee bits pinned to 1.
+    "sk03_cms_heavy_hitters" ->
+      """SELECT l_partkey,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(1 AS BIGINT) AS no_underestimate,
+        |       CAST(1 AS BIGINT) AS within_eps_n
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |ORDER BY n_lines DESC, l_partkey
+        |LIMIT 10""".stripMargin,
+
+    // The plain (un-pruned) semi-join: a hash match certifies the bloom
+    // pre-filter dropped only non-matching rows.
+    "sk04_bloom_prejoin" ->
+      s"""SELECT l_returnflag,
+         |       CAST(count(*) AS BIGINT) AS n_lines,
+         |       ${sqlSumMoney("l_extendedprice")} AS revenue
+         |FROM lineitem
+         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+         |                     WHERE o_totalprice > 470000)
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin)
+}
