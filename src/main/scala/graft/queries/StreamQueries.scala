@@ -115,7 +115,8 @@ object StreamQueries {
     })
 
   val builds: Map[String, B] = Map(
-    "build_stream_chunks" -> ((s, dir) => { ensureStreamChunks(s, dir, 3); () }))
+    "build_stream_chunks" -> ((s, dir) => { ensureStreamChunks(s, dir, 3); () }),
+    "build_event_chunks" -> ((s, dir) => { ensureEventChunks(s, dir, 3); () }))
 
   /** Chunked multi-batch replay of the invoice state machine: the lineitem
     * scan (pruned to the three purchase columns) is rewritten to `nFiles`
@@ -389,6 +390,77 @@ object StreamQueries {
         .select($"user_id", $"event_type")
       StreamRunner.toMemory(dedup, mode = "append")
         .orderBy($"user_id", $"event_type")
+    },
+
+    // Sketch aggregation INSIDE streaming state: per-day windowed
+    // `approx_count_distinct` (HLL++) over a chunked 3-micro-batch
+    // replay, so partial sketch states genuinely merge through the state
+    // store across batches — the only way windowed COUNT DISTINCT
+    // survives an unbounded stream (exact distinct would hold every key
+    // in state; the sketch holds fixed-size registers per window). The
+    // batch-exact twin joins in afterwards: day, event count, and exact
+    // distinct users are the hash-checked columns; the sketch-quality
+    // bit is pinned to 1 (rsd 2%, and at this per-day cardinality HLL++
+    // still counts exactly in sparse mode). Watermark 60d > the 30-day
+    // replay span: round-robin chunks interleave days, so a tight
+    // watermark would misclassify replayed rows as late (st08's trick).
+    "st12_stream_hll_window" -> { (s, dir) =>
+      import s.implicits._
+      val (finals, _) = windowedSketchReplay(s, dir, nFiles = 3)
+      val exact = Tables.events(s, dir)
+        .groupBy(window($"ts", "1 day").as("window"))
+        .agg(countDistinct($"user_id").as("exact_users"))
+      finals.join(exact, "window")
+        .select(
+          date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          $"n_events", $"exact_users",
+          when(abs($"approx_users".cast("double") - $"exact_users") / $"exact_users" <= 0.05, 1L)
+            .otherwise(0L).as("sketch_ok"))
+        .orderBy($"w_start")
+    })
+
+  /** st12's streaming leg, shared with StreamSpec: chunked replay of
+    * events (`maxFilesPerTrigger=1` over `nFiles` scratch files) through
+    * a watermarked per-day window aggregate carrying an HLL++ partial
+    * (`approx_count_distinct`). Returns the FINAL update-mode emission
+    * per window (its event count is strictly increasing per touched
+    * batch) plus the terminated query for batch-count asserts. */
+  private[graft] def windowedSketchReplay(s: org.apache.spark.sql.SparkSession,
+                                          dir: String, nFiles: Int)
+      : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
+    import s.implicits._
+    val scratch = ensureEventChunks(s, dir, nFiles)
+    val raw = StructType(Schemas.events.map {
+      case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
+      case f => f
+    })
+    val replay = s.readStream.schema(raw)
+      .option("maxFilesPerTrigger", 1).parquet(scratch)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = replay
+      .withWatermark("ts", "60 days")
+      .groupBy(window($"ts", "1 day").as("window"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct($"user_id", 0.02).as("approx_users"))
+    val (out, q) = StreamRunner.toMemoryWithQuery(agg)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"window").orderBy($"n_events".desc)
+    (out.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn"), q)
+  }
+
+  /** Chunked replay fixture for the events table (st12's twin of
+    * [[ensureStreamChunks]]); round-robin `repartition` spreads every
+    * day's rows across all files so each micro-batch touches most
+    * windows and the sketch merge is exercised, not vacuous. */
+  private[graft] def ensureEventChunks(s: org.apache.spark.sql.SparkSession,
+                                       dir: String, nFiles: Int): String =
+    chunkDirs.computeIfAbsent(s"events|$dir|$nFiles", _ => {
+      val scratch = new java.io.File(
+        s"target/stream-scratch/event_chunks_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$nFiles")
+        .getAbsolutePath
+      Tables.table(s, dir, "events")
+        .repartition(nFiles).write.mode("overwrite").parquet(scratch)
+      scratch
     })
 
   /** The batch twin of the state machine's weighted per-invoice fold.
@@ -458,6 +530,17 @@ object StreamQueries {
     "st08_stream_distinct_bounded" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // Batch-exact per-day twin; the HLL++ sketch-quality bit is pinned
+    // to 1 (see the st12 entry).
+    "st12_stream_hll_window" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       CAST(1 AS BIGINT) AS sketch_ok
+        |FROM events
+        |GROUP BY date_trunc('day', ts)
+        |ORDER BY w_start""".stripMargin,
 
     "st10_stream_stream_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events

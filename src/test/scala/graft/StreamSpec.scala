@@ -356,6 +356,30 @@ class StreamSpec extends SparkSuite {
     assert(invalid.map(_.getString(0)).toSet == Set("3", "4"))
   }
 
+  test("st12: windowed HLL++ state merges across micro-batches identically to one pass") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (finals, q) = graft.queries.StreamQueries.windowedSketchReplay(s, sf, nFiles = 3)
+    val streamed = finals
+      .select($"window.start".as("w"), $"n_events", $"approx_users").orderBy($"w")
+      .collect()
+    assert(q.lastProgress.batchId >= 2,
+      s"expected >=3 micro-batches, lastBatchId=${q.lastProgress.batchId}")
+    // HLL++ register state is order- and partition-insensitive, so the
+    // cross-batch merge through the state store must equal the one-pass
+    // batch aggregate EXACTLY — same estimate, not just within tolerance
+    val batch = graft.model.Tables.events(s, sf)
+      .groupBy(window($"ts", "1 day"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct($"user_id", 0.02).as("approx_users"))
+      .select($"window.start".as("w"), $"n_events", $"approx_users").orderBy($"w")
+      .collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    assert(streamed.sameElements(batch),
+      "cross-batch sketch merge diverged from the one-pass batch sketch")
+  }
+
   test("st01's stream-static join broadcasts the static dimension (pinned plan)") {
     // AQE is off inside stateful streaming plans, so the broadcast() hint
     // in purchaseStream is load-bearing — without it the join shape rides
