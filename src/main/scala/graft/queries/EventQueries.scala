@@ -188,6 +188,23 @@ object EventQueries {
         .orderBy($"cohort_week", $"week_offset")
     },
 
+    // The Z-order (Morton) clustering key — certified bit-for-bit: the
+    // oracle recomputes the interleave of (user_id, minute-of-day) with
+    // plain shift/mask arithmetic over generate_series. The layout tool
+    // built on it (rank-bucketize → interleave → range-partition+sort,
+    // ops/Layout.zorderBy) is pinned in LayoutSpec: one sort order
+    // serving predicates on either dimension is what replaces "keep two
+    // sorted copies" at 100 TB.
+    "ev10_zorder_curve" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"event_id", $"user_id",
+          (hour($"ts") * 60 + minute($"ts")).cast("long").as("minute_of_day"))
+        .select($"event_id", $"user_id", $"minute_of_day",
+          graft.functions.ZOrder64($"user_id", $"minute_of_day").as("z"))
+        .orderBy($"event_id")
+    },
+
     // Range join via binning: events attributed to the 1-hour window
     // opened by each purchase of the same user — an equi-join on
     // (user, hour-bin) instead of the nested loop a raw inequality join
@@ -287,6 +304,18 @@ object EventQueries {
         |FROM cohort JOIN active ON cohort.user_id = active.user_id
         |GROUP BY 1, 2
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // Independent recompute of the Morton interleave: per-bit shift/mask
+    // arithmetic summed over generate_series — no shared code with the
+    // Scala bit-spread, so a hash match certifies the key bit-for-bit.
+    "ev10_zorder_curve" ->
+      """SELECT event_id, user_id,
+        |  CAST(hour(ts)*60 + minute(ts) AS BIGINT) AS minute_of_day,
+        |  CAST((SELECT SUM((((user_id >> t.i) & 1) << (2*t.i))
+        |              + ((((hour(ts)*60 + minute(ts)) >> t.i) & 1) << (2*t.i + 1)))
+        |        FROM generate_series(0, 31) t(i)) AS BIGINT) AS z
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
 
     // DuckDB's native ASOF JOIN checks the window-based implementation
     // against an independent one.
