@@ -23,7 +23,11 @@ object IngestQueries {
 
   /** The fixture is (re)written by whichever query runs first in a
     * session; the oracle reads the identical file, so both engines always
-    * see the same bytes. */
+    * see the same bytes. CAVEAT: the path is shared across scale factors
+    * (oracle SQL strings are static), so two CONCURRENT Verify JVMs at
+    * different SFs race on it and the loser's cs01–cs05 compare reads the
+    * other SF's bytes — run multi-SF verifies sequentially (the driver
+    * always does; `writtenFor` already serializes within one JVM). */
   private val fixtureDir = new java.io.File("target/fixtures/purchases_csv").getAbsolutePath
 
   private val writeLock = new Object

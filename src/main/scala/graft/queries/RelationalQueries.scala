@@ -243,6 +243,25 @@ object RelationalQueries {
         .orderBy($"l_returnflag")
     },
 
+    // Explicit GROUPING SETS (the general form rollup/cube specialize):
+    // four hand-picked sets in ONE pass — Spark expands to a single
+    // aggregate over the grouping-set id, not four scans — with
+    // grouping_id() disambiguating which set each output row belongs to
+    // (the standard bitmask, checked against DuckDB's GROUPING()).
+    "q17_grouping_sets" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"),
+            Seq($"l_linestatus"), Seq()),
+          $"l_returnflag", $"l_linestatus")
+        .agg(grouping_id().cast("long").as("gid"),
+          sum($"l_quantity".cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_lines"))
+        .select($"l_returnflag", $"l_linestatus", $"gid", $"sum_qty", $"n_lines")
+        .orderBy($"gid", $"l_returnflag", $"l_linestatus")
+    },
+
     // Bucketed join (co-location tool): both tables bucketed on the order
     // key at write time, so the join itself is exchange-free — the layout
     // every repeated big⋈big join wants at cluster scale. Same oracle
@@ -385,6 +404,16 @@ object RelationalQueries {
         |  SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS "O"
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q17_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q13_quantity_percentiles" ->
       """SELECT l_returnflag,

@@ -18,6 +18,20 @@ class LayoutSpec extends SparkSuite {
 
   private val nGroups = 32
 
+  test("zorder64 interleaves known vectors bit-for-bit") {
+    // x=0b101 → bits 0,4; y=0b011 → bits 1,3  ⇒ z = 1+2+8+16 = 27
+    assert(ZOrder64.interleave(5L, 3L) == 27L)
+    assert(ZOrder64.interleave(0L, 0L) == 0L)
+    // single high bit of each dimension lands at 2i (x) and 2i+1 (y)
+    assert(ZOrder64.interleave(1L << 31, 0L) == (1L << 62))
+    assert(ZOrder64.interleave(0L, 1L << 31) == (1L << 63))
+    // bits above 31 are ignored by construction
+    assert(ZOrder64.interleave(1L << 32, 1L << 40) == 0L)
+    // monotone within a fixed high-bit block: interleave preserves
+    // lexicographic (xHigh, yHigh) block order
+    assert(ZOrder64.interleave(2L, 2L) > ZOrder64.interleave(1L, 1L))
+  }
+
   test("one z-order sort serves selective boxes on BOTH dimensions") {
     val s = spark
     import s.implicits._
