@@ -39,6 +39,29 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Self-certifying SimHash quality (upgrades dd02's rows-only story
+    // the way an03 upgraded an02's): recall of the 8-probe SimHash
+    // pipeline against the EXACT Jaccard>=0.5 duplicate-pair set — the
+    // ground truth DuckDB recomputes independently (dd01's oracle set;
+    // the Spark side reuses minHashDupPairs, proven ≡ exact by dd01's
+    // green hash row). Measured recall is 0.95–1.0 at every local SF
+    // (deterministic hashes → fixed per corpus); the bar is 0.9. The
+    // exact-pair count is the data-derived hash-checked column.
+    "dd06_simhash_recall" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val exact = Dedup.minHashDupPairs(docs, "doc_id", "text",
+        shingleK = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val sim = Dedup.simHashDupPairs(docs, "doc_id", "text",
+        prefixBits = 12, maxHamming = 8, rotations = 8)
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      exact.join(sim, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_true_pairs"),
+          (sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1))).as("recall"))
+        .select(col("n_true_pairs"),
+          when(col("recall") >= 0.9, 1L).otherwise(0L).as("recall_ok"))
+    },
+
     // Exact n-gram Jaccard with rare-shingle blocking.
     "dd03_ngram_jaccard_pairs" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -361,6 +384,28 @@ object PipelineQueries {
         |       round(cosine, 6) AS cosine
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // The exact-pair COUNT from the same ground-truth set dd01 pins,
+    // plus the SimHash recall bit (see the dd06 entry).
+    "dd06_simhash_recall" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(t) < 3
+        |           THEN [array_to_string(t, ' ')]
+        |           ELSE list_transform(generate_series(1, len(t) - 2),
+        |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |         END) AS shingles
+        |  FROM toks),
+        |post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |         FROM post l JOIN post r ON l.shingle = r.shingle
+        |                                AND l.doc_id < r.doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+        |       CAST(1 AS BIGINT) AS recall_ok
+        |FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+        |WHERE len(list_intersect(a.shingles, b.shingles))
+        |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5""".stripMargin,
 
     // Exact-recall pin: ALL pairs with k=3-shingle Jaccard >= 0.5 —
     // candidate blocking here is any-shared-shingle (complete: J >= 0.5
