@@ -32,6 +32,18 @@ object TextOps {
         i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
   }
 
+  /** Adjacent word k-shingles as strings; empty array for docs shorter
+    * than `k` tokens. String (not hashed) shingles so cross-engine
+    * oracles can recompute them; the dedup stack's narrow-shuffle twin
+    * is [[graft.ops.Dedup.shingleHashes]]. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < k, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(t) - (k - 1)),
+        i => array_join(slice(t, i, lit(k)), " ")))
+  }
+
   /** Fraction of tokens that are stopwords. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val t = tokens(text)

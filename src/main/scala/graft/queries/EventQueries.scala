@@ -205,6 +205,26 @@ object EventQueries {
         .orderBy($"event_id")
     },
 
+    // Explicit ROWS-frame windows over each user's event stream: running
+    // total plus a trailing 3-event rolling sum/max. One shuffle on
+    // user_id; all three frames share one (partition, sort) pass. The
+    // money sums run in exact integer cents inside the frame (order-
+    // dependent float accumulation would flake the cross-engine hash at
+    // higher partition counts), divided back to currency once per row.
+    "ev11_rolling_user_value" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val roll3 = w.rowsBetween(-2, 0)
+      Tables.events(s, dir)
+        .withColumn("cum_value", sum(cents($"value")).over(cum) / 100.0)
+        .withColumn("roll3_sum", sum(cents($"value")).over(roll3) / 100.0)
+        .withColumn("roll3_max", max($"value").over(roll3))
+        .select($"user_id", $"event_id", $"value",
+          $"cum_value", $"roll3_sum", $"roll3_max")
+        .orderBy($"user_id", $"event_id")
+    },
+
     // Range join via binning: events attributed to the 1-hour window
     // opened by each purchase of the same user — an equi-join on
     // (user, hour-bin) instead of the nested loop a raw inequality join
@@ -339,5 +359,18 @@ object EventQueries {
         |SELECT w.purchase_id, CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM w JOIN events e
         |  ON e.user_id = w.p_user AND e.ts >= w.w_start AND e.ts < w.w_end
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ev11_rolling_user_value" ->
+      """SELECT user_id, event_id, value,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)/100.0
+        |    AS cum_value,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER
+        |    (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)/100.0
+        |    AS roll3_sum,
+        |  MAX(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll3_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin)
 }

@@ -262,6 +262,31 @@ object RelationalQueries {
         .orderBy($"gid", $"l_returnflag", $"l_linestatus")
     },
 
+    // Offset + distribution window functions over the per-customer order
+    // timeline: lag (previous order's price and day gap), ntile quartiles,
+    // percent_rank and cume_dist — one shuffle on the partition key, then
+    // a single in-partition sort serves every function (all five share one
+    // WindowSpec, so Catalyst plans ONE Window node, not five).
+    // Exactness: lag(o_totalprice) is a raw-double passthrough; gap_days
+    // and ntile are integers; percent_rank/cume_dist divide exact integer
+    // counts (same IEEE result in both engines) because the ordering key
+    // (o_orderdate, o_orderkey) is unique — no peer groups.
+    "q18_order_timeline" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, dir)
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+        .withColumn("prev_totalprice", lag($"o_totalprice", 1).over(w))
+        .withColumn("gap_days",
+          datediff($"o_orderdate", lag($"o_orderdate", 1).over(w)).cast("long"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"prev_totalprice",
+          $"gap_days", $"quartile", $"pct_rank", $"cume")
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
     // Bucketed join (co-location tool): both tables bucketed on the order
     // key at write time, so the join itself is exchange-free — the layout
     // every repeated big⋈big join wants at cluster scale. Same oracle
@@ -438,5 +463,17 @@ object RelationalQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_lines
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus
-         |ORDER BY o_orderstatus""".stripMargin)
+         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q18_order_timeline" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice) OVER w AS prev_totalprice,
+        |  CAST(date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+        |                 CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -132,6 +133,52 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
+    // TF-IDF top-5 terms per document. Corpus size reaches the scorer as
+    // a broadcast 1-row aggregate (never a global window — that would
+    // collapse to one partition); term document-frequency is a second
+    // aggregate over the tf frame, joined back on the term key. Ranking
+    // sorts on the ROUNDED score (round 6) so a last-ulp difference in
+    // the two engines' ln() can never flip a rank, with the term string
+    // as the deterministic tie-break.
+    "tx12_tfidf_top_terms" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val tf = docs
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+      tf.join(df, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", round($"tf" * log($"n_docs" / $"df"), 6))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 5)
+        .select($"doc_id", $"rn", $"term", $"tf", $"df", $"score")
+        .orderBy($"doc_id", $"rn")
+    },
+
+    // Decontamination — the eval-overlap gate every training-data
+    // pipeline needs: count, per train-split document, the distinct
+    // 8-grams it shares with ANY val-split document (tx08's content-hash
+    // split, so exact duplicates never straddle the split). Both sides
+    // shuffle only (id, md5-of-shingle) pairs — 32 B per shingle, never
+    // the text; the verbatim-shingle twin for production is
+    // Dedup.shingleHashes (8 B). Output = contaminated train docs only.
+    "dd07_decontamination" -> { (s, dir) =>
+      import s.implicits._
+      val sh = Tables.documents(s, dir)
+        .withColumn("split", TextOps.contentSplit($"text", 0.9))
+        .select($"doc_id", $"split",
+          explode(array_distinct(TextOps.wordShingles($"text", 8))).as("sh"))
+        .select($"doc_id", $"split", md5($"sh").as("h"))
+      val trainSh = sh.filter($"split" === "train").select($"doc_id", $"h")
+      val valSh = sh.filter($"split" === "val").select($"h").distinct()
+      trainSh.join(valSh, "h")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared_8grams"))
+        .orderBy($"doc_id")
+    },
+
     // Multimodal: deterministic frame-sampling plan for (fake) video
     // payloads — every 10th frame, capped at 16, as pure column math (no
     // decode); one row per sampled frame.
@@ -250,6 +297,39 @@ object TextQueries {
       """SELECT doc_id,
         |  CASE WHEN substring(md5(text), 1, 2) < 'e6' THEN 'train' ELSE 'val' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx12_tfidf_top_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df,
+        |         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) DESC, term) AS rn
+        |  FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rn, term, CAST(tf AS BIGINT) AS tf,
+        |       CAST(df AS BIGINT) AS df, score
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY doc_id, rn""".stripMargin,
+
+    // same split cut as tx08 (md5 prefix < 'e6'); shingle membership is
+    // recomputed independently via list slicing over the word array
+    "dd07_decontamination" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS mh, string_split(text, ' ') AS w
+        |           FROM documents),
+        |sh AS (
+        |  SELECT doc_id, mh,
+        |         unnest(list_distinct(list_transform(
+        |           generate_series(1, len(w) - 7),
+        |           i -> md5(array_to_string(w[i:i+7], ' '))))) AS h
+        |  FROM d WHERE len(w) >= 8),
+        |tr AS (SELECT doc_id, h FROM sh WHERE substring(mh, 1, 2) < 'e6'),
+        |va AS (SELECT DISTINCT h FROM sh WHERE substring(mh, 1, 2) >= 'e6')
+        |SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_8grams
+        |FROM tr JOIN va USING (h)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // zero-frame docs sample nothing (mirrors frameSamplePlan's guard)
     "mm02_frame_sampling" ->

@@ -29,7 +29,11 @@ class PlanSpec extends SparkSuite {
     * small and explicitly broadcast, the corpus side streams — a
     * BroadcastNestedLoopJoin is the intended plan, not an accident.
     * an03 embeds that same brute-force frame as the recall ground truth. */
-  private val bnljWhitelist = Set("an01_cosine_topk_brute", "an03_ivf_recall")
+  /** tx12 crossJoins an explicitly-broadcast 1-row aggregate (the corpus
+    * size scalar) into the scorer — O(n·1), the scale-correct way to
+    * attach a global scalar without collapsing to one partition. */
+  private val bnljWhitelist =
+    Set("an01_cosine_topk_brute", "an03_ivf_recall", "tx12_tfidf_top_terms")
 
   private def unwrap(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => a.executedPlan
@@ -110,6 +114,35 @@ class PlanSpec extends SparkSuite {
           s"q12's bucketed join must not shuffle either side:\n$root")
       }
     } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("q18/ev11: the window stack runs on ONE shuffle and ONE sort") {
+    // q18's five analytics (lag×2, ntile, percent_rank, cume_dist) and
+    // ev11's three frames all declare the same (partitionBy, orderBy).
+    // Spark stacks one WindowExec per distinct frame, but the invariant
+    // that matters at 100 TB is that the whole stack is fed by a single
+    // hash-partition exchange and a single in-partition sort — a second
+    // exchange or sort below the stack would mean the shared window spec
+    // stopped being reused.
+    for (name <- Seq("q18_order_timeline", "ev11_rolling_user_value")) {
+      val root = planOf(SparkEntry.queries(name)(spark, sf))
+      // collect is pre-order: head = topmost window node
+      val windows = root.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty && windows.size <= 2,
+        s"$name expected 1-2 stacked WindowExec nodes, got ${windows.size}:\n$root")
+      val shufflesBelow = windows.head.collect { case e: ShuffleExchangeExec => e }
+      assert(shufflesBelow.size == 1,
+        s"$name expected exactly 1 exchange feeding the window stack, " +
+          s"got ${shufflesBelow.size}:\n$root")
+      val sortsBelow = windows.head.collect {
+        case e: org.apache.spark.sql.execution.SortExec => e
+      }
+      assert(sortsBelow.size == 1,
+        s"$name expected exactly 1 sort feeding the window stack, " +
+          s"got ${sortsBelow.size}:\n$root")
+    }
   }
 
   test("negative control: dropping q03's broadcast hint is caught by the pin") {
