@@ -202,6 +202,151 @@ object Similarity {
     topK(scored, k)
   }
 
+  // ----------------------------------------------------------------- PQ —
+
+  /** Memoized PQ codebooks, keyed like [[quantizers]]. */
+  private val pqBooks = new ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  /** Fit (or fetch) product-quantization codebooks: the corpus vector is
+    * L2-normalized and split into `m` subspaces; each subspace gets its
+    * own `ksub`-centroid codebook, so a 64-dim float vector compresses to
+    * `m` 4-bit codes (ksub=16) — the memory tier that keeps a 100 TB
+    * embedding corpus scannable (16 B/vector instead of 256 B, with the
+    * float vectors left in cold storage for re-ranking only).
+    *
+    * The fit runs Lloyd's iterations ON THE DRIVER over the same bounded
+    * hash-selected sample the IVF quantizer uses (≤ [[QuantizerSampleCap]]
+    * rows ≈ 1 MB at dim 64) — codebooks are an index artifact, and m
+    * distributed k-means jobs over a 4096-row sample would cost more in
+    * scheduling than the arithmetic; the sample is sorted by (hash, id)
+    * before the cap so the fit is deterministic under any partitioning. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String, key: String,
+                  m: Int, ksub: Int, seed: Long): Array[Array[Array[Double]]] =
+    pqBooks.computeIfAbsent(s"$key|pq|$m|$ksub|$seed", _ => {
+      val n = corpus.queryExecution.optimizedPlan.stats.rowCount
+      val everyNth = n.map(c => (c.toLong / QuantizerSampleCap).max(1L)).getOrElse(1L)
+      val rows = corpus
+        .filter(pmod(xxhash64(col(idCol)), lit(everyNth)) === 0)
+        .orderBy(xxhash64(col(idCol)), col(idCol))
+        .limit(QuantizerSampleCap)
+        .select(asDouble(col(vecCol)).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val unit = rows.map { v =>
+        val nm = math.sqrt(v.map(x => x * x).sum)
+        if (nm == 0) v else v.map(_ / nm)
+      }.filter(_.exists(_ != 0.0))
+      val dim = unit.head.length
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val dsub = dim / m
+      Array.tabulate(m) { j =>
+        val sub = unit.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+        lloyd(sub, ksub, seed + j, iters = 10)
+      }
+    })
+
+  /** Plain Lloyd's k-means on a driver-side sample (see [[pqCodebooks]]
+    * for why this is not a distributed fit): seeded-shuffle init,
+    * nearest-center assignment with lowest-index tie-break, empty
+    * clusters keep their previous center — fully deterministic. */
+  private def lloyd(points: Array[Array[Double]], k: Int, seed: Long,
+                    iters: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val centers = rnd.shuffle(points.toVector).take(k).map(_.clone).toArray
+    val d = points.head.length
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centers.length)(new Array[Double](d))
+      val counts = new Array[Long](centers.length)
+      for (p <- points) {
+        var best = 0; var bestD = Double.MaxValue
+        for (c <- centers.indices) {
+          var dist = 0.0; var i = 0
+          while (i < d) { val t = p(i) - centers(c)(i); dist += t * t; i += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+        }
+        var i = 0
+        while (i < d) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      for (c <- centers.indices if counts(c) > 0; i <- 0 until d)
+        centers(c)(i) = sums(c)(i) / counts(c)
+    }
+    centers
+  }
+
+  /** PQ codes (array<int>, length m) for a unit-normalized vector column.
+    * Per subspace: argmin over the codebook of ||x_j − c||², computed as
+    * ½||c||² − ⟨x_j, c⟩ (the ||x_j||² term is constant across c), with the
+    * centroid index as tie-break — same array_min cascade as
+    * [[nearestCells]]. */
+  private def pqCodes(books: Array[Array[Array[Double]]], unitVec: Column): Column = {
+    val dsub = books(0)(0).length
+    array(books.indices.map { j =>
+      val cands = array(books(j).indices.map { c =>
+        val cent = books(j)(c)
+        val halfSq = 0.5 * cent.map(x => x * x).sum
+        struct((lit(halfSq) - dot(slice(unitVec, j * dsub + 1, dsub),
+          typedlit(cent.toSeq))).as("d"), lit(c).as("idx"))
+      }: _*)
+      array_min(cands).getField("idx")
+    }: _*)
+  }
+
+  /** Asymmetric-distance (ADC) score: Σ_j ⟨q_j, centroid(j, code_j)⟩ ≈
+    * ⟨q, x/‖x‖⟩ — the query stays exact, only the corpus side is
+    * quantized. m literal table lookups + m short dot products per pair,
+    * no decode of the original vector. */
+  private def adcScore(books: Array[Array[Array[Double]]], qvec: Column,
+                       codes: Column): Column = {
+    val dsub = books(0)(0).length
+    books.indices.map { j =>
+      val bookLit = typedlit(books(j).map(_.toSeq).toSeq)
+      dot(slice(qvec, j * dsub + 1, dsub),
+        element_at(bookLit, element_at(codes, j + 1) + 1))
+    }.reduce(_ + _)
+  }
+
+  /** PQ ANN: score every (query, code) pair by ADC, keep an ADC shortlist
+    * per query, then re-rank the shortlist with exact cosine. PQ is the
+    * memory tier, not a candidate filter — the scan still touches every
+    * code (compose with IVF cells to also cut candidates), but each pair
+    * costs m lookups over 16 B instead of a 256 B float read, and only
+    * `shortlist` full vectors per query are ever re-read.
+    *
+    * @param shortlist ADC candidates re-ranked exactly (0 = pure ADC:
+    *                  rank directly by the quantized score)
+    * @return (query_id, rank, neighbor_id, cosine) — cosine is exact for
+    *         re-ranked results, the ADC approximation otherwise
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 16, ksub: Int = 16,
+             shortlist: Int = 0, seed: Long = 42L,
+             quantizerKey: String = ""): DataFrame = {
+    val books = pqCodebooks(corpus, idCol, vecCol,
+      defaultKey(corpus, quantizerKey), m, ksub, seed)
+    val c = nonZeroNorm(corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cvec"))
+      .withColumn("cnorm", norm(col("cvec"))), "cnorm")
+      .withColumn("codes", pqCodes(books,
+        transform(col("cvec"), x => x / col("cnorm"))))
+    val q = nonZeroNorm(queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qvec"))
+      .withColumn("qnorm", norm(col("qvec"))), "qnorm")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cvec"), col("cnorm"),
+        col("qvec"), col("qnorm"),
+        (adcScore(books, col("qvec"), col("codes")) / col("qnorm")).as("adc"))
+    if (shortlist <= 0) {
+      topK(scored.withColumnRenamed("adc", "cosine"), k)
+    } else {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc").desc, col("neighbor_id"))
+      val short = scored.withColumn("arank", row_number().over(w))
+        .filter(col("arank") <= shortlist)
+      topK(short.select(col("query_id"), col("neighbor_id"),
+        (dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm"))).as("cosine")), k)
+    }
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold among vectors
     * sharing an IVF cell (approximate — same recall model as MinHash/LSH
     * banding).

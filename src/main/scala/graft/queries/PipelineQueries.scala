@@ -152,6 +152,37 @@ object PipelineQueries {
       point(4, 0.5).unionByName(point(12, 0.85)).orderBy(col("n_probe"))
     },
 
+    // Self-certifying PQ quality, same contract as an03: recall@5 of the
+    // product-quantized search against an01's exact answer, emitted as
+    // pass/fail bits the DuckDB oracle pins to 1. Codebooks are seeded
+    // and fit on a sorted-hash sample, ranks are id-tiebroken — both
+    // inputs deterministic at every SF. Two points:
+    //  - pure ADC (shortlist=0): 4-bit codes at 32× memory compression
+    //    over a near-random corpus (PQ's worst case — no cluster
+    //    structure for centroids to exploit); measured recall@5 is
+    //    0.28–0.44 across SFs, certified against a 0.2 floor;
+    //  - ADC shortlist 100 + exact re-rank: the production posture
+    //    (codes narrow, floats re-read for ≤100 rows/query); measured
+    //    0.92–0.98, certified against the 0.85 quality bar.
+    "an04_pq_recall" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+      def point(shortlist: Int, bar: Double) = {
+        val approx = Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 5,
+            m = 16, ksub = 16, shortlist = shortlist, quantizerKey = s"emb-pq-$dir")
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+        exact.join(approx,
+            col("qid") === col("query_id") && col("nid") === col("neighbor_id"), "left")
+          .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)))
+            .as("recall"))
+          .select(lit(shortlist.toLong).as("shortlist"), lit(bar).as("threshold"),
+            when(col("recall") >= bar, 1L).otherwise(0L).as("recall_ok"))
+      }
+      point(0, 0.2).unionByName(point(100, 0.85)).orderBy(col("shortlist"))
+    },
+
     // Fingerprint + BPE-ish token estimate (language-ID moved to
     // TextQueries, where it is oracle-checked).
     "tx07_fingerprints" -> { (s, dir) =>
@@ -313,6 +344,10 @@ object PipelineQueries {
       Similarity.coarseQuantizer(Tables.embeddings(s, dir), "vec_id", "embedding",
         s"emb-$dir", nCells = 16, seed = 42L); ()
     },
+    "build_pq_codebooks" -> { (s, dir) =>
+      Similarity.pqCodebooks(Tables.embeddings(s, dir), "vec_id", "embedding",
+        s"emb-pq-$dir", m = 16, ksub = 16, seed = 42L); ()
+    },
     "build_dup_quantizer" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.coarseQuantizer(emb, "vec_id", "embedding",
@@ -355,6 +390,16 @@ object PipelineQueries {
         |UNION ALL
         |SELECT CAST(12 AS BIGINT), 0.85, CAST(1 AS BIGINT)
         |ORDER BY n_probe""".stripMargin,
+
+    // Constant oracle, same contract as an03: PQ must clear each
+    // shortlist setting's calibrated recall bar at any SF (see the an04
+    // entry for the two-point rationale).
+    "an04_pq_recall" ->
+      """SELECT CAST(0 AS BIGINT) AS shortlist, 0.2 AS threshold,
+        |       CAST(1 AS BIGINT) AS recall_ok
+        |UNION ALL
+        |SELECT CAST(100 AS BIGINT), 0.85, CAST(1 AS BIGINT)
+        |ORDER BY shortlist""".stripMargin,
 
     // Doc/distinct-text counts recomputed from the raw table; the two
     // integrity bits (no fingerprint collisions, fingerprint is a pure

@@ -149,6 +149,26 @@ class DedupSpec extends SparkSuite {
     assert(recall >= 0.85, s"IVF recall@5 with nProbe=8/16 regressed below its measured 0.9: $recall")
   }
 
+  test("PQ ANN recall vs brute force: ADC alone ranks, exact re-rank recovers") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    def neighbors(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = neighbors(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5))
+    def recallAt(shortlist: Int): Double = {
+      val approx = neighbors(Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 5,
+        m = 16, ksub = 16, shortlist = shortlist, quantizerKey = "pq-recall-spec"))
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val adcOnly = recallAt(0)
+    val reranked = recallAt(100)
+    info(f"PQ recall@5: adc-only = $adcOnly%.3f, rerank-100 = $reranked%.3f")
+    // near-random corpus (PQ's worst case); measured 0.42 / 0.98 at sf0.001
+    assert(adcOnly >= 0.2, s"pure-ADC recall regressed below its measured 0.42: $adcOnly")
+    assert(reranked >= 0.85, s"re-ranked recall regressed below its measured 0.98: $reranked")
+    assert(reranked >= adcOnly, "exact re-rank must not lose recall vs pure ADC")
+  }
+
   test("embedding dup pairs: finds near-dups; degenerate corpus is capped, not quadratic") {
     val s = spark
     import s.implicits._

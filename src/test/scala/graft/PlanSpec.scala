@@ -32,8 +32,8 @@ class PlanSpec extends SparkSuite {
   /** tx12 crossJoins an explicitly-broadcast 1-row aggregate (the corpus
     * size scalar) into the scorer — O(n·1), the scale-correct way to
     * attach a global scalar without collapsing to one partition. */
-  private val bnljWhitelist =
-    Set("an01_cosine_topk_brute", "an03_ivf_recall", "tx12_tfidf_top_terms")
+  private val bnljWhitelist = Set("an01_cosine_topk_brute", "an03_ivf_recall",
+    "an04_pq_recall", "tx12_tfidf_top_terms")
 
   private def unwrap(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => a.executedPlan
