@@ -179,6 +179,33 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
+    // Repetition quality metrics (the Gopher-rule family): duplicate-
+    // bigram fraction and top-token mass per document, plus the boolean
+    // gate a curation pipeline would filter on. The token-mode side runs
+    // as two hash aggregates (doc×term, then doc); the bigram side is
+    // pure per-row array math fused into the same scan. All fractions
+    // divide exact integer counts — identical doubles in both engines.
+    "tx13_repetition_metrics" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val top = docs.select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("top_tf"), sum($"c").as("n_tokens"))
+      val bg = docs.select($"doc_id",
+        size(TextOps.wordBigrams($"text")).cast("long").as("n_bigrams"),
+        size(array_distinct(TextOps.wordBigrams($"text"))).cast("long")
+          .as("n_distinct_bigrams"))
+      top.join(bg, "doc_id")
+        .select($"doc_id",
+          ($"top_tf" / $"n_tokens").as("top_token_frac"),
+          when($"n_bigrams" > 0, lit(1.0) - $"n_distinct_bigrams" / $"n_bigrams")
+            .otherwise(0.0).as("dup_bigram_frac"),
+          when($"top_tf" / $"n_tokens" > 0.2 ||
+            ($"n_bigrams" > 0 && lit(1.0) - $"n_distinct_bigrams" / $"n_bigrams" > 0.2),
+            1L).otherwise(0L).as("repetitive"))
+        .orderBy($"doc_id")
+    },
+
     // Multimodal: deterministic frame-sampling plan for (fake) video
     // payloads — every 10th frame, capped at 16, as pure column math (no
     // decode); one row per sampled frame.
@@ -330,6 +357,32 @@ object TextQueries {
         |SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_8grams
         |FROM tr JOIN va USING (h)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tx13_repetition_metrics" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |top AS (SELECT doc_id, MAX(c) AS top_tf, SUM(c) AS n_tokens FROM tf GROUP BY 1),
+        |bg AS (
+        |  SELECT doc_id,
+        |    len(bgs) AS n_bigrams, len(list_distinct(bgs)) AS n_distinct_bigrams
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN len(string_split(text, ' ')) < 2 THEN []
+        |               ELSE list_transform(
+        |                 generate_series(1, len(string_split(text, ' ')) - 1),
+        |                 i -> string_split(text, ' ')[i] || ' ' ||
+        |                      string_split(text, ' ')[i+1]) END AS bgs
+        |        FROM documents))
+        |SELECT top.doc_id,
+        |  CAST(top_tf AS DOUBLE) / n_tokens AS top_token_frac,
+        |  CASE WHEN n_bigrams > 0
+        |       THEN 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams
+        |       ELSE 0.0 END AS dup_bigram_frac,
+        |  CAST(CASE WHEN CAST(top_tf AS DOUBLE) / n_tokens > 0.2
+        |            OR (n_bigrams > 0 AND
+        |                1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams > 0.2)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+        |FROM top JOIN bg ON top.doc_id = bg.doc_id
+        |ORDER BY top.doc_id""".stripMargin,
 
     // zero-frame docs sample nothing (mirrors frameSamplePlan's guard)
     "mm02_frame_sampling" ->
