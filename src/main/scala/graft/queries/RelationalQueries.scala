@@ -287,6 +287,33 @@ object RelationalQueries {
         .orderBy($"o_custkey", $"o_orderkey")
     },
 
+    // The SQL entry point: a correlated EXISTS plus correlated and
+    // uncorrelated scalar subqueries, submitted as SQL TEXT — exercising
+    // the parser/analyzer path the rest of the catalog bypasses, and
+    // Catalyst's subquery decorrelation: EXISTS plans as a left-semi
+    // join, the correlated COUNT as an aggregate + outer join, the
+    // uncorrelated average as a one-row subquery broadcast into the
+    // filter — never a per-row re-execution. The average is computed in
+    // exact integer cents (a float avg is summation-order-dependent) so
+    // the comparison bit is identical in both engines.
+    "q19_sql_subqueries" -> { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("q19_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("q19_orders")
+      s.sql("""
+        SELECT c_custkey, c_acctbal,
+               CAST((SELECT COUNT(*) FROM q19_orders o2
+                     WHERE o2.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+        FROM q19_customer c
+        WHERE EXISTS (
+          SELECT 1 FROM q19_orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_totalprice >
+              (SELECT CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                        / 100.0 / COUNT(*)
+               FROM q19_orders))
+        ORDER BY c_custkey""")
+    },
+
     // Bucketed join (co-location tool): both tables bucketed on the order
     // key at write time, so the join itself is exchange-free — the layout
     // every repeated big⋈big join wants at cluster scale. Same oracle
@@ -464,6 +491,22 @@ object RelationalQueries {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
+
+    // same SQL modulo view names — DuckDB runs the identical subquery
+    // nest over the raw tables
+    "q19_sql_subqueries" ->
+      """SELECT c_custkey, c_acctbal,
+        |       CAST((SELECT COUNT(*) FROM orders o2
+        |             WHERE o2.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+        |FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_totalprice >
+        |      (SELECT CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |                / 100.0 / COUNT(*)
+        |       FROM orders))
+        |ORDER BY c_custkey""".stripMargin,
 
     "q18_order_timeline" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
