@@ -335,6 +335,13 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cvec"), col("cnorm"),
         col("qvec"), col("qnorm"),
         (adcScore(books, col("qvec"), col("codes")) / col("qnorm")).as("adc"))
+    rankAdc(scored, k, shortlist)
+  }
+
+  /** Shared ADC ranking tail: rank by the quantized score directly
+    * (shortlist = 0), or keep an ADC shortlist per query and re-rank it
+    * with the exact cosine recomputed from the full vectors. */
+  private def rankAdc(scored: DataFrame, k: Int, shortlist: Int): DataFrame =
     if (shortlist <= 0) {
       topK(scored.withColumnRenamed("adc", "cosine"), k)
     } else {
@@ -345,6 +352,41 @@ object Similarity {
       topK(short.select(col("query_id"), col("neighbor_id"),
         (dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm"))).as("cosine")), k)
     }
+
+  /** IVF·PQ composed — the full inverted-file shape: the coarse quantizer
+    * cuts CANDIDATES (each query probes only `nProbe` cells, an equi-join
+    * on the cell id), PQ codes cut MEMORY (candidates are scored by ADC
+    * over 16 B codes, not 256 B floats), and the exact re-rank of the ADC
+    * shortlist restores precision reading ≤`shortlist` full vectors per
+    * query. Both index artifacts are memoized per corpus under one
+    * `quantizerKey` namespace (see [[coarseQuantizer]]/[[pqCodebooks]]).
+    * Codes quantize the normalized vector directly (non-residual PQ —
+    * simpler than FAISS's residual encoding; the recall cost is covered
+    * by the certified bars in an05). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 16, ksub: Int = 16, shortlist: Int = 0,
+                seed: Long = 42L, quantizerKey: String = ""): DataFrame = {
+    val key = defaultKey(corpus, quantizerKey)
+    val centers = coarseQuantizer(corpus, idCol, vecCol, key, nCells, seed)
+    val books = pqCodebooks(corpus, idCol, vecCol, key, m, ksub, seed)
+    val c = nonZeroNorm(corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cvec"))
+      .withColumn("cnorm", norm(col("cvec"))), "cnorm")
+      .withColumn("cell", nearestCells(centers, col("cvec"), 1).getItem(0).getField("cell"))
+      .withColumn("codes", pqCodes(books,
+        transform(col("cvec"), x => x / col("cnorm"))))
+    val q = nonZeroNorm(queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qvec"))
+      .withColumn("qnorm", norm(col("qvec"))), "qnorm")
+      .withColumn("cell", explode(transform(
+        nearestCells(centers, col("qvec"), nProbe), x => x.getField("cell"))))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cvec"), col("cnorm"),
+        col("qvec"), col("qnorm"),
+        (adcScore(books, col("qvec"), col("codes")) / col("qnorm")).as("adc"))
+    rankAdc(scored, k, shortlist)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold among vectors

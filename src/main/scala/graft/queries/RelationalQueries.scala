@@ -287,6 +287,26 @@ object RelationalQueries {
         .orderBy($"o_custkey", $"o_orderkey")
     },
 
+    // Outer-join surface: customers LEFT JOIN their order aggregates
+    // (null-extended rows surviving into coalesce'd output is the
+    // semantics under test — q05 already proves the anti side). The
+    // aggregate runs BEFORE the join, so the join carries one row per
+    // customer from each side — at 100 TB you outer-join the rollup, not
+    // the raw fact table. The per-customer aggregate frame is the
+    // broadcast side; the customer scan streams.
+    "q20_outer_join" -> { (s, dir) =>
+      import s.implicits._
+      val agg = Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sumMoney($"o_totalprice").as("total_spend"))
+      Tables.customer(s, dir)
+        .join(broadcast(agg), $"c_custkey" === $"o_custkey", "left")
+        .select($"c_custkey", $"c_mktsegment",
+          coalesce($"n_orders", lit(0L)).as("n_orders"),
+          coalesce($"total_spend", lit(0.0)).as("total_spend"))
+        .orderBy($"c_custkey")
+    },
+
     // The SQL entry point: a correlated EXISTS plus correlated and
     // uncorrelated scalar subqueries, submitted as SQL TEXT — exercising
     // the parser/analyzer path the rest of the catalog bypasses, and
@@ -491,6 +511,17 @@ object RelationalQueries {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
+
+    "q20_outer_join" ->
+      s"""WITH agg AS (
+         |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |         ${sqlSumMoney("o_totalprice")} AS total_spend
+         |  FROM orders GROUP BY 1)
+         |SELECT c_custkey, c_mktsegment,
+         |       COALESCE(n_orders, 0) AS n_orders,
+         |       COALESCE(total_spend, 0.0) AS total_spend
+         |FROM customer LEFT JOIN agg ON c_custkey = o_custkey
+         |ORDER BY c_custkey""".stripMargin,
 
     // same SQL modulo view names — DuckDB runs the identical subquery
     // nest over the raw tables

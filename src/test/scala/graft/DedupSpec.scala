@@ -162,7 +162,16 @@ class DedupSpec extends SparkSuite {
     }
     val adcOnly = recallAt(0)
     val reranked = recallAt(100)
-    info(f"PQ recall@5: adc-only = $adcOnly%.3f, rerank-100 = $reranked%.3f")
+    val composed = {
+      val approx = neighbors(Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 12, m = 16, ksub = 16, shortlist = 100,
+        quantizerKey = "pq-recall-spec"))
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    info(f"PQ recall@5: adc-only = $adcOnly%.3f, rerank-100 = $reranked%.3f, " +
+      f"ivfpq p12-r100 = $composed%.3f")
+    assert(composed >= 0.8,
+      s"composed IVF-PQ recall regressed below its measured 0.9+: $composed")
     // near-random corpus (PQ's worst case); measured 0.42 / 0.98 at sf0.001
     assert(adcOnly >= 0.2, s"pure-ADC recall regressed below its measured 0.42: $adcOnly")
     assert(reranked >= 0.85, s"re-ranked recall regressed below its measured 0.98: $reranked")
