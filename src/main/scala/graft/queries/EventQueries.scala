@@ -225,6 +225,30 @@ object EventQueries {
         .orderBy($"user_id", $"event_id")
     },
 
+    // Rolling z-score anomaly detection: each event scored against its
+    // user's trailing 25-event frame. The mean/variance come from exact
+    // integer-cents sums (S, S², n) inside the frame, composed into
+    // doubles only at the end — every float op (two divisions, one
+    // subtraction, one sqrt) is exactly rounded over identical operands,
+    // so the UNROUNDED z-score is bit-identical across engines.
+    // Zero-variance frames (n=1 or constant values) score 0 by the
+    // integer-exact guard, never NaN/inf.
+    "ev12_rolling_zscore" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-24, 0)
+      val base = Tables.events(s, dir).withColumn("xc", cents($"value"))
+        .withColumn("s", sum($"xc").over(w))
+        .withColumn("s2", sum($"xc" * $"xc").over(w))
+        .withColumn("n", count(lit(1)).over(w))
+      base.select($"user_id", $"event_id", $"value",
+          when($"n" * $"s2" - $"s" * $"s" > 0,
+            ($"xc" - $"s".cast("double") / $"n") /
+              sqrt(($"n" * $"s2" - $"s" * $"s").cast("double") / ($"n" * $"n")))
+            .otherwise(0.0).as("z"))
+        .orderBy($"user_id", $"event_id")
+    },
+
     // Range join via binning: events attributed to the 1-hour window
     // opened by each purchase of the same user — an equi-join on
     // (user, hour-bin) instead of the nested loop a raw inequality join
@@ -360,6 +384,25 @@ object EventQueries {
         |FROM w JOIN events e
         |  ON e.user_id = w.p_user AND e.ts >= w.w_start AND e.ts < w.w_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DuckDB's SUM(BIGINT) is int128; the > 0 guard compares exact
+    // integers and the casts to DOUBLE are exact (all magnitudes < 2^53)
+    "ev12_rolling_zscore" ->
+      """WITH b AS (SELECT user_id, event_id, ts, value,
+        |                  CAST(round(value*100) AS BIGINT) AS xc FROM events),
+        |f AS (SELECT user_id, event_id, value, xc,
+        |        SUM(xc) OVER w AS s, SUM(xc*xc) OVER w AS s2,
+        |        COUNT(*) OVER w AS n
+        |      FROM b
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN 24 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, value,
+        |  CASE WHEN n*s2 - s*s > 0
+        |       THEN (xc - CAST(s AS DOUBLE)/n)
+        |            / sqrt(CAST(n*s2 - s*s AS DOUBLE)/(n*n))
+        |       ELSE 0.0 END AS z
+        |FROM f
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "ev11_rolling_user_value" ->
       """SELECT user_id, event_id, value,
