@@ -225,6 +225,38 @@ object EventQueries {
         .orderBy($"user_id", $"event_id")
     },
 
+    // Funnel analysis (sequential pattern matching): per user, the
+    // earliest view, the earliest click AT OR AFTER that view, and the
+    // earliest purchase at or after that click — the order constraint is
+    // what distinguishes a funnel from three independent mins. Each
+    // stage is one key-partitioned aggregate over a filtered scan joined
+    // to the previous stage's frame; no per-user event sorting, no
+    // window state — the shape that holds when one stage's survivors are
+    // a tiny fraction of the event volume.
+    "ev13_funnel_stages" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t_view"))
+      val c = ev.filter($"event_type" === "click").join(v, "user_id")
+        .filter($"ts" >= $"t_view")
+        .groupBy($"user_id").agg(min($"ts").as("t_click"))
+      val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+        .filter($"ts" >= $"t_click")
+        .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+      ev.select($"user_id").distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select($"user_id",
+          when($"t_purchase".isNotNull, 3L).when($"t_click".isNotNull, 2L)
+            .when($"t_view".isNotNull, 1L).otherwise(0L).as("funnel_stage"),
+          date_format($"t_view", "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+          date_format($"t_click", "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          date_format($"t_purchase", "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+        .orderBy($"user_id")
+    },
+
     // Rolling z-score anomaly detection: each event scored against its
     // user's trailing 25-event frame. The mean/variance come from exact
     // integer-cents sums (S, S², n) inside the frame, composed into
@@ -384,6 +416,28 @@ object EventQueries {
         |FROM w JOIN events e
         |  ON e.user_id = w.p_user AND e.ts >= w.w_start AND e.ts < w.w_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ev13_funnel_stages" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+        |            WHEN t_click IS NOT NULL THEN 2
+        |            WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS funnel_stage,
+        |  strftime(t_view, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        |  strftime(t_click, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  strftime(t_purchase, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |       LEFT JOIN p USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
 
     // DuckDB's SUM(BIGINT) is int128; the > 0 guard compares exact
     // integers and the casts to DOUBLE are exact (all magnitudes < 2^53)

@@ -206,6 +206,25 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
+    // Corpus vocabulary statistics per language — the reporting a
+    // training-data mix decision reads: vocabulary size, hapax count
+    // (terms seen exactly once — the Zipf tail), token volume, and
+    // type-token ratio. Two stacked hash aggregates ((lang, term) then
+    // lang); the ratio divides exact integer counts.
+    "tx14_vocab_stats" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"lang", explode(TextOps.tokens($"text")).as("term"))
+        .groupBy($"lang", $"term").agg(count(lit(1)).as("tf"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("vocab_size"),
+          sum(when($"tf" === 1, 1L).otherwise(0L)).as("hapax_count"),
+          sum($"tf").as("n_tokens"))
+        .select($"lang", $"vocab_size", $"hapax_count", $"n_tokens",
+          ($"vocab_size".cast("double") / $"n_tokens").as("type_token_ratio"))
+        .orderBy($"lang")
+    },
+
     // Multimodal: deterministic frame-sampling plan for (fake) video
     // payloads — every 10th frame, capped at 16, as pure column math (no
     // decode); one row per sampled frame.
@@ -383,6 +402,20 @@ object TextQueries {
         |       THEN 1 ELSE 0 END AS BIGINT) AS repetitive
         |FROM top JOIN bg ON top.doc_id = bg.doc_id
         |ORDER BY top.doc_id""".stripMargin,
+
+    "tx14_vocab_stats" ->
+      """WITH tf AS (
+        |  SELECT lang, term, COUNT(*) AS tf
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab_size,
+        |  CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+        |  CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS DOUBLE) / SUM(tf) AS type_token_ratio
+        |FROM tf
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     // zero-frame docs sample nothing (mirrors frameSamplePlan's guard)
     "mm02_frame_sampling" ->
