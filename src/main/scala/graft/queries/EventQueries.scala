@@ -225,6 +225,24 @@ object EventQueries {
         .orderBy($"user_id", $"event_id")
     },
 
+    // Semi-structured property extraction: the JSON `props` payload
+    // parsed per row (`get_json_object` stays in codegen; a malformed
+    // document yields null, counted — never thrown), aggregated per
+    // event type in exact integers. The 100 TB posture for JSON
+    // columns: extract the needed keys at the scan and aggregate
+    // narrow, never carry the raw string through a shuffle.
+    "ev14_props_json" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"k").as("sum_k"),
+          sum(when($"k".isNull, 1L).otherwise(0L)).as("n_unparsed"))
+        .orderBy($"event_type")
+    },
+
     // Funnel analysis (sequential pattern matching): per user, the
     // earliest view, the earliest click AT OR AFTER that view, and the
     // earliest purchase at or after that click — the order constraint is
@@ -416,6 +434,16 @@ object EventQueries {
         |FROM w JOIN events e
         |  ON e.user_id = w.p_user AND e.ts >= w.w_start AND e.ts < w.w_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ev14_props_json" ->
+      """SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NULL
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "ev13_funnel_stages" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events

@@ -287,6 +287,31 @@ object RelationalQueries {
         .orderBy($"o_custkey", $"o_orderkey")
     },
 
+    // Recursive CTE (Spark 4 surface): a zero-filled daily calendar of
+    // event counts — the anchor aggregates (min, max) day and the
+    // recursive step walks one day at a time carrying the bound, so the
+    // recursion is a linear chain that terminates by construction (span
+    // days ≪ the engine's recursion limit; ev08's `sequence()` unfold is
+    // the non-recursive twin of the same gap-fill). LEFT JOIN brings in
+    // the real counts; gap days surface as zero instead of vanishing.
+    "q21_recursive_calendar" -> { (s, dir) =>
+      Tables.events(s, dir).createOrReplaceTempView("q21_events")
+      s.sql("""
+        WITH RECURSIVE cal(d, dmax) AS (
+          SELECT CAST(min(ts) AS DATE), CAST(max(ts) AS DATE) FROM q21_events
+          UNION ALL
+          SELECT DATE_ADD(d, 1), dmax FROM cal WHERE d < dmax
+        ),
+        daily AS (
+          SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+          FROM q21_events GROUP BY 1
+        )
+        SELECT CAST(cal.d AS STRING) AS day,
+               CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+        FROM cal LEFT JOIN daily ON cal.d = daily.d
+        ORDER BY day""")
+    },
+
     // Outer-join surface: customers LEFT JOIN their order aggregates
     // (null-extended rows surviving into coalesce'd output is the
     // semantics under test — q05 already proves the anti side). The
@@ -511,6 +536,21 @@ object RelationalQueries {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
+
+    // identical recursion in DuckDB (DATE + 1 is its date-add spelling)
+    "q21_recursive_calendar" ->
+      """WITH RECURSIVE cal(d, dmax) AS (
+        |  SELECT CAST(min(ts) AS DATE), CAST(max(ts) AS DATE) FROM events
+        |  UNION ALL
+        |  SELECT d + 1, dmax FROM cal WHERE d < dmax
+        |),
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1
+        |)
+        |SELECT CAST(cal.d AS VARCHAR) AS day,
+        |       CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+        |FROM cal LEFT JOIN daily ON cal.d = daily.d
+        |ORDER BY day""".stripMargin,
 
     "q20_outer_join" ->
       s"""WITH agg AS (
