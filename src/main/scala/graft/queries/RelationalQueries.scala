@@ -287,6 +287,27 @@ object RelationalQueries {
         .orderBy($"o_custkey", $"o_orderkey")
     },
 
+    // MERGE/upsert over immutable storage (ops/Upsert): a deterministic
+    // update batch — every 10th customer's balance bumped, every 50th
+    // re-keyed as a brand-new row — merged into the customer table by
+    // one key-partitioned full-outer join with wholesale row
+    // replacement. The oracle replays MERGE semantics as
+    // anti-join ∪ updates. Money passes through cents-exact arithmetic.
+    "q22_upsert_merge" -> { (s, dir) =>
+      import s.implicits._
+      val base = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      val updates = base
+        .filter($"c_custkey" % 10 === 0)
+        .select(
+          when($"c_custkey" % 50 === 0, $"c_custkey" + 1000000L)
+            .otherwise($"c_custkey").as("c_custkey"),
+          $"c_mktsegment",
+          ((cents($"c_acctbal") + 10000L) / 100.0).as("c_acctbal"))
+      graft.ops.Upsert.upsert(base, updates, "c_custkey")
+        .orderBy($"c_custkey")
+    },
+
     // Recursive CTE (Spark 4 surface): a zero-filled daily calendar of
     // event counts — the anchor aggregates (min, max) day and the
     // recursive step walks one day at a time carrying the bound, so the
@@ -536,6 +557,21 @@ object RelationalQueries {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
+
+    // MERGE replayed as base-minus-updated ∪ update batch
+    "q22_upsert_merge" ->
+      """WITH upd AS (
+        |  SELECT CASE WHEN c_custkey % 50 = 0 THEN c_custkey + 1000000
+        |              ELSE c_custkey END AS c_custkey,
+        |         c_mktsegment,
+        |         (CAST(round(c_acctbal*100) AS BIGINT) + 10000)/100.0 AS c_acctbal
+        |  FROM customer WHERE c_custkey % 10 = 0)
+        |SELECT c_custkey, c_mktsegment, c_acctbal
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, c_acctbal FROM upd
+        |ORDER BY c_custkey""".stripMargin,
 
     // identical recursion in DuckDB (DATE + 1 is its date-add spelling)
     "q21_recursive_calendar" ->
