@@ -404,6 +404,53 @@ object StreamQueries {
     // still counts exactly in sparse mode). Watermark 60d > the 30-day
     // replay span: round-robin chunks interleave days, so a tight
     // watermark would misclassify replayed rows as late (st08's trick).
+    // Count-Min INSIDE streaming state (st12's heavy-hitter sibling):
+    // per-day CMS of user ids built across a chunked 3-micro-batch
+    // replay — partial sketches merge through the state store exactly
+    // like the HLL++ buffers, holding a fixed-width table per window
+    // instead of one counter per (day, user) key. After termination the
+    // final per-day sketch is probed (native cms_estimate) for the exact
+    // top-3 users of that day; the hash-checked columns are the exact
+    // ranks/counts, and the bit certifies both CMS guarantees (never
+    // undercounts; overcount ≤ ⌈eps·N⌉ with the day's event count as N).
+    "st13_stream_cms_topk" -> { (s, dir) =>
+      import s.implicits._
+      val scratch = ensureEventChunks(s, dir, 3)
+      val raw = StructType(Schemas.events.map {
+        case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
+        case f => f
+      })
+      val replay = s.readStream.schema(raw)
+        .option("maxFilesPerTrigger", 1).parquet(scratch)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = replay
+        .withWatermark("ts", "60 days")
+        .groupBy(window($"ts", "1 day").as("window"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("count_min_sketch(user_id, CAST(0.001 AS DOUBLE), CAST(0.999 AS DOUBLE), 42)")
+            .as("cms"))
+      val (out, _) = StreamRunner.toMemoryWithQuery(agg)
+      val lastW = org.apache.spark.sql.expressions.Window
+        .partitionBy($"window").orderBy($"n_events".desc)
+      val finals = out.withColumn("rn", row_number().over(lastW))
+        .filter($"rn" === 1).drop("rn")
+      val topW = org.apache.spark.sql.expressions.Window
+        .partitionBy($"window").orderBy($"n".desc, $"user_id")
+      val top3 = Tables.events(s, dir)
+        .groupBy(window($"ts", "1 day").as("window"), $"user_id")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(topW).cast("long"))
+        .filter($"rk" <= 3)
+      val est = graft.functions.CmsEstimate($"cms", $"user_id")
+      top3.join(finals, "window")
+        .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          $"rk", $"user_id", $"n",
+          when(est >= $"n" &&
+            est <= $"n" + ceil(lit(0.001) * $"n_events").cast("long"), 1L)
+            .otherwise(0L).as("cms_ok"))
+        .orderBy($"w_start", $"rk")
+    },
+
     "st12_stream_hll_window" -> { (s, dir) =>
       import s.implicits._
       val (finals, _) = windowedSketchReplay(s, dir, nFiles = 3)
@@ -533,6 +580,22 @@ object StreamQueries {
 
     // Batch-exact per-day twin; the HLL++ sketch-quality bit is pinned
     // to 1 (see the st12 entry).
+    // exact per-day top-3 users recomputed from the raw table; the CMS
+    // guarantee bit is pinned to 1 (see the st13 entry)
+    "st13_stream_cms_topk" ->
+      """WITH counts AS (
+        |  SELECT date_trunc('day', ts) AS d, user_id, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT d, user_id, n,
+        |         row_number() OVER (PARTITION BY d ORDER BY n DESC, user_id) AS rk
+        |  FROM counts)
+        |SELECT strftime(d, '%Y-%m-%d %H:%M:%S') AS w_start,
+        |       CAST(rk AS BIGINT) AS rk, user_id, CAST(n AS BIGINT) AS n,
+        |       CAST(1 AS BIGINT) AS cms_ok
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY w_start, rk""".stripMargin,
+
     "st12_stream_hll_window" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
         |       CAST(count(*) AS BIGINT) AS n_events,
