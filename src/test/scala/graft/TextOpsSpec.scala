@@ -24,6 +24,32 @@ class TextOpsSpec extends SparkSuite {
     long.select(TextOps.fingerprint($"text")).collect()
   }
 
+  test("wordShingles: k=2 matches wordBigrams; short docs yield empty; count law") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "one two"),
+      (3L, "solo"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val rows = df.select($"doc_id",
+        TextOps.wordShingles($"text", 2).as("s2"),
+        TextOps.wordBigrams($"text").as("bg"),
+        TextOps.wordShingles($"text", 3).as("s3"),
+        TextOps.tokenCount($"text").as("n"))
+      .collect()
+    for (r <- rows) {
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"doc ${r.getLong(0)}: wordShingles(2) must equal wordBigrams")
+      val n = r.getLong(4)
+      assert(r.getSeq[String](3).size == math.max(n - 2, 0L),
+        s"doc ${r.getLong(0)}: shingle count must be max(n-k+1, 0)")
+    }
+    assert(rows.find(_.getLong(0) == 1L).get.getSeq[String](3) ==
+      Seq("a b c", "b c d", "c d e"))
+  }
+
   test("polyhash64 matches a driver-side wrapping fold") {
     val s = spark
     import s.implicits._
