@@ -183,6 +183,41 @@ object PipelineQueries {
       point(0, 0.2).unionByName(point(100, 0.85)).orderBy(col("shortlist"))
     },
 
+    // Text-similarity search baseline: exact Jaccard top-3 neighbors for
+    // the first 5 documents, via an inverted shingle index — candidates
+    // are (query, doc) pairs sharing at least one 3-shingle, intersection
+    // sizes come from one (shingle join → pair groupBy) pass, and the
+    // union size is |A|+|B|−|A∩B| from precomputed set sizes: no
+    // all-pairs scan, work bounded by shared-shingle pair counts. The
+    // Jaccard score is a single division of exact integers (identical
+    // doubles in both engines, ranked with id tie-break). Hot-shingle
+    // skew is the hazard at 100 TB — the production probe is dd01's
+    // banded MinHash-LSH with capped buckets; this entry is the exact
+    // baseline it approximates (an01's role, for text).
+    "an06_jaccard_topk" -> { (s, dir) =>
+      import s.implicits._
+      val sh = Tables.documents(s, dir)
+        .select($"doc_id", array_distinct(TextOps.wordShingles($"text", 3)).as("s"))
+        .filter(size($"s") > 0)
+      val ex = sh.select($"doc_id", explode($"s").as("sh"))
+      val qex = ex.filter($"doc_id" < 5).select($"doc_id".as("query_id"), $"sh")
+      val sizes = sh.select($"doc_id", size($"s").cast("long").as("n"))
+      val inter = qex.join(ex, "sh")
+        .filter($"query_id" =!= $"doc_id")
+        .groupBy($"query_id", $"doc_id").agg(count(lit(1)).as("i"))
+      val scored = inter
+        .join(sizes.select($"doc_id".as("query_id"), $"n".as("nq")), "query_id")
+        .join(sizes.select($"doc_id", $"n".as("nd")), "doc_id")
+        .select($"query_id", $"doc_id".as("neighbor_id"),
+          ($"i".cast("double") / ($"nq" + $"nd" - $"i")).as("jaccard"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"jaccard".desc, $"neighbor_id")
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 3)
+        .select($"query_id", $"rank", $"neighbor_id", $"jaccard")
+        .orderBy($"query_id", $"rank")
+    },
+
     // Self-certifying IVF·PQ quality — the fully-composed inverted-file
     // shape (coarse cells cut candidates, PQ codes cut memory, exact
     // re-rank restores precision; see Similarity.ivfPqTopK). Same
@@ -431,6 +466,29 @@ object PipelineQueries {
         |UNION ALL
         |SELECT CAST(100 AS BIGINT), 0.85, CAST(1 AS BIGINT)
         |ORDER BY shortlist""".stripMargin,
+
+    // Independent recompute via list_intersect over string shingle sets —
+    // same candidate rule (≥1 shared shingle), same exact-int division.
+    "an06_jaccard_topk" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM w WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id,
+        |         len(list_intersect(q.s, d.s)) AS i, len(q.s) AS nq, len(d.s) AS nd
+        |  FROM sh q JOIN sh d ON q.doc_id < 5 AND d.doc_id <> q.doc_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(i AS DOUBLE)/(nq + nd - i) AS jaccard,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY CAST(i AS DOUBLE)/(nq + nd - i) DESC, neighbor_id) AS rk
+        |  FROM pairs WHERE i > 0)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, jaccard
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY query_id, rank""".stripMargin,
 
     // Constant oracle for the composed IVF·PQ recall curve (see the an05
     // entry for the calibration).
