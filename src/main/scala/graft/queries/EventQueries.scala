@@ -225,6 +225,21 @@ object EventQueries {
         .orderBy($"user_id", $"event_id")
     },
 
+    // Value-distribution histogram per event type: fixed-width 50-unit
+    // buckets via floor(value/50) — one hash aggregate over (type,
+    // bucket), the reporting shape that stays bounded at any row count
+    // because cardinality is buckets × types, not rows. The bucket edge
+    // divides a raw double by an exact constant (identical in both
+    // engines) before floor.
+    "ev15_value_histogram" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type",
+          (floor($"value" / 50.0) * 50).cast("long").as("bucket_lo"))
+        .agg(count(lit(1)).as("n"), sumMoney($"value").as("sum_value"))
+        .orderBy($"event_type", $"bucket_lo")
+    },
+
     // Semi-structured property extraction: the JSON `props` payload
     // parsed per row (`get_json_object` stays in codegen; a malformed
     // document yields null, counted — never thrown), aggregated per
@@ -434,6 +449,15 @@ object EventQueries {
         |FROM w JOIN events e
         |  ON e.user_id = w.p_user AND e.ts >= w.w_start AND e.ts < w.w_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ev15_value_histogram" ->
+      s"""SELECT event_type,
+         |  CAST(floor(value/50.0) * 50 AS BIGINT) AS bucket_lo,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${sqlSumMoney("value")} AS sum_value
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY event_type, bucket_lo""".stripMargin,
 
     "ev14_props_json" ->
       """SELECT event_type,

@@ -287,6 +287,23 @@ object RelationalQueries {
         .orderBy($"o_custkey", $"o_orderkey")
     },
 
+    // Bag-semantics set ops — q09's multiset twins: EXCEPT ALL keeps a
+    // user once per purchase beyond their click count, INTERSECT ALL
+    // keeps min(purchases, clicks) copies. Catalyst plans both as a
+    // single shuffle with per-key counters (no row explosion); the
+    // result is aggregated to (tag, user, n) so the multiplicity itself
+    // is the hash-checked value.
+    "q23_bag_set_ops" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val p = ev.filter($"event_type" === "purchase").select($"user_id")
+      val c = ev.filter($"event_type" === "click").select($"user_id")
+      p.exceptAll(c).withColumn("tag", lit("purchase_minus_click"))
+        .unionByName(p.intersectAll(c).withColumn("tag", lit("purchase_and_click")))
+        .groupBy($"tag", $"user_id").agg(count(lit(1)).as("n"))
+        .orderBy($"tag", $"user_id")
+    },
+
     // MERGE/upsert over immutable storage (ops/Upsert): a deterministic
     // update batch — every 10th customer's balance bumped, every 50th
     // re-keyed as a brand-new row — merged into the customer table by
@@ -557,6 +574,20 @@ object RelationalQueries {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
+
+    "q23_bag_set_ops" ->
+      """SELECT tag, user_id, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT 'purchase_minus_click' AS tag, user_id FROM (
+        |    SELECT user_id FROM events WHERE event_type = 'purchase'
+        |    EXCEPT ALL
+        |    SELECT user_id FROM events WHERE event_type = 'click')
+        |  UNION ALL
+        |  SELECT 'purchase_and_click' AS tag, user_id FROM (
+        |    SELECT user_id FROM events WHERE event_type = 'purchase'
+        |    INTERSECT ALL
+        |    SELECT user_id FROM events WHERE event_type = 'click'))
+        |GROUP BY tag, user_id
+        |ORDER BY tag, user_id""".stripMargin,
 
     // MERGE replayed as base-minus-updated ∪ update batch
     "q22_upsert_merge" ->
