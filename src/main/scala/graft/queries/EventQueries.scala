@@ -240,6 +240,28 @@ object EventQueries {
         .orderBy($"event_type", $"bucket_lo")
     },
 
+    // Behavioral transition matrix (first-order Markov counts): each
+    // event paired with the user's previous event type via one lag
+    // window, then a hash aggregate over (prev, curr) — output
+    // cardinality is |types|², never rows. The transition share is
+    // emitted in exact basis points (integer floor-division of two
+    // longs, identical in both engines) rather than a float-divided
+    // probability. The window shuffles by user once; at 100 TB that is
+    // the same single exchange any per-user sequence analysis pays.
+    "ev16_transition_matrix" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .filter($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share_bp",
+          expr("n * 10000 div sum(n) over (partition by prev_type)"))
+        .orderBy($"prev_type", $"event_type")
+    },
+
     // Semi-structured property extraction: the JSON `props` payload
     // parsed per row (`get_json_object` stays in codegen; a malformed
     // document yields null, counted — never thrown), aggregated per
@@ -458,6 +480,20 @@ object EventQueries {
          |FROM events
          |GROUP BY 1, 2
          |ORDER BY event_type, bucket_lo""".stripMargin,
+
+    "ev16_transition_matrix" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |t AS (
+        |  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, event_type, n,
+        |  CAST((n * 10000) // CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+        |    AS BIGINT) AS share_bp
+        |FROM t ORDER BY prev_type, event_type""".stripMargin,
 
     "ev14_props_json" ->
       """SELECT event_type,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -304,6 +304,53 @@ object RelationalQueries {
         .orderBy($"tag", $"user_id")
     },
 
+    // Data-quality profiling: per-column row/null/distinct counts plus
+    // typed min/max over `orders`, unpivoted to one row per column — the
+    // schema-audit pass every ingest runs before trusting a feed. ONE
+    // aggregate computes every stat (the multi-distinct goes through
+    // Catalyst's Expand, a single scan + single shuffle rather than one
+    // job per column); the 1-row result is exploded driver-free into the
+    // profile rows. Numeric min/max are doubles, string min/max strings,
+    // the timestamp formatted — never a double printed as text.
+    "q25_data_profile" -> { (s, dir) =>
+      import s.implicits._
+      val nullNum = lit(null).cast("double")
+      val nullStr = lit(null).cast("string")
+      def prof(name: String, nn: Column, nd: Column,
+               mnN: Column, mxN: Column, mnS: Column, mxS: Column) =
+        struct(lit(name).as("col_name"), $"n_rows",
+          ($"n_rows" - nn).as("n_null"), nd.as("n_distinct"),
+          mnN.as("min_num"), mxN.as("max_num"),
+          mnS.as("min_str"), mxS.as("max_str"))
+      Tables.orders(s, dir)
+        .agg(count(lit(1)).as("n_rows"),
+          count($"o_orderkey").as("k_nn"), countDistinct($"o_orderkey").as("k_nd"),
+          min($"o_orderkey").cast("double").as("k_mn"),
+          max($"o_orderkey").cast("double").as("k_mx"),
+          count($"o_custkey").as("c_nn"), countDistinct($"o_custkey").as("c_nd"),
+          min($"o_custkey").cast("double").as("c_mn"),
+          max($"o_custkey").cast("double").as("c_mx"),
+          count($"o_totalprice").as("t_nn"), countDistinct($"o_totalprice").as("t_nd"),
+          min($"o_totalprice").as("t_mn"), max($"o_totalprice").as("t_mx"),
+          count($"o_orderstatus").as("s_nn"), countDistinct($"o_orderstatus").as("s_nd"),
+          min($"o_orderstatus").as("s_mn"), max($"o_orderstatus").as("s_mx"),
+          count($"o_orderpriority").as("p_nn"), countDistinct($"o_orderpriority").as("p_nd"),
+          min($"o_orderpriority").as("p_mn"), max($"o_orderpriority").as("p_mx"),
+          count($"o_orderdate").as("d_nn"), countDistinct($"o_orderdate").as("d_nd"),
+          date_format(min($"o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("d_mn"),
+          date_format(max($"o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("d_mx"))
+        .select(explode(array(
+          prof("o_orderkey", $"k_nn", $"k_nd", $"k_mn", $"k_mx", nullStr, nullStr),
+          prof("o_custkey", $"c_nn", $"c_nd", $"c_mn", $"c_mx", nullStr, nullStr),
+          prof("o_totalprice", $"t_nn", $"t_nd", $"t_mn", $"t_mx", nullStr, nullStr),
+          prof("o_orderstatus", $"s_nn", $"s_nd", nullNum, nullNum, $"s_mn", $"s_mx"),
+          prof("o_orderpriority", $"p_nn", $"p_nd", nullNum, nullNum, $"p_mn", $"p_mx"),
+          prof("o_orderdate", $"d_nn", $"d_nd", nullNum, nullNum, $"d_mn", $"d_mx")))
+          .as("p"))
+        .select($"p.*")
+        .orderBy($"col_name")
+    },
+
     // MERGE/upsert over immutable storage (ops/Upsert): a deterministic
     // update batch — every 10th customer's balance bumped, every 50th
     // re-keyed as a brand-new row — merged into the customer table by
@@ -588,6 +635,49 @@ object RelationalQueries {
         |    SELECT user_id FROM events WHERE event_type = 'click'))
         |GROUP BY tag, user_id
         |ORDER BY tag, user_id""".stripMargin,
+
+    "q25_data_profile" ->
+      """WITH p AS (
+        |  SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+        |    COUNT(*) - COUNT(o_orderkey) AS n_null,
+        |    COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+        |    CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+        |    COUNT(DISTINCT o_custkey),
+        |    CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+        |    NULL, NULL
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+        |    COUNT(DISTINCT o_totalprice),
+        |    MIN(o_totalprice), MAX(o_totalprice), NULL, NULL
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+        |    COUNT(DISTINCT o_orderstatus),
+        |    NULL, NULL, MIN(o_orderstatus), MAX(o_orderstatus)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+        |    COUNT(DISTINCT o_orderpriority),
+        |    NULL, NULL, MIN(o_orderpriority), MAX(o_orderpriority)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+        |    COUNT(DISTINCT o_orderdate),
+        |    NULL, NULL,
+        |    strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+        |    strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+        |  FROM orders)
+        |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_null AS BIGINT) AS n_null,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  min_num, max_num, min_str, max_str
+        |FROM p ORDER BY col_name""".stripMargin,
 
     // MERGE replayed as base-minus-updated ∪ update batch
     "q22_upsert_merge" ->

@@ -225,6 +225,29 @@ object TextQueries {
         .orderBy($"lang")
     },
 
+    // LLM-prep chunking plan: each document cut into fixed token-budget
+    // chunks (64 tokens, stride 48 → 16-token overlap), emitted as
+    // (doc_id, chunk_idx, tok_start, tok_end) offsets. Pure per-row
+    // integer math + sequence/explode — no shuffle, output bounded by
+    // total-tokens/stride. At 100 TB this is the map-side pass that
+    // feeds tokenization; offsets (not substrings) keep the shuffle
+    // payload at 24 bytes/chunk instead of the text itself.
+    "tx15_doc_chunks" -> { (s, dir) =>
+      import s.implicits._
+      val size = 64; val stride = 48
+      Tables.documents(s, dir)
+        .select($"doc_id", TextOps.tokenCount($"text").as("n_tokens"))
+        .withColumn("n_chunks",
+          when($"n_tokens" <= size, 1L).otherwise(
+            lit(1L) + expr(s"(n_tokens - ${size - stride + 1}) div $stride")))
+        .select($"doc_id", $"n_tokens",
+          explode(sequence(lit(0L), $"n_chunks" - 1)).as("chunk_idx"))
+        .select($"doc_id", $"chunk_idx",
+          ($"chunk_idx" * stride).as("tok_start"),
+          least($"chunk_idx" * stride + size, $"n_tokens").as("tok_end"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+
     // Multimodal: deterministic frame-sampling plan for (fake) video
     // payloads — every 10th frame, capped at 16, as pure column math (no
     // decode); one row per sampled frame.
@@ -416,6 +439,24 @@ object TextQueries {
         |FROM tf
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    "tx15_doc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens <= 64 THEN 1
+        |         ELSE 1 + (n_tokens - 17) // 48 END AS n_chunks
+        |  FROM d),
+        |u AS (
+        |  SELECT doc_id, n_tokens,
+        |    unnest(generate_series(0, n_chunks - 1)) AS ci
+        |  FROM c)
+        |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        |  CAST(ci * 48 AS BIGINT) AS tok_start,
+        |  CAST(LEAST(ci * 48 + 64, n_tokens) AS BIGINT) AS tok_end
+        |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // zero-frame docs sample nothing (mirrors frameSamplePlan's guard)
     "mm02_frame_sampling" ->
