@@ -63,12 +63,33 @@ object IngestQueries {
       }
     }
 
+  /** Schema-drift twin of the orders table: slice v1 (even order keys)
+    * written WITHOUT `o_orderpriority`, slice v2 (odd keys) with it — the
+    * shape a 100 TB lake always has after a producer adds a column
+    * mid-feed. */
+  private val evoDir = new java.io.File("target/fixtures/orders_evo").getAbsolutePath
+  private var evoFor: String = null
+  private def ensureEvo(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    writeLock.synchronized {
+      if (evoFor != dir) {
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$evoDir/v1")
+        o.filter(col("o_orderkey") % 2 =!= 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+          .write.mode("overwrite").parquet(s"$evoDir/v2")
+        evoFor = dir
+      }
+    }
+
   /** The fixture writes, exposed as timed builds (otherwise they land
     * on whichever cs* query the bench runs first). */
   val builds: Map[String, QueryUtil.B] = Map(
     "build_csv_fixture" -> ((s, dir) => ensureFixture(s, dir)),
     "build_orc_fixture" -> ((s, dir) => ensureOrc(s, dir)),
-    "build_jsonl_fixture" -> ((s, dir) => ensureJsonl(s, dir)))
+    "build_jsonl_fixture" -> ((s, dir) => ensureJsonl(s, dir)),
+    "build_evo_fixture" -> ((s, dir) => ensureEvo(s, dir)))
 
   private val duckReadCsv =
     s"""read_csv('$fixtureDir/*.csv', header=false, columns={
@@ -183,6 +204,22 @@ object IngestQueries {
           countDistinct(md5(concat_ws("|", col("doc_id"), col("lang"), col("text"))))
             .as("n_distinct_payloads"),
           sum(length(col("text"))).as("total_chars"))
+    },
+
+    // Schema evolution: a `mergeSchema` read over two parquet slices
+    // written under drifted schemas — rows from the pre-drift slice
+    // null-extend the added column, and the reconciled schema comes from
+    // the footers alone (no full-file scan). The oracle recomputes the
+    // expected null-extension from the ORIGINAL table, so the hash match
+    // certifies the merged read loses and invents nothing.
+    "cs08_schema_evolution" -> { (s, dir) =>
+      ensureEvo(s, dir)
+      s.read.option("mergeSchema", "true").parquet(s"$evoDir/v1", s"$evoDir/v2")
+        .groupBy(coalesce(col("o_orderpriority"), lit("(absent)")).as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("sum_price_cents"),
+          countDistinct(col("o_custkey")).as("n_custs"))
+        .orderBy(col("priority"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -241,5 +278,18 @@ object IngestQueries {
         |    CAST(doc_id AS VARCHAR), lang, text))) AS BIGINT)
         |    AS n_distinct_payloads,
         |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    // expected result of the merged read, recomputed from the original
+    // table: even keys were written without the column → NULL → '(absent)'
+    "cs08_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '(absent)'
+        |            ELSE o_orderpriority END AS priority,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY priority""".stripMargin)
 }

@@ -392,6 +392,51 @@ object StreamQueries {
         .orderBy($"user_id", $"event_type")
     },
 
+    // Stream-stream LEFT OUTER join — st10's missing half: a click with
+    // no purchase in the hour after it must still emit, null-extended.
+    // Outer rows only flush when the watermark passes the end of their
+    // join window, and each side's watermark tracks only the rows IT
+    // observed — so a side filtered to "clicks ≤ max−2h" would stall the
+    // global watermark 2 h early and strand the last hour of outer rows
+    // in state forever. The production fix is a watermark HEARTBEAT: a
+    // non-joining row carrying the feed's latest event time on each
+    // side (never matches: negative user ids; never flushes itself:
+    // its own window never closes). With the heartbeats the terminal
+    // no-data micro-batch advances the watermark to max ts — strictly
+    // past every real left row's window (they stop 2 h earlier, a 1 h
+    // margin beyond the 1 h join window) — flushing ALL outer rows
+    // regardless of boundary strictness. Oracle: the plain batch left
+    // join under the same cutoff; join state stays watermark-bounded.
+    "st14_stream_outer_join" -> { (s, dir) =>
+      import s.implicits._
+      // A6-style scalar pull: one max(ts) to anchor cutoff + heartbeat.
+      val maxTs = Tables.events(s, dir).agg(max($"ts")).first().getTimestamp(0)
+      val ev = StreamSources.eventsStream(s, dir)
+      val clicks = ev
+        .filter($"event_type" === "click" &&
+          $"ts" <= lit(maxTs) - expr("INTERVAL 2 HOURS"))
+        .select($"event_id".as("click_id"), $"user_id", $"ts")
+        .unionByName(ev.filter($"ts" === lit(maxTs))
+          .select((-$"event_id" - 1).as("click_id"), lit(-1L).as("user_id"), $"ts"))
+        .withWatermark("ts", "0 seconds")
+      val purchases = StreamSources.eventsStream(s, dir)
+        .filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+          $"ts".as("p_ts"))
+        .unionByName(StreamSources.eventsStream(s, dir)
+          .filter($"ts" === lit(maxTs))
+          .select((-$"event_id" - 1).as("purchase_id"), lit(-2L).as("p_user"),
+            $"ts".as("p_ts")))
+        .withWatermark("p_ts", "0 seconds")
+      val joined = clicks.join(purchases,
+        expr("user_id = p_user AND p_ts >= ts AND p_ts < ts + INTERVAL 1 HOUR"),
+        "left_outer")
+        .select($"click_id", $"purchase_id")
+      StreamRunner.toMemory(joined, mode = "append")
+        .filter($"click_id" >= 0)
+        .orderBy($"click_id", $"purchase_id")
+    },
+
     // Sketch aggregation INSIDE streaming state: per-day windowed
     // `approx_count_distinct` (HLL++) over a chunked 3-micro-batch
     // replay, so partial sketch states genuinely merge through the state
@@ -604,6 +649,19 @@ object StreamQueries {
         |FROM events
         |GROUP BY date_trunc('day', ts)
         |ORDER BY w_start""".stripMargin,
+
+    // the batch left join under the same 2-hour end-of-stream cutoff
+    "st14_stream_outer_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'
+        |             AND ts <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, p.purchase_id
+        |FROM c LEFT JOIN p
+        |  ON c.user_id = p.p_user AND p.p_ts >= c.ts
+        | AND p.p_ts < c.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "st10_stream_stream_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
