@@ -240,6 +240,47 @@ object EventQueries {
         .orderBy($"event_type", $"bucket_lo")
     },
 
+    // Rolling active users (DAU / trailing-7-day WAU per day): rolling
+    // COUNT DISTINCT is not a window aggregate, and the naive day-grid ⨯
+    // daily-users range join is a nested-loop — the scale shape is a
+    // bounded 7× MAP-SIDE fan-out instead: pre-shrink to distinct
+    // (day, user), explode each pair onto the ≤7 report days it serves,
+    // then one hash aggregate per report day. Volume entering the
+    // shuffle is 7 × |distinct (day,user)|, independent of raw event
+    // count; no nested-loop join anywhere.
+    "ev17_rolling_actives" -> { (s, dir) =>
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .select(to_date($"ts").as("d"), $"user_id").distinct()
+      val grid = daily.select($"d").distinct()
+      val fan = daily.select($"user_id", $"d",
+        explode(expr("sequence(d, date_add(d, 6))")).as("rd"))
+      val wau = fan.join(broadcast(grid.withColumnRenamed("d", "rd")), "rd")
+        .groupBy($"rd")
+        .agg(countDistinct($"user_id").as("wau"),
+          countDistinct(when($"d" === $"rd", $"user_id")).as("dau"))
+      wau.select(date_format($"rd", "yyyy-MM-dd").as("day"), $"dau", $"wau")
+        .orderBy($"day")
+    },
+
+    // Interval RANGE window frame (the time-based sibling of ev11's ROWS
+    // frames): per-user trailing-1-hour event count and exact money sum,
+    // framed on truncated epoch seconds — rows at the same second share
+    // a frame, so the result is tie-independent. One shuffle by user +
+    // one sort, same as any per-user window.
+    "ev18_range_frame_1h" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_sec")
+        .rangeBetween(-3599, 0)
+      Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"value",
+          $"ts".cast("long").as("ts_sec"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", (sum(cents($"value")).over(w) / 100.0))
+        .select($"user_id", $"event_id", $"n_1h", $"sum_1h")
+        .orderBy($"user_id", $"event_id")
+    },
+
     // Behavioral transition matrix (first-order Markov counts): each
     // event paired with the user's previous event type via one lag
     // window, then a hash aggregate over (prev, curr) — output
@@ -480,6 +521,28 @@ object EventQueries {
          |FROM events
          |GROUP BY 1, 2
          |ORDER BY event_type, bucket_lo""".stripMargin,
+
+    "ev17_rolling_actives" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |grid AS (SELECT DISTINCT d FROM daily)
+        |SELECT strftime(g.d, '%Y-%m-%d') AS day,
+        |  CAST(COUNT(DISTINCT CASE WHEN dy.d = g.d THEN dy.user_id END)
+        |    AS BIGINT) AS dau,
+        |  CAST(COUNT(DISTINCT dy.user_id) AS BIGINT) AS wau
+        |FROM grid g JOIN daily dy ON dy.d BETWEEN g.d - 6 AND g.d
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "ev18_range_frame_1h" ->
+      """SELECT user_id, event_id,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT)/100.0
+        |    AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "ev16_transition_matrix" ->
       """WITH seq AS (
