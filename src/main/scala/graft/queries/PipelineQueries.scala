@@ -108,6 +108,19 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Filtered vector search (the RAG shape: top-k under a metadata
+    // predicate). The filter applies to the CORPUS side before scoring —
+    // pushed to the parquet scan, so the brute-force pass reads and
+    // scores only qualifying rows rather than post-filtering a k-list
+    // that could go empty. Same scoring/rank/rounding as an01.
+    "an07_filtered_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.bruteForceTopK(emb.filter(col("label") % 3 === 0), queries,
+        "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // IVF ANN (the scale path) on the same queries.
     "an02_cosine_topk_ivf" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -518,6 +531,27 @@ object PipelineQueries {
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |         list_cosine_similarity(c.v, q.v) AS cosine
         |  FROM c CROSS JOIN q WHERE q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        |       round(cosine, 6) AS cosine
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // an01's oracle with the corpus restricted by the metadata predicate
+    // (queries stay unfiltered — the RAG filter applies to candidates)
+    "an07_filtered_topk" ->
+      """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id, v FROM c WHERE vec_id < 10),
+        |f AS (SELECT vec_id, v FROM c WHERE label % 3 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, f.vec_id AS neighbor_id,
+        |         list_cosine_similarity(f.v, q.v) AS cosine
+        |  FROM f CROSS JOIN q WHERE q.vec_id <> f.vec_id),
         |ranked AS (
         |  SELECT query_id, neighbor_id, cosine,
         |         row_number() OVER (PARTITION BY query_id

@@ -437,6 +437,58 @@ object StreamQueries {
         .orderBy($"click_id", $"purchase_id")
     },
 
+    // Incremental materialized-view maintenance: a chunked 3-micro-batch
+    // replay maintains a per-(day, type) aggregate VIEW in parquet via
+    // foreachBatch — each batch folds its delta into the previous
+    // snapshot (union + re-aggregate: the additive partial-aggregate
+    // merge) and writes snapshot v<batchId>. Versioned snapshots make
+    // the sink exactly-once BY CONSTRUCTION: v(id) is a pure function of
+    // v(id-1) and batch id's rows, so a retried batch overwrites v(id)
+    // with identical bytes instead of double-counting. The final
+    // snapshot must hash-match the one-shot batch aggregate — the IVM
+    // equation (view ∘ deltas ≡ recompute) checked by the oracle. At
+    // 100 TB the per-batch cost is |delta keys| + |touched view rows|,
+    // not the event history.
+    "st15_incremental_view" -> { (s, dir) =>
+      import s.implicits._
+      val scratch = ensureEventChunks(s, dir, 3)
+      val raw = StructType(Schemas.events.map {
+        case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
+        case f => f
+      })
+      val replay = s.readStream.schema(raw)
+        .option("maxFilesPerTrigger", 1).parquet(scratch)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val viewBase = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
+        "ivm-").toString
+      val lastVersion = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val q = replay.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val delta = batch
+            .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+          val prev = lastVersion.get()
+          val merged =
+            if (prev < 0) delta
+            else batch.sparkSession.read.parquet(s"$viewBase/v$prev")
+              .unionByName(delta)
+              .groupBy(col("day"), col("event_type"))
+              .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+          merged.write.mode("overwrite").parquet(s"$viewBase/v$id")
+          lastVersion.set(id)
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$viewBase/v${lastVersion.get()}")
+        .select(date_format($"day", "yyyy-MM-dd").as("day"), $"event_type",
+          $"n", ($"sum_cents" / 100.0).as("sum_value"))
+        .orderBy($"day", $"event_type")
+    },
+
     // Sketch aggregation INSIDE streaming state: per-day windowed
     // `approx_count_distinct` (HLL++) over a chunked 3-micro-batch
     // replay, so partial sketch states genuinely merge through the state
@@ -649,6 +701,15 @@ object StreamQueries {
         |FROM events
         |GROUP BY date_trunc('day', ts)
         |ORDER BY w_start""".stripMargin,
+
+    // the IVM equation: final snapshot ≡ one-shot batch aggregate
+    "st15_incremental_view" ->
+      s"""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${sqlSumMoney("value")} AS sum_value
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY day, event_type""".stripMargin,
 
     // the batch left join under the same 2-hour end-of-stream cutoff
     "st14_stream_outer_join" ->

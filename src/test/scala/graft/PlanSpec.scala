@@ -33,7 +33,8 @@ class PlanSpec extends SparkSuite {
     * size scalar) into the scorer — O(n·1), the scale-correct way to
     * attach a global scalar without collapsing to one partition. */
   private val bnljWhitelist = Set("an01_cosine_topk_brute", "an03_ivf_recall",
-    "an04_pq_recall", "an05_ivfpq_recall", "tx12_tfidf_top_terms")
+    "an04_pq_recall", "an05_ivfpq_recall", "an07_filtered_topk",
+    "tx12_tfidf_top_terms")
 
   private def unwrap(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => a.executedPlan
