@@ -450,43 +450,7 @@ object StreamQueries {
     // 100 TB the per-batch cost is |delta keys| + |touched view rows|,
     // not the event history.
     "st15_incremental_view" -> { (s, dir) =>
-      import s.implicits._
-      val scratch = ensureEventChunks(s, dir, 3)
-      val raw = StructType(Schemas.events.map {
-        case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
-        case f => f
-      })
-      val replay = s.readStream.schema(raw)
-        .option("maxFilesPerTrigger", 1).parquet(scratch)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val viewBase = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
-        "ivm-").toString
-      val lastVersion = new java.util.concurrent.atomic.AtomicLong(-1L)
-      val q = replay.writeStream
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          val delta = batch
-            .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-            .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
-          val prev = lastVersion.get()
-          val merged =
-            if (prev < 0) delta
-            else batch.sparkSession.read.parquet(s"$viewBase/v$prev")
-              .unionByName(delta)
-              .groupBy(col("day"), col("event_type"))
-              .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
-          merged.write.mode("overwrite").parquet(s"$viewBase/v$id")
-          lastVersion.set(id)
-        }
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$viewBase/v${lastVersion.get()}")
-        .select(date_format($"day", "yyyy-MM-dd").as("day"), $"event_type",
-          $"n", ($"sum_cents" / 100.0).as("sum_value"))
-        .orderBy($"day", $"event_type")
+      incrementalView(s, dir, nFiles = 3)._1
     },
 
     // Sketch aggregation INSIDE streaming state: per-day windowed
@@ -562,6 +526,54 @@ object StreamQueries {
             .otherwise(0L).as("sketch_ok"))
         .orderBy($"w_start")
     })
+
+  /** st15's engine, shared with StreamSpec: maintain the per-(day, type)
+    * aggregate view across a chunked `nFiles`-micro-batch replay; returns
+    * the final snapshot (formatted for the oracle) plus the last snapshot
+    * version id, so specs can assert the replay genuinely crossed ≥
+    * `nFiles` incremental merges. */
+  private[graft] def incrementalView(s: org.apache.spark.sql.SparkSession,
+                                     dir: String, nFiles: Int)
+      : (DataFrame, Long) = {
+    import s.implicits._
+    val scratch = ensureEventChunks(s, dir, nFiles)
+    val raw = StructType(Schemas.events.map {
+      case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
+      case f => f
+    })
+    val replay = s.readStream.schema(raw)
+      .option("maxFilesPerTrigger", 1).parquet(scratch)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val viewBase = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
+      "ivm-").toString
+    val lastVersion = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val q = replay.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val delta = batch
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+        val prev = lastVersion.get()
+        val merged =
+          if (prev < 0) delta
+          else batch.sparkSession.read.parquet(s"$viewBase/v$prev")
+            .unionByName(delta)
+            .groupBy(col("day"), col("event_type"))
+            .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+        merged.write.mode("overwrite").parquet(s"$viewBase/v$id")
+        lastVersion.set(id)
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val view = s.read.parquet(s"$viewBase/v${lastVersion.get()}")
+      .select(date_format($"day", "yyyy-MM-dd").as("day"), $"event_type",
+        $"n", ($"sum_cents" / 100.0).as("sum_value"))
+      .orderBy($"day", $"event_type")
+    (view, lastVersion.get())
+  }
 
   /** st12's streaming leg, shared with StreamSpec: chunked replay of
     * events (`maxFilesPerTrigger=1` over `nFiles` scratch files) through

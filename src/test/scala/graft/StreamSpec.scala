@@ -380,6 +380,31 @@ class StreamSpec extends SparkSuite {
       "cross-batch sketch merge diverged from the one-pass batch sketch")
   }
 
+  test("st14's outer join emits genuinely unmatched clicks (not vacuously inner)") {
+    val s = spark
+    import s.implicits._
+    val out = graft.SparkEntry.queries("st14_stream_outer_join")(s, sf).cache()
+    val unmatched = out.filter($"purchase_id".isNull).count()
+    val matched = out.filter($"purchase_id".isNotNull).count()
+    assert(unmatched > 0, "no null-extended rows — the outer-flush path never ran")
+    assert(matched > 0, "no matched rows — the join itself is vacuous")
+    out.unpersist()
+  }
+
+  test("st15 incremental view crosses >=3 snapshot merges and equals batch recompute") {
+    val s = spark
+    import s.implicits._
+    val (view, lastVersion) = graft.queries.StreamQueries.incrementalView(s, sf, nFiles = 3)
+    assert(lastVersion >= 2, s"expected >=3 micro-batches, last snapshot was v$lastVersion")
+    val batch = graft.model.Tables.events(s, sf)
+      .groupBy(date_format(to_date($"ts"), "yyyy-MM-dd").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(graft.queries.QueryUtil.cents($"value")) / 100.0).as("sum_value"))
+      .orderBy($"day", $"event_type")
+    assert(view.collect().sameElements(batch.collect()),
+      "final snapshot diverged from the one-shot batch aggregate")
+  }
+
   test("st01's stream-static join broadcasts the static dimension (pinned plan)") {
     // AQE is off inside stateful streaming plans, so the broadcast() hint
     // in purchaseStream is load-bearing — without it the join shape rides

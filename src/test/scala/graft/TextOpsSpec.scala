@@ -59,6 +59,28 @@ class TextOpsSpec extends SparkSuite {
     assert(got(1) == 0L)
   }
 
+  test("tx15 chunk plans tile every document: start 0, stride 48, ends at n_tokens") {
+    val s = spark
+    import s.implicits._
+    val chunks = graft.SparkEntry.queries("tx15_doc_chunks")(s, SparkSuite.Sf)
+    val toks = graft.model.Tables.documents(s, SparkSuite.Sf)
+      .select($"doc_id", TextOps.tokenCount($"text").as("n_tokens"))
+    val bad = chunks.join(toks, "doc_id")
+      .groupBy($"doc_id", $"n_tokens")
+      .agg(min($"tok_start").as("first_start"), max($"tok_end").as("last_end"),
+        max($"chunk_idx").as("last_idx"),
+        max($"tok_end" - $"tok_start").as("max_len"),
+        min($"tok_end" - $"tok_start").as("min_len"),
+        countDistinct($"chunk_idx").as("n_chunks"))
+      .filter($"first_start" =!= 0L || $"last_end" =!= $"n_tokens" ||
+        $"max_len" > 64L || $"min_len" <= 0L ||
+        // contiguous indices 0..last: count == last+1; starts are idx*48,
+        // so a 64-wide chunk at idx i always overlaps chunk i+1's start
+        $"n_chunks" =!= $"last_idx" + 1L ||
+        ($"last_idx" > 0L && $"n_tokens" <= $"last_idx" * 48L))
+    assert(bad.count() == 0L, s"chunk-plan law violated: ${bad.collect().mkString(";")}")
+  }
+
   test("stratifiedKeep: rate 1 keeps all, rate 0 keeps none, dups co-sampled") {
     val s = spark
     import s.implicits._
