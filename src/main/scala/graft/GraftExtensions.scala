@@ -12,9 +12,11 @@ import graft.functions.{DotProduct, PolyHash64, SimHash64}
   *
   * Activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
-  * standard injection point for a library shipping Catalyst extensions
-  * (no custom rules or strategies are needed: every graft operator lands
-  * on built-in plans, see SURVEY §4.2).
+  * standard injection point for a library shipping Catalyst extensions.
+  * Every graft OPERATOR lands on built-in plans (SURVEY §4.2); the one
+  * injected optimizer rule ([[graft.plans.TextMetaRewrite]]) is a
+  * contract-scoped scan-width optimization, itself opt-in via
+  * `spark.graft.textMetaRewrite=true`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -37,6 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     arity(name, 1)(children).head
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.TextMetaRewrite)
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(arr) - 64-bit SimHash of an array<bigint> of token hashes."),

@@ -16,6 +16,7 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS); Spark only reads it as a
       // long — Tables.events converts back to a timestamp column.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.graft.textMetaRewrite", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -225,6 +225,23 @@ object TextQueries {
         .orderBy($"lang")
     },
 
+    // Long-document selection through the TextMetaRewrite optimizer rule
+    // (graft.plans): the filter is WRITTEN as `length(text) > 400`, but
+    // under `spark.graft.textMetaRewrite=true` (set by Verify/Bench/
+    // tests) the injected rule substitutes the materialized `n_chars`
+    // twin — the predicate reaches the parquet scan as a pushed long
+    // comparison and the aggregate never reads the text column at all
+    // (both pinned in ExtensionsSpec). The oracle measures the REAL
+    // length, so the hash match also re-proves the n_chars contract.
+    "tx16_meta_pruned_filter" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(length($"text") > 400)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("sum_chars"))
+        .orderBy($"lang")
+    },
+
     // LLM-prep chunking plan: each document cut into fixed token-budget
     // chunks (64 tokens, stride 48 → 16-token overlap), emitted as
     // (doc_id, chunk_idx, tok_start, tok_end) offsets. Pure per-row
@@ -437,6 +454,14 @@ object TextQueries {
         |  CAST(SUM(tf) AS BIGINT) AS n_tokens,
         |  CAST(COUNT(*) AS DOUBLE) / SUM(tf) AS type_token_ratio
         |FROM tf
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "tx16_meta_pruned_filter" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE length(text) > 400
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
 

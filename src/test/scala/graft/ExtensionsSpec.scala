@@ -67,4 +67,33 @@ class ExtensionsSpec extends SparkSuite {
       java.lang.Double.doubleToLongBits(r.getDouble(1)),
       s"native ${r.getDouble(0)} != hof ${r.getDouble(1)}")
   }
+
+  test("TextMetaRewrite: length(text) filter becomes a pushed n_chars scan predicate") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    def q = graft.model.Tables.documents(s, sf)
+      .filter(length($"text") > 400)
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("n_chars"),
+      s"rule did not substitute the metadata column:\n$optimized")
+    assert(!optimized.toLowerCase.contains("length("),
+      s"length(text) survived the rewrite:\n$optimized")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") && physical.contains("GreaterThan(n_chars"),
+      s"rewritten predicate was not pushed to the scan:\n$physical")
+    // the aggregate no longer needs the corpus column at all
+    assert(!physical.contains("ReadSchema: struct<text") &&
+      !physical.contains("text:string"),
+      s"scan still reads the text column:\n$physical")
+    // semantics: rewritten result == unrewritten result, bit-identical
+    val on = q.collect()
+    s.conf.set(graft.plans.TextMetaRewrite.ConfKey, "false")
+    try {
+      val offPlan = q.queryExecution.optimizedPlan.toString
+      assert(offPlan.toLowerCase.contains("length("), "conf off must disable the rule")
+      assert(q.collect().sameElements(on), "rewrite changed the result")
+    } finally s.conf.set(graft.plans.TextMetaRewrite.ConfKey, "true")
+  }
 }
