@@ -351,6 +351,21 @@ object RelationalQueries {
         .orderBy($"col_name")
     },
 
+    // Market-basket co-occurrence (ops/Cooccur): top pairs of parts
+    // bought in the same order, with lift over independence. Candidates
+    // come from the capped-bucket skeleton — one hash aggregate on the
+    // order key, per-order item lists bounded by maxBasket — never an
+    // order self-join. The oracle replays the pipeline as a plain SQL
+    // self-join (exact at sf scale; the cap never fires on ≤7-line
+    // orders, asserted in CooccurSpec). Lift is one double division of
+    // exact integer products, so both engines round identically.
+    "q26_market_basket" -> { (s, dir) =>
+      import s.implicits._
+      graft.ops.Cooccur.marketBasketPairs(Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
+        maxBasket = 64, k = 100)
+        .select($"item_a".as("part_a"), $"item_b".as("part_b"), $"n_ab", $"lift")
+    },
+
     // MERGE/upsert over immutable storage (ops/Upsert): a deterministic
     // update batch — every 10th customer's balance bumped, every 50th
     // re-keyed as a brand-new row — merged into the customer table by
@@ -678,6 +693,26 @@ object RelationalQueries {
         |  CAST(n_distinct AS BIGINT) AS n_distinct,
         |  min_num, max_num, min_str, max_str
         |FROM p ORDER BY col_name""".stripMargin,
+
+    // co-occurrence replayed as a plain incidence self-join; lift is one
+    // double division of exact integer products on both sides
+    "q26_market_basket" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, CAST(l_partkey AS BIGINT) AS item
+        |            FROM lineitem),
+        |n AS (SELECT item, COUNT(*) AS n_item FROM op GROUP BY item),
+        |tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM op),
+        |pc AS (SELECT a.item AS part_a, b.item AS part_b, COUNT(*) AS n_ab
+        |       FROM op a JOIN op b
+        |         ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+        |       GROUP BY 1, 2)
+        |SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  CAST(n_ab * n_baskets AS DOUBLE) / (na.n_item * nb.n_item) AS lift
+        |FROM pc
+        |JOIN n na ON pc.part_a = na.item
+        |JOIN n nb ON pc.part_b = nb.item
+        |CROSS JOIN tot
+        |ORDER BY n_ab DESC, part_a, part_b
+        |LIMIT 100""".stripMargin,
 
     // MERGE replayed as base-minus-updated ∪ update batch
     "q22_upsert_merge" ->
