@@ -233,4 +233,44 @@ object Dedup {
       .distinct()
     verifyPairs(cand, sh, threshold)
   }
+
+  /** Edit-distance (Levenshtein) near-duplicate pairs — the exact
+    * character-level complement of the token-level detectors above:
+    * catches small in-word edits (typos, OCR noise, template fills) that
+    * shingle Jaccard under-weighs.
+    *
+    * Same rare-shingle candidate generation as [[ngramJaccardPairs]]
+    * (one capped-bucket aggregate, no self-join), then two verification
+    * stages in strictly increasing cost order:
+    *
+    *  1. length band: `|len(a) − len(b)| ≤ maxDist` — a necessary
+    *     condition for edit distance ≤ maxDist (each edit changes length
+    *     by at most 1), evaluated on two already-joined strings for the
+    *     price of two `length()` calls;
+    *  2. banded Levenshtein via Spark's thresholded 3-arg `levenshtein`,
+    *     which abandons a pair the moment the running minimum exceeds
+    *     `maxDist` — O(maxDist·min(m,n)) instead of O(m·n), the
+    *     difference between feasible and not on document-length strings.
+    *
+    * @param maxDist inclusive edit-distance acceptance threshold
+    * @param maxDf   rare-shingle blocking cap (see [[ngramJaccardPairs]])
+    * @return (id_a, id_b, dist) with id_a < id_b, dist ≤ maxDist
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 4, maxDist: Int = 64,
+                        maxDf: Int = 16): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, shingleK)
+    val posting = sh.select(col("id"), explode(col("shingles")).as("shingle"))
+    val cand = bucketPairs(posting, "shingle", col("id"), maxDf)
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+    val txt = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    cand
+      .join(txt.select(col("id").as("id_a"), col("t").as("t_a")), "id_a")
+      .join(txt.select(col("id").as("id_b"), col("t").as("t_b")), "id_b")
+      .filter(abs(length(col("t_a")) - length(col("t_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -69,6 +69,19 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Character-level near-duplicates: same blocked candidates as dd03,
+    // verified by banded Levenshtein (length-band prefilter, then the
+    // thresholded O(maxDist·len) distance — never the full O(m·n) DP).
+    // maxDist=64 is calibrated to yield non-empty pair sets at every
+    // local SF (28 / 25 / 274 pairs at sf0.001/0.01/0.1). The oracle
+    // recomputes the unbanded distance on the same candidates — equal
+    // for every within-threshold pair by construction.
+    "dd08_editdistance_pairs" -> { (s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleK = 4, maxDist = 64, maxDf = 16)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Embedding cosine near-duplicates via capped IVF cells. Threshold 0.4
     // is calibrated to the testdata's near-random embeddings (max pairwise
     // cosine ≈ 0.51) so the check set yields verifiable pairs — an empty
@@ -632,6 +645,20 @@ object PipelineQueries {
          |FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
          |WHERE len(list_intersect(a.shingles, b.shingles))
          |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // unbanded Levenshtein over the same blocked candidates: for every
+    // pair the banded Spark variant keeps (dist ≤ 64), the full DP
+    // computes the identical distance
+    "dd08_editdistance_pairs" ->
+      s"""WITH $NgramPipelineSql
+         |SELECT c.id_a, c.id_b,
+         |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+         |FROM cand c
+         |JOIN documents a ON c.id_a = a.doc_id
+         |JOIN documents b ON c.id_b = b.doc_id
+         |WHERE abs(length(a.text) - length(b.text)) <= 64
+         |  AND levenshtein(a.text, b.text) <= 64
          |ORDER BY id_a, id_b""".stripMargin,
 
     // transitive closure over the same exact pairs: component label =

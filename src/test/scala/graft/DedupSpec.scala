@@ -232,4 +232,20 @@ class DedupSpec extends SparkSuite {
     assert(out.head.getAs[Long]("neighbor_id") == 1L)
     assert(out.head.getAs[Long]("rank") == 1L)
   }
+
+  test("dd08: banded levenshtein equals the full distance on every kept pair") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.model.Tables.documents(s, sf)
+    val pairs = Dedup.editDistancePairs(docs, "doc_id", "text",
+      shingleK = 4, maxDist = 64, maxDf = 16)
+    val txt = docs.select($"doc_id", $"text")
+    val checked = pairs
+      .join(txt.select($"doc_id".as("id_a"), $"text".as("t_a")), "id_a")
+      .join(txt.select($"doc_id".as("id_b"), $"text".as("t_b")), "id_b")
+      .withColumn("full", levenshtein($"t_a", $"t_b").cast("long"))
+    assert(checked.count() > 0, "no edit-distance pairs at this sf — vacuous")
+    assert(checked.filter($"dist" =!= $"full" || $"dist" > 64).isEmpty,
+      "banded distance diverges from the full DP inside the threshold")
+  }
 }
