@@ -434,4 +434,38 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .distinct()
   }
+
+  /** Per-group element-wise vector mean (label centroids / mean pooling)
+    * with EXACT distributed float semantics.
+    *
+    * A naive `avg` over exploded float components is order-dependent —
+    * Spark's partial-aggregate tree and a sequential scan round
+    * differently, so two runs (or two engines) disagree in the last ulp.
+    * Here each component is quantized to fixed point FIRST
+    * (`floor(x·10⁶)` — float→double is exact, the product is one IEEE
+    * op, floor has no tie-breaking semantics), the quantized longs are
+    * summed exactly in any order, and the mean is re-derived in a fixed
+    * two-division sequence. Result: bit-identical on any partitioning,
+    * any engine.
+    *
+    * Scale shape: `posexplode` widens n rows to n·dims, but each output
+    * row is ~24 B and the aggregate is map-side combinable, so the
+    * shuffle carries at most `groups × dims` partial rows per map task —
+    * independent of corpus size. The per-row explode stays inside
+    * WholeStageCodegen. (The array-at-a-time alternative — a typed
+    * `Aggregator` zipping long arrays — shuffles the same bytes but
+    * leaves codegen; flat rows win.)
+    *
+    * @return (key, dim, mean_val, n) — one row per group × dimension,
+    *         `mean_val` = floor-quantized micro-unit mean
+    */
+  def groupCentroids(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    df.select(col(keyCol).cast("long").as("key"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("key"), col("dim"))
+      .agg(sum(floor(col("x").cast("double") * 1000000.0)).as("micro"),
+        count(lit(1)).as("n"))
+      .select(col("key"), col("dim").cast("long").as("dim"),
+        (col("micro").cast("double") / 1000000.0 / col("n")).as("mean_val"),
+        col("n"))
 }

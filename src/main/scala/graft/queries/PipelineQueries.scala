@@ -134,6 +134,18 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Per-label embedding centroids (mean pooling / cluster-center
+    // computation) with exact distributed float semantics: components
+    // are floor-quantized to fixed point BEFORE the sum, so the result
+    // is bit-identical on any partitioning — the property a naive
+    // avg-over-floats loses to partial-aggregation order. The oracle
+    // replays the same quantize→sum→divide sequence sequentially.
+    "an08_label_centroids" -> { (s, dir) =>
+      Similarity.groupCentroids(Tables.embeddings(s, dir), "label", "embedding")
+        .select(col("key").as("label"), col("dim"), col("mean_val"), col("n"))
+        .orderBy(col("label"), col("dim"))
+    },
+
     // IVF ANN (the scale path) on the same queries.
     "an02_cosine_topk_ivf" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -553,6 +565,22 @@ object PipelineQueries {
         |       round(cosine, 6) AS cosine
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // the same fixed-point quantize→exact-sum→two-division sequence,
+    // evaluated sequentially — equality IS the order-independence proof
+    "an08_label_centroids" ->
+      """WITH x AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |         unnest(embedding) AS x,
+        |         unnest(generate_series(0, len(embedding)-1)) AS dim
+        |  FROM embeddings)
+        |SELECT label, CAST(dim AS BIGINT) AS dim,
+        |  CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |    / 1000000.0 / COUNT(*) AS mean_val,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM x
+        |GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin,
 
     // an01's oracle with the corpus restricted by the metadata predicate
     // (queries stay unfiltered — the RAG filter applies to candidates)

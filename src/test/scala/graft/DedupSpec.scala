@@ -233,6 +233,19 @@ class DedupSpec extends SparkSuite {
     assert(out.head.getAs[Long]("rank") == 1L)
   }
 
+  test("an08: centroids are bit-identical across partitionings (fixed-point claim)") {
+    val s = spark
+    import s.implicits._
+    val emb = graft.model.Tables.embeddings(s, sf)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.groupCentroids(df, "label", "embedding")
+        .orderBy($"key", $"dim").collect().toSeq
+    val a = run(emb.repartition(1))
+    val b = run(emb.repartition(7, $"vec_id"))
+    assert(a.nonEmpty && a == b,
+      "mean_val differs across partitionings — exact fixed-point property broken")
+  }
+
   test("dd08: banded levenshtein equals the full distance on every kept pair") {
     val s = spark
     import s.implicits._
