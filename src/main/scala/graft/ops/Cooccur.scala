@@ -40,6 +40,20 @@ object Cooccur {
     *         ratio `n_ab·N / (n_a·n_b)` evaluated in one double
     *         division, so both engines round identically
     */
+  /** Co-occurrence pair counts (`item_a < item_b`, `n_ab` = number of
+    * baskets holding both) via the capped-bucket skeleton — the raw
+    * affinity graph [[marketBasketPairs]] ranks and q27's PageRank
+    * walks. */
+  def pairCounts(items: DataFrame, basketCol: String, itemCol: String,
+                 maxBasket: Int = 64): DataFrame = {
+    val incid = items
+      .select(col(basketCol).as("basket"), col(itemCol).cast("long").as("item"))
+      .distinct()
+    Dedup.bucketPairs(incid, "basket", col("item"), maxBasket)
+      .groupBy(col("p.a").as("item_a"), col("p.b").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+  }
+
   def marketBasketPairs(items: DataFrame, basketCol: String, itemCol: String,
                         maxBasket: Int = 64, k: Int = 100): DataFrame = {
     val incid = items
@@ -47,10 +61,7 @@ object Cooccur {
       .distinct()
     val nBaskets = incid.select(countDistinct(col("basket")).as("n_baskets"))
     val marginals = incid.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
-    val pairCounts = Dedup.bucketPairs(incid, "basket", col("item"), maxBasket)
-      .groupBy(col("p.a").as("item_a"), col("p.b").as("item_b"))
-      .agg(count(lit(1)).as("n_ab"))
-    pairCounts
+    pairCounts(items, basketCol, itemCol, maxBasket)
       .join(marginals.select(col("item").as("item_a"), col("n_item").as("n_a")), "item_a")
       .join(marginals.select(col("item").as("item_b"), col("n_item").as("n_b")), "item_b")
       .crossJoin(broadcast(nBaskets))

@@ -366,6 +366,24 @@ object RelationalQueries {
         .select($"item_a".as("part_a"), $"item_b".as("part_b"), $"n_ab", $"lift")
     },
 
+    // Weighted PageRank over the part co-purchase graph (ops/Graph):
+    // q26's pair counts as edges, walked for 5 rounds in exact integer
+    // fixed point — every step is integer multiply + floor division, so
+    // the distributed sums are exact in any order and the oracle (the
+    // same recurrence unrolled as 5 chained CTEs, evaluated
+    // sequentially) reproduces the ranks bit-for-bit. An iterative
+    // graph-centrality operator with a hash-checked result.
+    "q27_part_pagerank" -> { (s, dir) =>
+      import s.implicits._
+      val pairs = graft.ops.Cooccur.pairCounts(Tables.lineitem(s, dir),
+          "l_orderkey", "l_partkey", maxBasket = 64)
+        .select($"item_a", $"item_b", $"n_ab".as("w"))
+      graft.ops.Graph.pageRankInt(pairs, iters = 5)
+        .orderBy($"rank".desc, $"item")
+        .limit(100)
+        .select($"item".as("part"), $"rank")
+    },
+
     // MERGE/upsert over immutable storage (ops/Upsert): a deterministic
     // update batch — every 10th customer's balance bumped, every 50th
     // re-keyed as a brand-new row — merged into the customer table by
@@ -714,6 +732,11 @@ object RelationalQueries {
         |ORDER BY n_ab DESC, part_a, part_b
         |LIMIT 100""".stripMargin,
 
+    // the integer-fixed-point PageRank recurrence unrolled: r0 is the
+    // uniform mass split, each r_i one damped step; `//` (floor div) on
+    // positive BIGINTs matches Spark's `div` exactly
+    "q27_part_pagerank" -> PageRankOracleSql,
+
     // MERGE replayed as base-minus-updated ∪ update batch
     "q22_upsert_merge" ->
       """WITH upd AS (
@@ -782,4 +805,38 @@ object RelationalQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin)
+
+  /** q27's oracle, generated: the fixed-point PageRank recurrence
+    * unrolled into one CTE per iteration (DuckDB's recursive CTEs don't
+    * allow the per-step aggregate, so the loop is laid out explicitly —
+    * same count as the Spark side's `iters = 5`). */
+  private lazy val PageRankOracleSql: String = {
+    val prelude =
+      """WITH op AS (SELECT DISTINCT l_orderkey, CAST(l_partkey AS BIGINT) AS item
+        |            FROM lineitem),
+        |pc AS (SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS w
+        |       FROM op a JOIN op b
+        |         ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+        |       GROUP BY 1, 2),
+        |e AS (SELECT item_a AS u, item_b AS v, w FROM pc
+        |      UNION ALL SELECT item_b, item_a, w FROM pc),
+        |ow AS (SELECT u, SUM(w) AS outw FROM e GROUP BY u),
+        |nodes AS (SELECT DISTINCT u AS node FROM e),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |r0 AS (SELECT node, (SELECT 1000000000000 // n FROM nn) AS rank
+        |       FROM nodes)""".stripMargin
+    val steps = (1 to 5).map { i =>
+      s"""r$i AS (
+         |  SELECT nd.node,
+         |         (SELECT (15 * 1000000000000) // (100 * n) FROM nn)
+         |           + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.v AS node, SUM((r.rank * e.w) // outw) AS contrib
+         |    FROM e JOIN ow USING (u) JOIN r${i - 1} r ON r.node = e.u
+         |    GROUP BY e.v) c ON nd.node = c.node)""".stripMargin
+    }
+    (prelude +: steps).mkString(",\n") +
+      "\nSELECT node AS part, CAST(rank AS BIGINT) AS rank FROM r5" +
+      "\nORDER BY rank DESC, part LIMIT 100"
+  }
 }
