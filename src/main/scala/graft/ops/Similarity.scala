@@ -389,6 +389,72 @@ object Similarity {
     rankAdc(scored, k, shortlist)
   }
 
+  // ------------------------------------------------- scalar quantization —
+
+  /** Memoized per-dimension (min, max) ranges for scalar quantization —
+    * ONE distributed aggregate over the corpus (posexplode + per-dim
+    * min/max collapses map-side to `dims` rows per partition), collected
+    * as a dims-length index artifact like the coarse quantizer. */
+  private val sqRanges = new ConcurrentHashMap[String, (Array[Double], Array[Double])]()
+
+  def sqRange(corpus: DataFrame, vecCol: String,
+              key: String): (Array[Double], Array[Double]) =
+    sqRanges.computeIfAbsent(key, _ => {
+      val rows = corpus
+        .select(posexplode(asDouble(col(vecCol))).as(Seq("pos", "x")))
+        .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .orderBy(col("pos"))
+        .collect()
+      (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+    })
+
+  /** Asymmetric top-k under int8 scalar quantization: each corpus
+    * dimension is affinely coded to 0..255 against the per-dimension
+    * corpus range (4× memory cut vs float32, 8× vs this pipeline's
+    * float64 scoring), queries stay exact, and ranking runs against the
+    * DEQUANTIZED corpus vector — the standard SQ-ADC posture. Both the
+    * range artifact and the code/reconstruct expression are
+    * deterministic (min/max are order-independent, the affine map is
+    * per-element), so recall against [[bruteForceTopK]] is a fixed
+    * number per corpus. An optional exact re-rank shortlist mirrors
+    * [[pqTopK]]'s production posture.
+    *
+    * The encode→decode roundtrip composes into ONE per-element affine
+    * map, so this materializes reconstruction directly; a persisted
+    * index would store `codes` (tinyint arrays) and decode at scan. */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, shortlist: Int = 0,
+             quantizerKey: String = ""): DataFrame = {
+    val key = s"sq-${defaultKey(corpus, quantizerKey)}"
+    val (mins, maxs) = sqRange(corpus, vecCol, key)
+    val mnLit = typedlit(mins.toSeq)
+    val scLit = typedlit(mins.indices.map(i => (maxs(i) - mins(i)) / 255.0))
+    // code = clamp(round((x-mn)/sc), 0..255); recon = mn + code*sc —
+    // constant dims share mn exactly (sc=0 → code 0 → recon = mn)
+    def recon(vec: Column): Column =
+      zip_with(vec, sequence(lit(1), size(vec)), (x, i) => {
+        val mn = element_at(mnLit, i)
+        val sc = element_at(scLit, i)
+        val code = when(sc === 0.0, lit(0.0))
+          .otherwise(least(lit(255.0), greatest(lit(0.0), round((x - mn) / sc))))
+        mn + code * sc
+      })
+    val c = nonZeroNorm(corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cvec"))
+      .withColumn("cnorm", norm(col("cvec"))), "cnorm")
+      .withColumn("sqvec", recon(col("cvec")))
+      .withColumn("sqnorm", norm(col("sqvec")))
+    val q = nonZeroNorm(queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qvec"))
+      .withColumn("qnorm", norm(col("qvec"))), "qnorm")
+    val scored = nonZeroNorm(c, "sqnorm")
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cvec"), col("cnorm"),
+        col("qvec"), col("qnorm"),
+        (dot(col("sqvec"), col("qvec")) / (col("sqnorm") * col("qnorm"))).as("adc"))
+    rankAdc(scored, k, shortlist)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold among vectors
     * sharing an IVF cell (approximate — same recall model as MinHash/LSH
     * banding).

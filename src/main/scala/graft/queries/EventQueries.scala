@@ -248,6 +248,30 @@ object EventQueries {
     // then one hash aggregate per report day. Volume entering the
     // shuffle is 7 × |distinct (day,user)|, independent of raw event
     // count; no nested-loop join anywhere.
+    // Gaps-and-islands (consecutive-day activity streaks): the classic
+    // sequential-SQL pattern done distributed — distinct (user, day),
+    // one per-user window for row_number, and the island anchor
+    // `day - rn` (consecutive days share it) turned into a plain hash
+    // aggregate. One shuffle by user for the window, one by
+    // (user, anchor) for the aggregate; date arithmetic is exact
+    // integer, so streak bounds and lengths hash-match any engine.
+    // Top-k by (length, user, start) is a deterministic total order.
+    "ev19_activity_streaks" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"d")
+      Tables.events(s, dir)
+        .select($"user_id", to_date($"ts").as("d")).distinct()
+        .withColumn("anchor", date_sub($"d", row_number().over(w)))
+        .groupBy($"user_id", $"anchor")
+        .agg(count(lit(1)).as("streak_days"),
+          min($"d").as("s"), max($"d").as("e"))
+        .select($"user_id", $"streak_days",
+          date_format($"s", "yyyy-MM-dd").as("streak_start"),
+          date_format($"e", "yyyy-MM-dd").as("streak_end"))
+        .orderBy($"streak_days".desc, $"user_id", $"streak_start")
+        .limit(100)
+    },
+
     "ev17_rolling_actives" -> { (s, dir) =>
       import s.implicits._
       val daily = Tables.events(s, dir)
@@ -521,6 +545,23 @@ object EventQueries {
          |FROM events
          |GROUP BY 1, 2
          |ORDER BY event_type, bucket_lo""".stripMargin,
+
+    // same islands sequentially: row_number per user over distinct
+    // days, `d - rn` anchor, aggregate per island
+    "ev19_activity_streaks" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |isl AS (
+        |  SELECT user_id, d,
+        |    d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+        |             AS INTEGER) AS anchor
+        |  FROM daily)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak_days,
+        |  strftime(MIN(d), '%Y-%m-%d') AS streak_start,
+        |  strftime(MAX(d), '%Y-%m-%d') AS streak_end
+        |FROM isl GROUP BY user_id, anchor
+        |ORDER BY streak_days DESC, user_id, streak_start
+        |LIMIT 100""".stripMargin,
 
     "ev17_rolling_actives" ->
       """WITH daily AS (

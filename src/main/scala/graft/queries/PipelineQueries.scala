@@ -221,6 +221,33 @@ object PipelineQueries {
       point(0, 0.2).unionByName(point(100, 0.85)).orderBy(col("shortlist"))
     },
 
+    // Self-certifying int8 scalar-quantization recall (the third
+    // compression point on the ANN tier: float64 brute force → SQ8 at
+    // 4× memory cut → PQ at 32×). Same constant-oracle contract as
+    // an03/an04: per-dim ranges are order-independent min/max (exact on
+    // any partitioning), so recall is a fixed per-corpus number. Two
+    // points: pure SQ-ADC (8-bit codes rank directly — measured ≈1.0 on
+    // this corpus, certified ≥0.85) and SQ + exact re-rank of a
+    // 50-deep shortlist (the belt-and-braces posture, certified ≥0.95).
+    "an09_sq8_recall" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+      def point(shortlist: Int, bar: Double) = {
+        val approx = Similarity.sqTopK(emb, queries, "vec_id", "embedding", k = 5,
+            shortlist = shortlist, quantizerKey = s"emb-$dir")
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+        exact.join(approx,
+            col("qid") === col("query_id") && col("nid") === col("neighbor_id"), "left")
+          .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)))
+            .as("recall"))
+          .select(lit(shortlist.toLong).as("shortlist"), lit(bar).as("threshold"),
+            when(col("recall") >= bar, 1L).otherwise(0L).as("recall_ok"))
+      }
+      point(0, 0.85).unionByName(point(50, 0.95)).orderBy(col("shortlist"))
+    },
+
     // Text-similarity search baseline: exact Jaccard top-3 neighbors for
     // the first 5 documents, via an inverted shingle index — candidates
     // are (query, doc) pairs sharing at least one 3-shingle, intersection
@@ -503,6 +530,15 @@ object PipelineQueries {
         |       CAST(1 AS BIGINT) AS recall_ok
         |UNION ALL
         |SELECT CAST(100 AS BIGINT), 0.85, CAST(1 AS BIGINT)
+        |ORDER BY shortlist""".stripMargin,
+
+    // Constant oracle, same contract as an03/an04: SQ8 must clear each
+    // point's calibrated recall bar at any SF (see the an09 entry).
+    "an09_sq8_recall" ->
+      """SELECT CAST(0 AS BIGINT) AS shortlist, 0.85 AS threshold,
+        |       CAST(1 AS BIGINT) AS recall_ok
+        |UNION ALL
+        |SELECT CAST(50 AS BIGINT), 0.95, CAST(1 AS BIGINT)
         |ORDER BY shortlist""".stripMargin,
 
     // Independent recompute via list_intersect over string shingle sets —

@@ -384,6 +384,45 @@ object RelationalQueries {
         .select($"item".as("part"), $"rank")
     },
 
+    // UNPIVOT/melt (q16's inverse): the wide pivoted quantity table
+    // folded back to long form with the Dataset `unpivot` operator —
+    // wide→long is pure per-row column shuffling (no exchange beyond
+    // q16's aggregate), and the roundtrip landing exactly on the plain
+    // GROUP BY is the correctness statement. Quantities are integral
+    // doubles (exact under any sum order), cast to long on both sides.
+    "q29_unpivot_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum($"l_quantity"))
+        .unpivot(Array($"l_returnflag"), Array($"F", $"O"),
+          "l_linestatus", "qty")
+        .filter($"qty".isNotNull)
+        .select($"l_returnflag", $"l_linestatus", $"qty".cast("long").as("sum_qty"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // Triangle participation over the co-purchase graph (ops/Graph):
+    // q26's support-filtered pair counts as edges, triangles counted by
+    // degree-ordered orientation — wedge count bounded O(m^1.5)
+    // regardless of hub degree, the scale-correct shape. The oracle
+    // enumerates the same triangles the sequential way (a<b<c wedge
+    // closure); per-node counts are orientation-independent exact
+    // integers, so they hash-match bit-for-bit.
+    "q28_copurchase_triangles" -> { (s, dir) =>
+      import s.implicits._
+      val edges = graft.ops.Cooccur.pairCounts(Tables.lineitem(s, dir),
+          "l_orderkey", "l_partkey", maxBasket = 64)
+        .filter($"n_ab" >= 2)
+        .select($"item_a", $"item_b")
+        .localCheckpoint()
+      graft.ops.Graph.triangleParticipation(edges)
+        .orderBy($"n_triangles".desc, $"degree".desc, $"node")
+        .limit(100)
+        .select($"node".as("part"), $"degree", $"n_triangles")
+    },
+
     // MERGE/upsert over immutable storage (ops/Upsert): a deterministic
     // update batch — every 10th customer's balance bumped, every 50th
     // re-keyed as a brand-new row — merged into the customer table by
@@ -736,6 +775,41 @@ object RelationalQueries {
     // uniform mass split, each r_i one damped step; `//` (floor div) on
     // positive BIGINTs matches Spark's `div` exactly
     "q27_part_pagerank" -> PageRankOracleSql,
+
+    // the roundtrip's fixed point is the plain GROUP BY
+    "q29_unpivot_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_linestatus IN ('F', 'O')
+        |GROUP BY 1, 2
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // same triangles enumerated sequentially: support-filtered edges,
+    // a<b<c wedge closure; per-node membership counts are
+    // orientation-independent
+    "q28_copurchase_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, CAST(l_partkey AS BIGINT) AS item
+        |            FROM lineitem),
+        |e AS (SELECT a.item AS x, b.item AS y
+        |      FROM op a JOIN op b
+        |        ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |und AS (SELECT x AS u, y AS v FROM e UNION SELECT y, x FROM e),
+        |deg AS (SELECT u, COUNT(*) AS degree FROM und GROUP BY u),
+        |tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        |        FROM e e1 JOIN e e2 ON e1.y = e2.x
+        |        JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |pn AS (SELECT node, COUNT(*) AS n_triangles
+        |       FROM (SELECT a AS node FROM tri
+        |             UNION ALL SELECT b FROM tri
+        |             UNION ALL SELECT c FROM tri)
+        |       GROUP BY node)
+        |SELECT deg.u AS part, CAST(deg.degree AS BIGINT) AS degree,
+        |       CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles
+        |FROM deg LEFT JOIN pn ON deg.u = pn.node
+        |ORDER BY n_triangles DESC, degree DESC, part
+        |LIMIT 100""".stripMargin,
 
     // MERGE replayed as base-minus-updated ∪ update batch
     "q22_upsert_merge" ->

@@ -178,6 +178,27 @@ class DedupSpec extends SparkSuite {
     assert(reranked >= adcOnly, "exact re-rank must not lose recall vs pure ADC")
   }
 
+  test("SQ8 ANN recall vs brute force: 8-bit codes rank, re-rank never loses") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    def neighbors(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = neighbors(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5))
+    def recallAt(shortlist: Int): Double = {
+      val approx = neighbors(Similarity.sqTopK(emb, queries, "vec_id", "embedding", k = 5,
+        shortlist = shortlist, quantizerKey = "sq-recall-spec"))
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val pure = recallAt(0)
+    val reranked = recallAt(50)
+    info(f"SQ8 recall@5: pure = $pure%.3f, rerank-50 = $reranked%.3f")
+    // measured 1.0 / 1.0 at sf0.001 (0.96 / 1.0 at sf0.1) — 8 bits per
+    // dim barely distorts cosine ranks on this corpus
+    assert(pure >= 0.85, s"pure SQ8 recall regressed below its measured 1.0: $pure")
+    assert(reranked >= 0.95, s"re-ranked SQ8 recall regressed: $reranked")
+    assert(reranked >= pure, "exact re-rank must not lose recall vs pure SQ")
+  }
+
   test("embedding dup pairs: finds near-dups; degenerate corpus is capped, not quadratic") {
     val s = spark
     import s.implicits._

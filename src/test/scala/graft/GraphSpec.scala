@@ -31,6 +31,30 @@ class GraphSpec extends SparkSuite {
     assert(sumRank > total / 2, s"rank mass $sumRank collapsed — recurrence wrong")
   }
 
+  test("triangleParticipation counts a known graph exactly") {
+    val s = spark
+    import s.implicits._
+    // triangles {1,2,3} and {2,3,4}; edge (4,5) is in no triangle
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("item_a", "item_b")
+    val got = Graph.triangleParticipation(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> (2L, 1L), 2L -> (3L, 2L), 3L -> (3L, 2L),
+      4L -> (3L, 1L), 5L -> (1L, 0L)))
+  }
+
+  test("triangleParticipation is orientation-independent across partitionings") {
+    val edges = pairs.filter(col("w") >= 2).select(col("item_a"), col("item_b"))
+    def run(p: org.apache.spark.sql.DataFrame) =
+      Graph.triangleParticipation(p)
+        .orderBy(col("node")).collect().toSeq
+    val a = run(edges.repartition(1))
+    val b = run(edges.repartition(7, col("item_b")))
+    assert(a.nonEmpty && a == b,
+      "triangle counts differ across partitionings")
+  }
+
   test("a hub node outranks a leaf on a known star graph") {
     val s = spark
     import s.implicits._
