@@ -272,6 +272,26 @@ object EventQueries {
         .limit(100)
     },
 
+    // Cumulative unique users (the growth-curve metric): running COUNT
+    // DISTINCT is not a window aggregate, and re-scanning history per
+    // day is quadratic — the scale shape is first-seen attribution: one
+    // aggregate collapses each user to their first-activity day, a
+    // second counts per-day debuts, and ONE ordered window over the
+    // tiny per-day frame (≤ one row per day — the window input is
+    // days, never events) accumulates the curve.
+    "ev20_cumulative_uniques" -> { (s, dir) =>
+      import s.implicits._
+      val firstDay = Tables.events(s, dir)
+        .groupBy($"user_id").agg(min(to_date($"ts")).as("d"))
+      val w = Window.orderBy($"d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      firstDay.groupBy($"d").agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users", sum($"new_users").over(w))
+        .select(date_format($"d", "yyyy-MM-dd").as("day"),
+          $"new_users", $"cum_users")
+        .orderBy($"day")
+    },
+
     "ev17_rolling_actives" -> { (s, dir) =>
       import s.implicits._
       val daily = Tables.events(s, dir)
@@ -562,6 +582,19 @@ object EventQueries {
         |FROM isl GROUP BY user_id, anchor
         |ORDER BY streak_days DESC, user_id, streak_start
         |LIMIT 100""".stripMargin,
+
+    // first-seen attribution replayed sequentially; the running sum is
+    // exact integers
+    "ev20_cumulative_uniques" ->
+      """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d
+        |           FROM events GROUP BY 1),
+        |n AS (SELECT d, COUNT(*) AS new_users FROM f GROUP BY 1)
+        |SELECT strftime(d, '%Y-%m-%d') AS day,
+        |  CAST(new_users AS BIGINT) AS new_users,
+        |  CAST(SUM(new_users) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM n ORDER BY day""".stripMargin,
 
     "ev17_rolling_actives" ->
       """WITH daily AS (

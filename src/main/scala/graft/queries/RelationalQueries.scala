@@ -423,6 +423,43 @@ object RelationalQueries {
         .select($"node".as("part"), $"degree", $"n_triangles")
     },
 
+    // Snapshot reconciliation (the CDC/diff operator): two table
+    // versions compared by ONE key-partitioned full-outer join, every
+    // row classified added/removed/changed/unchanged, then collapsed to
+    // a per-status summary — the audit a pipeline runs after any MERGE
+    // to prove what a data refresh actually did. The "next" snapshot is
+    // q22's deterministic upsert with every 97th key dropped (so all
+    // four statuses occur). Value compare is cents-exact; the join and
+    // aggregate are the only exchanges, both on the key, at any scale.
+    "q30_snapshot_diff" -> { (s, dir) =>
+      import s.implicits._
+      val base = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      val updates = base
+        .filter($"c_custkey" % 10 === 0)
+        .select(
+          when($"c_custkey" % 50 === 0, $"c_custkey" + 1000000L)
+            .otherwise($"c_custkey").as("c_custkey"),
+          $"c_mktsegment",
+          ((cents($"c_acctbal") + 10000L) / 100.0).as("c_acctbal"))
+      val next = graft.ops.Upsert.upsert(base, updates, "c_custkey")
+        .filter($"c_custkey" % 97 =!= 0)
+      val b = base.select($"c_custkey", cents($"c_acctbal").as("b_bal"),
+        $"c_mktsegment".as("b_seg"))
+      val n = next.select($"c_custkey", cents($"c_acctbal").as("n_bal"),
+        $"c_mktsegment".as("n_seg"))
+      b.join(n, Seq("c_custkey"), "full_outer")
+        .select($"c_custkey",
+          when($"b_bal".isNull, "added")
+            .when($"n_bal".isNull, "removed")
+            .when($"b_bal" =!= $"n_bal" || $"b_seg" =!= $"n_seg", "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy($"status")
+        .agg(count(lit(1)).as("n"),
+          min($"c_custkey").as("min_key"), max($"c_custkey").as("max_key"))
+        .orderBy($"status")
+    },
+
     // MERGE/upsert over immutable storage (ops/Upsert): a deterministic
     // update batch — every 10th customer's balance bumped, every 50th
     // re-keyed as a brand-new row — merged into the customer table by
@@ -810,6 +847,36 @@ object RelationalQueries {
         |FROM deg LEFT JOIN pn ON deg.u = pn.node
         |ORDER BY n_triangles DESC, degree DESC, part
         |LIMIT 100""".stripMargin,
+
+    // the diff replayed sequentially: q22's MERGE result minus every
+    // 97th key, full-outer against the base, cents-exact compare
+    "q30_snapshot_diff" ->
+      """WITH upd AS (
+        |  SELECT CASE WHEN c_custkey % 50 = 0 THEN c_custkey + 1000000
+        |              ELSE c_custkey END AS c_custkey,
+        |         c_mktsegment,
+        |         (CAST(round(c_acctbal*100) AS BIGINT) + 10000)/100.0 AS c_acctbal
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |nxt AS (
+        |  SELECT * FROM (
+        |    SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |    WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+        |    UNION ALL
+        |    SELECT c_custkey, c_mktsegment, c_acctbal FROM upd)
+        |  WHERE c_custkey % 97 <> 0),
+        |b AS (SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS bal,
+        |             c_mktsegment AS seg FROM customer),
+        |n AS (SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS bal,
+        |             c_mktsegment AS seg FROM nxt),
+        |d AS (SELECT COALESCE(b.c_custkey, n.c_custkey) AS k,
+        |        CASE WHEN b.bal IS NULL THEN 'added'
+        |             WHEN n.bal IS NULL THEN 'removed'
+        |             WHEN b.bal <> n.bal OR b.seg <> n.seg THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM b FULL OUTER JOIN n ON b.c_custkey = n.c_custkey)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+        |       MIN(k) AS min_key, MAX(k) AS max_key
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
 
     // MERGE replayed as base-minus-updated ∪ update batch
     "q22_upsert_merge" ->

@@ -99,6 +99,23 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
+    // Group-aware train/val split (tx08's leakage-hardened sibling): the
+    // cut hashes the SOURCE, not the content, so every document from a
+    // source lands in one split — near-duplicates and templated text
+    // inside a source can never straddle the train/val boundary (the
+    // leakage mode a content-hash split cannot prevent). By construction
+    // the (source, split) aggregate has exactly one row per source; the
+    // oracle re-derives the same cut from md5(source).
+    "tx17_grouped_split" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .withColumn("split",
+          when(substring(md5($"source"), 1, 2) < "33", "val").otherwise("train"))
+        .groupBy($"source", $"split")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"source", $"split")
+    },
+
     // Stratified downsampling by language (the training-data-mix
     // primitive): keep 25% of English, 50% of Spanish, everything else —
     // decided by content hash, so it is deterministic under replay and
@@ -276,6 +293,25 @@ object TextQueries {
         explode(graft.ops.Multimodal.frameSamplePlan(nFrames, stride = 10, maxFrames = 16)
           .cast("array<long>")).as("frame_idx"))
         .orderBy($"doc_id", $"frame_idx")
+    },
+
+    // Multimodal: ViT-style patch tiling from decoded image metadata —
+    // 16×16 patch grid (ceil division), vision-token estimate capped at
+    // a 196-token budget. The decode is mm01's per-partition boundary;
+    // everything after is exact integer column math, the planning pass
+    // a vision-training pipeline runs to budget sequence lengths before
+    // touching pixels.
+    "mm03_patch_grid" -> { (s, dir) =>
+      import s.implicits._
+      graft.ops.Multimodal.decodeMeta(
+          graft.ops.Multimodal.withPayload(Tables.documents(s, dir)))
+        .select($"doc_id", $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"))
+        .withColumn("patches_x", expr("(width + 15) div 16"))
+        .withColumn("patches_y", expr("(height + 15) div 16"))
+        .withColumn("n_patches", $"patches_x" * $"patches_y")
+        .withColumn("n_tokens", least($"n_patches", lit(196L)))
+        .orderBy($"doc_id")
     })
 
   /** The tx02/tx09 quality expression in DuckDB SQL (identical int
@@ -384,6 +420,16 @@ object TextQueries {
         |  CASE WHEN substring(md5(text), 1, 2) < 'e6' THEN 'train' ELSE 'val' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // same source-hash cut; one row per source is structural
+    "tx17_grouped_split" ->
+      """SELECT source,
+        |  CASE WHEN substring(md5(source), 1, 2) < '33' THEN 'val'
+        |       ELSE 'train' END AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY source, split""".stripMargin,
+
     "tx12_tfidf_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
@@ -491,5 +537,19 @@ object TextQueries {
         |    1, 16)) AS BIGINT) AS frame_idx
         |FROM documents
         |WHERE n_chars % 1000 > 0
-        |ORDER BY doc_id, frame_idx""".stripMargin)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // the same stub decode math as mm01, then exact ceil-division tiling
+    "mm03_patch_grid" ->
+      """WITH m AS (SELECT doc_id,
+        |    octet_length(encode(text)) % 640 + 1 AS w,
+        |    (octet_length(encode(text)) * 7) % 480 + 1 AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST((w + 15) // 16 AS BIGINT) AS patches_x,
+        |  CAST((h + 15) // 16 AS BIGINT) AS patches_y,
+        |  CAST(((w + 15) // 16) * ((h + 15) // 16) AS BIGINT) AS n_patches,
+        |  CAST(LEAST(((w + 15) // 16) * ((h + 15) // 16), 196) AS BIGINT)
+        |    AS n_tokens
+        |FROM m ORDER BY doc_id""".stripMargin)
 }
