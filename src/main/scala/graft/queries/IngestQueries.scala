@@ -39,9 +39,9 @@ object IngestQueries {
 
   /** ORC twin of the lineitem table (pruned to the roundtrip columns),
     * (re)written once per session like the CSV fixture. */
-  private val orcDir = new java.io.File("target/fixtures/lineitem_orc").getAbsolutePath
+  private[graft] val orcDir = new java.io.File("target/fixtures/lineitem_orc").getAbsolutePath
   private var orcFor: String = null
-  private def ensureOrc(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+  private[graft] def ensureOrc(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
     writeLock.synchronized {
       if (orcFor != dir) {
         Tables.lineitem(s, dir)
@@ -83,13 +83,39 @@ object IngestQueries {
       }
     }
 
+  /** Small-files compaction fixture: the documents table deliberately
+    * fragmented into 32 shards, then compacted back to
+    * size-targeted files with `coalesce` (NO shuffle — partition merge
+    * only, the point of compaction as maintenance: cheap enough to run
+    * continuously). Small files are the classic lakehouse decay mode —
+    * every scan pays per-file open/footer cost, and at 100 TB a
+    * streaming sink writing per-trigger files rots a table in days. */
+  private[graft] val fragDir = new java.io.File("target/fixtures/documents_fragmented").getAbsolutePath
+  private[graft] val compactDir = new java.io.File("target/fixtures/documents_compacted").getAbsolutePath
+  private var compactFor: String = null
+  private[graft] def ensureCompacted(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    writeLock.synchronized {
+      if (compactFor != dir) {
+        Tables.documents(s, dir).repartition(32)
+          .write.mode("overwrite").parquet(fragDir)
+        val targetBytes = 128L * 1024 * 1024
+        val fragBytes = new java.io.File(fragDir).listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+        val nOut = ((fragBytes + targetBytes - 1) / targetBytes).max(1L).toInt
+        s.read.parquet(fragDir).coalesce(nOut)
+          .write.mode("overwrite").parquet(compactDir)
+        compactFor = dir
+      }
+    }
+
   /** The fixture writes, exposed as timed builds (otherwise they land
     * on whichever cs* query the bench runs first). */
   val builds: Map[String, QueryUtil.B] = Map(
     "build_csv_fixture" -> ((s, dir) => ensureFixture(s, dir)),
     "build_orc_fixture" -> ((s, dir) => ensureOrc(s, dir)),
     "build_jsonl_fixture" -> ((s, dir) => ensureJsonl(s, dir)),
-    "build_evo_fixture" -> ((s, dir) => ensureEvo(s, dir)))
+    "build_evo_fixture" -> ((s, dir) => ensureEvo(s, dir)),
+    "build_compaction_fixture" -> ((s, dir) => ensureCompacted(s, dir)))
 
   private val duckReadCsv =
     s"""read_csv('$fixtureDir/*.csv', header=false, columns={
@@ -190,6 +216,23 @@ object IngestQueries {
           cents(col("l_extendedprice")), col("l_returnflag")))).as("n_distinct_rows"))
     },
 
+    // Small-files compaction roundtrip: fragment → coalesce-compact →
+    // read back; per-source counts, char sums, and the count of DISTINCT
+    // per-row digests must match DuckDB on the ORIGINAL table — content
+    // is provably untouched by the rewrite (compaction is pure layout
+    // maintenance). IngestSpec pins the layout half: compacted file
+    // count ≤ target, strictly fewer than the 32 fragments.
+    "cs09_compaction_roundtrip" -> { (s, dir) =>
+      ensureCompacted(s, dir)
+      s.read.parquet(compactDir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(md5(concat_ws("|", col("doc_id"), col("text"))))
+            .as("n_distinct_payloads"))
+        .orderBy(col("source"))
+    },
+
     // JSON-lines write→read roundtrip over the documents corpus (the
     // interchange format raw training-data usually arrives in): read back
     // with an explicit schema, digest doc_id|lang|text per row. Text
@@ -271,6 +314,16 @@ object IngestQueries {
         |    CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS VARCHAR),
         |    l_returnflag))) AS BIGINT) AS n_distinct_rows
         |FROM lineitem""".stripMargin,
+
+    // DuckDB digests the ORIGINAL table; our side digests the
+    // fragment→compact roundtripped copy — a hash match certifies the
+    // layout rewrite moved bytes, not data.
+    "cs09_compaction_roundtrip" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(COUNT(DISTINCT md5(concat_ws('|',
+        |    CAST(doc_id AS VARCHAR), text))) AS BIGINT) AS n_distinct_payloads
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "cs07_jsonl_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -140,6 +140,39 @@ object SketchQueries {
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n_lines"), sumMoney($"l_extendedprice").as("revenue"))
         .orderBy($"l_returnflag")
+    },
+
+    // Set-intersection cardinality from mergeable sketches: |A∩B|
+    // estimated by inclusion–exclusion over per-segment HLL sketches
+    // (|A|+|B|−|A∪B|, union via the native binary hll_union) — the
+    // audience-overlap question answered WITHOUT re-scanning raw data,
+    // because per-segment sketches are precomputed mergeable state (the
+    // whole point of sketches at 100 TB: one sketch per segment, any
+    // pairwise overlap after the fact). The exact overlap (hash-checked
+    // column) comes from one equi-join on user over the distinct
+    // (type, user) projection; the estimate must land within the
+    // inclusion–exclusion error envelope (pinned bit; wider than a
+    // single sketch's ±1.6% because subtraction compounds error).
+    "sk05_hll_intersection" -> { (s, dir) =>
+      import s.implicits._
+      val tu = Tables.events(s, dir).select($"event_type", $"user_id").distinct()
+      val byType = tu.groupBy($"event_type")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+          count(lit(1)).as("n_type"))
+      val a = byType.select($"event_type".as("type_a"), $"sk".as("sk_a"), $"n_type".as("na"))
+      val b = byType.select($"event_type".as("type_b"), $"sk".as("sk_b"), $"n_type".as("nb"))
+      val est = a.join(b, $"type_a" < $"type_b")
+        .withColumn("est_common", $"na" + $"nb" -
+          expr("hll_sketch_estimate(hll_union(sk_a, sk_b, false))"))
+      val exact = tu.as("x").join(tu.as("y"),
+          $"x.user_id" === $"y.user_id" && $"x.event_type" < $"y.event_type")
+        .groupBy($"x.event_type".as("type_a"), $"y.event_type".as("type_b"))
+        .agg(count(lit(1)).as("n_common"))
+      est.join(exact, Seq("type_a", "type_b"))
+        .select($"type_a", $"type_b", $"n_common",
+          when(abs($"est_common" - $"n_common") <= $"n_common" * 0.05 + 2.0, 1L)
+            .otherwise(0L).as("est_ok"))
+        .orderBy($"type_a", $"type_b")
     })
 
   val oracles: Map[String, String] = Map(
@@ -188,5 +221,17 @@ object SketchQueries {
          |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
          |                     WHERE o_totalprice > 470000)
          |GROUP BY l_returnflag
-         |ORDER BY l_returnflag""".stripMargin)
+         |ORDER BY l_returnflag""".stripMargin,
+
+    // exact pairwise overlap; the inclusion–exclusion quality bit is
+    // pinned to 1 (see the sk05 entry for the error envelope)
+    "sk05_hll_intersection" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_common,
+        |       CAST(1 AS BIGINT) AS est_ok
+        |FROM tu x JOIN tu y
+        |  ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |GROUP BY 1, 2
+        |ORDER BY type_a, type_b""".stripMargin)
 }

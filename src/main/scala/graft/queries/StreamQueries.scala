@@ -453,6 +453,61 @@ object StreamQueries {
       incrementalView(s, dir, nFiles = 3)._1
     },
 
+    // Streaming MERGE (st15's keyed sibling — the foreachBatch upsert
+    // every lakehouse streaming-ingest pipeline runs): a chunked
+    // 3-micro-batch replay maintains a per-user SNAPSHOT TABLE with
+    // last-writer-wins columns and an additive count. Each batch folds
+    // its per-key delta into the previous snapshot version — latest
+    // row by `max(struct(ts, event_id, …))` (one ordered struct max:
+    // associative, so partials merge in any order; the (ts, event_id)
+    // prefix is a unique total order), counts by addition. Versioned
+    // snapshots give exactly-once by construction, as in st15. Event
+    // time stays the RAW nanosecond long end-to-end — no truncation to
+    // Spark timestamps — so last-writer ties resolve identically to the
+    // oracle's ORDER BY ts, event_id over full-precision data. At
+    // 100 TB the per-batch cost is |delta keys| + |touched snapshot
+    // rows|; the oracle is the one-shot batch equivalent (total count +
+    // arg-max row per user).
+    "st16_streaming_upsert" -> { (s, dir) =>
+      import s.implicits._
+      val scratch = ensureEventChunks(s, dir, 3)
+      val raw = StructType(Schemas.events.map {
+        case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
+        case f => f
+      })
+      val replay = s.readStream.schema(raw)
+        .option("maxFilesPerTrigger", 1).parquet(scratch)
+      val snapBase = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
+        "supsert-").toString
+      val lastVersion = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val q = replay.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val delta = batch.groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n_events"),
+              max(struct(col("ts"), col("event_id"), col("event_type"),
+                col("value"))).as("last"))
+          val prev = lastVersion.get()
+          val merged =
+            if (prev < 0) delta
+            else batch.sparkSession.read.parquet(s"$snapBase/v$prev")
+              .unionByName(delta)
+              .groupBy(col("user_id"))
+              .agg(sum(col("n_events")).as("n_events"), max(col("last")).as("last"))
+          merged.write.mode("overwrite").parquet(s"$snapBase/v$id")
+          lastVersion.set(id)
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$snapBase/v${lastVersion.get()}")
+        .select($"user_id", $"n_events",
+          $"last.event_type".as("last_type"), $"last.value".as("last_value"))
+        .orderBy($"user_id")
+    },
+
     // Sketch aggregation INSIDE streaming state: per-day windowed
     // `approx_count_distinct` (HLL++) over a chunked 3-micro-batch
     // replay, so partial sketch states genuinely merge through the state
@@ -722,6 +777,19 @@ object StreamQueries {
          |FROM events
          |GROUP BY 1, 2
          |ORDER BY day, event_type""".stripMargin,
+
+    // the one-shot batch equivalent of the streamed MERGE: total count +
+    // arg-max (ts, event_id) row per user over full-precision event time
+    "st16_streaming_upsert" ->
+      """WITH l AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1),
+        |lst AS (SELECT user_id, event_type, value,
+        |          ROW_NUMBER() OVER (PARTITION BY user_id
+        |            ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events)
+        |SELECT l.user_id, CAST(l.n_events AS BIGINT) AS n_events,
+        |       lst.event_type AS last_type, lst.value AS last_value
+        |FROM l JOIN lst ON l.user_id = lst.user_id AND lst.rn = 1
+        |ORDER BY l.user_id""".stripMargin,
 
     // the batch left join under the same 2-hour end-of-stream cutoff
     "st14_stream_outer_join" ->

@@ -34,7 +34,8 @@ class PlanSpec extends SparkSuite {
     * attach a global scalar without collapsing to one partition. */
   private val bnljWhitelist = Set("an01_cosine_topk_brute", "an03_ivf_recall",
     "an04_pq_recall", "an05_ivfpq_recall", "an07_filtered_topk",
-    "an09_sq8_recall", "tx12_tfidf_top_terms", "q26_market_basket")
+    "an09_sq8_recall", "tx12_tfidf_top_terms", "q26_market_basket",
+    "sk05_hll_intersection")
 
   private def unwrap(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => a.executedPlan
