@@ -234,6 +234,35 @@ object Dedup {
     verifyPairs(cand, sh, threshold)
   }
 
+  /** Shingle-containment pairs — the ASYMMETRIC complement of
+    * [[ngramJaccardPairs]]: containment `|A∩B| / min(|A|,|B|)` scores
+    * how fully the smaller shingle set sits inside the larger one, so it
+    * catches quote/excerpt/superset relationships that symmetric Jaccard
+    * dilutes (a short doc fully quoted inside a long one has tiny
+    * Jaccard but containment 1.0). Same rare-shingle capped-bucket
+    * candidate generation, then exact set arithmetic per candidate —
+    * one division of exact integers, identical in any engine.
+    *
+    * @return (id_a, id_b, containment) with id_a < id_b,
+    *         containment ≥ threshold
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int = 4, threshold: Double = 0.8,
+                       maxDf: Int = 16): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, shingleK)
+    val posting = sh.select(col("id"), explode(col("shingles")).as("shingle"))
+    val cand = bucketPairs(posting, "shingle", col("id"), maxDf)
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sa")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          least(size(col("sa")), size(col("sb")))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Edit-distance (Levenshtein) near-duplicate pairs — the exact
     * character-level complement of the token-level detectors above:
     * catches small in-word edits (typos, OCR noise, template fills) that

@@ -82,6 +82,17 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Asymmetric containment pairs (quote/excerpt detection): dd03's
+    // blocked candidates scored by |A∩B|/min(|A|,|B|) — the subset
+    // direction symmetric Jaccard dilutes. Threshold 0.8 yields
+    // 28/25/256 pairs at sf0.001/0.01/0.1; the score is one exact-int
+    // division, bit-identical in both engines.
+    "dd09_containment_pairs" -> { (s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleK = 4, threshold = 0.8, maxDf = 16)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Embedding cosine near-duplicates via capped IVF cells. Threshold 0.4
     // is calibrated to the testdata's near-random embeddings (max pairwise
     // cosine ≈ 0.51) so the check set yields verifiable pairs — an empty
@@ -709,6 +720,19 @@ object PipelineQueries {
          |FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
          |WHERE len(list_intersect(a.shingles, b.shingles))
          |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same blocked candidates, containment scored over string shingle
+    // sets — the asymmetric min-denominator twin of dd03's check
+    "dd09_containment_pairs" ->
+      s"""WITH $NgramPipelineSql
+         |SELECT c.id_a, c.id_b,
+         |       len(list_intersect(a.shingles, b.shingles))
+         |         / CAST(LEAST(len(a.shingles), len(b.shingles)) AS DOUBLE)
+         |         AS containment
+         |FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+         |WHERE len(list_intersect(a.shingles, b.shingles))
+         |      / CAST(LEAST(len(a.shingles), len(b.shingles)) AS DOUBLE) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
 
     // unbanded Levenshtein over the same blocked candidates: for every
