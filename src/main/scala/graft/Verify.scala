@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated name prefixes — dev spot-checks
+    // of a few queries without paying for the full catalog (the driver
+    // always calls with 2 args = everything)
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] = args.lift(2)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String) = only.forall(_.exists(name.startsWith))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,7 +31,8 @@ object Verify {
     // every failure in errors.json and exit nonzero so the gate can't pass
     // with silently-missing results (round-1 lesson: tx07's overflow was
     // swallowed here and never reached CORRECTNESS).
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => wanted(kv._1)).flatMap { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

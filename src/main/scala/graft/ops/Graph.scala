@@ -126,4 +126,52 @@ object Graph {
       .select(col("node"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
+
+  /** Single-source BFS hop distances, frontier-at-a-time.
+    *
+    * The textbook distributed BFS: each round joins ONLY the current
+    * frontier (nodes first reached last round) against the edge frame and
+    * anti-joins the visited set, so per-round work is proportional to the
+    * frontier's edge boundary — never to the whole reachable set, and
+    * never the quadratic all-pairs expansion a naive "min over paths"
+    * formulation would shuffle. Rounds are capped by `maxHops` (the
+    * explicit cost knob: one key-join + one anti-join per round) with an
+    * early exit when the frontier drains; per-round `localCheckpoint`
+    * truncates lineage exactly like [[pageRankInt]].
+    *
+    * Determinism: a node's hop distance is the unique minimum over
+    * traversal orders, so the output is exact integers independent of
+    * partitioning — a sequential replay (e.g. DuckDB's recursive CTE
+    * taking `MIN(dist)` per node) is bit-identical.
+    *
+    * @param pairs   undirected edges (item_a, item_b), one row per edge
+    * @param source  start node
+    * @param maxHops inclusive distance bound
+    * @return (node, dist) for every node within `maxHops` of `source`
+    */
+  def bfsHops(pairs: DataFrame, source: Long, maxHops: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val und = pairs
+      .select(col("item_a").as("u"), col("item_b").as("v"))
+      .union(pairs.select(col("item_b").as("u"), col("item_a").as("v")))
+      .distinct()
+      .localCheckpoint()
+    var visited = Seq((source, 0)).toDF("node", "dist").localCheckpoint()
+    var frontier = visited.select(col("node"))
+    var hop = 0
+    while (hop < maxHops && frontier.head(1).nonEmpty) {
+      hop += 1
+      val next = frontier.join(und, frontier("node") === und("u"))
+        .select(col("v").as("node"))
+        .distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint()
+      visited = visited
+        .union(next.withColumn("dist", lit(hop)).select(col("node"), col("dist")))
+        .localCheckpoint()
+      frontier = next
+    }
+    visited
+  }
 }

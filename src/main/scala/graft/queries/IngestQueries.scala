@@ -233,6 +233,31 @@ object IngestQueries {
         .orderBy(col("source"))
     },
 
+    // Cross-engine table checksum (the anti-entropy primitive): every
+    // row reduced to a canonical string → md5 → 60-bit integer, xor'd
+    // per group. bit_xor is commutative, associative, and overflow-free,
+    // so the checksum is independent of partitioning and row order —
+    // the property that lets two sides of a 100 TB replication compare
+    // content with ONE aggregate over bounded state and zero data
+    // movement beyond the final exchange on the (tiny) group key. Money
+    // enters as exact cents and the date as its ISO string so both
+    // engines hash identical bytes; the oracle recomputes the same
+    // digest in DuckDB (`('0x'||hex)::BIGINT` = Spark's `conv(hex,16,10)`).
+    // IngestSpec pins the detection property: any single-cell mutation
+    // flips the group checksum.
+    "cs10_table_checksum" -> { (s, dir) =>
+      val h = expr("CAST(conv(substring(md5(row_str), 1, 15), 16, 10) AS BIGINT)")
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), cents(col("l_extendedprice")),
+            col("l_shipdate").cast("date")).as("row_str"))
+        .select(col("l_returnflag"), h.as("h"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // JSON-lines write→read roundtrip over the documents corpus (the
     // interchange format raw training-data usually arrives in): read back
     // with an explicit schema, digest doc_id|lang|text per row. Text
@@ -324,6 +349,21 @@ object IngestQueries {
         |  CAST(COUNT(DISTINCT md5(concat_ws('|',
         |    CAST(doc_id AS VARCHAR), text))) AS BIGINT) AS n_distinct_payloads
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // identical canonical row string and digest: 15 hex chars of md5
+    // parsed as a 60-bit integer (('0x'||h)::BIGINT ≡ conv(h,16,10)),
+    // xor-folded per group — order- and partitioning-independent
+    "cs10_table_checksum" ->
+      """WITH r AS (SELECT l_returnflag,
+        |    ('0x' || substring(md5(concat_ws('|',
+        |       CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+        |       CAST(l_partkey AS VARCHAR),
+        |       CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS VARCHAR),
+        |       CAST(CAST(l_shipdate AS DATE) AS VARCHAR))), 1, 15))::BIGINT AS h
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(h) AS BIGINT) AS checksum
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "cs07_jsonl_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -384,6 +384,86 @@ object RelationalQueries {
         .select($"item".as("part"), $"rank")
     },
 
+    // Frequency-ordered dictionary encoding of a categorical column —
+    // the standard label-encode step before training. The scale shape:
+    // the distributed part is ONE hash aggregate over the data; the
+    // global rank (row_number, a single-partition window) runs only on
+    // the aggregated DICTIONARY, whose cardinality is the number of
+    // distinct categories, not the number of rows; the encode itself is
+    // a broadcast join of that tiny dictionary back onto the data. The
+    // oracle replays the identical rank (ties broken by category value,
+    // a total order) and the cents-exact per-code rollup certifies the
+    // encode touched every row exactly once.
+    "q24_dict_encode" -> { (s, dir) =>
+      import s.implicits._
+      val dict = Tables.part(s, dir)
+        .groupBy($"p_type").agg(count(lit(1)).as("n_cat"))
+        .withColumn("code",
+          row_number().over(Window.orderBy($"n_cat".desc, $"p_type")).cast("long"))
+        .select($"p_type", $"code")
+      Tables.part(s, dir)
+        .join(broadcast(dict), "p_type")
+        .groupBy($"code", $"p_type")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(cents($"p_retailprice")).as("sum_retail_cents"))
+        .orderBy($"code")
+    },
+
+    // Single-source BFS hop distances over the co-purchase graph
+    // (ops/Graph.bfsHops): frontier-at-a-time expansion — per-round cost
+    // is the frontier's edge boundary (key-join + anti-join), never the
+    // all-pairs path expansion, with lineage truncated per round. The
+    // per-level histogram is exact integer counting; the oracle replays
+    // the traversal as a recursive CTE with MIN(dist) per node, which is
+    // traversal-order independent and therefore bit-identical.
+    "q31_bfs_hops" -> { (s, dir) =>
+      import s.implicits._
+      val edges = graft.ops.Cooccur.pairCounts(Tables.lineitem(s, dir),
+          "l_orderkey", "l_partkey", maxBasket = 64)
+        .filter($"n_ab" >= 2)
+        .select($"item_a", $"item_b")
+        .localCheckpoint()
+      val src = edges.agg(least(min($"item_a"), min($"item_b"))).as[Long].head()
+      graft.ops.Graph.bfsHops(edges, src, maxHops = 4)
+        .groupBy($"dist".cast("long").as("dist"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min($"node").as("min_node"), max($"node").as("max_node"))
+        .orderBy($"dist")
+    },
+
+    // Slowly-changing-dimension Type 2: per-customer order-priority
+    // history built by change detection (lag over a key-partitioned
+    // window — rows where the attribute differs from its predecessor
+    // open a new version), then an as-of lookup resolving each
+    // customer's ACTIVE version at a probe date (row_number over the
+    // same key partition, descending). Both windows partition by the
+    // dimension key, so every exchange is a key shuffle and no partition
+    // ever exceeds one customer's history — the standard warehouse SCD2
+    // build, expressed declaratively. The oracle replays the identical
+    // lag/rank arithmetic sequentially.
+    "q32_scd2_history" -> { (s, dir) =>
+      import s.implicits._
+      val byTime = Seq($"o_orderdate", $"o_orderkey")
+      val versions = Tables.orders(s, dir)
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderpriority")
+        .withColumn("prev", lag($"o_orderpriority", 1)
+          .over(Window.partitionBy($"o_custkey").orderBy(byTime: _*)))
+        .filter($"prev".isNull || $"prev" =!= $"o_orderpriority")
+      val nVersions = versions.groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_versions"))
+      val active = versions
+        .filter($"o_orderdate" <= lit("1998-06-17").cast("timestamp_ntz"))
+        .withColumn("rn", row_number().over(Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate".desc, $"o_orderkey".desc)))
+        .filter($"rn" === 1)
+        .select($"o_custkey", $"o_orderpriority".as("priority"))
+      active.join(nVersions, "o_custkey")
+        .groupBy($"priority")
+        .agg(count(lit(1)).as("n_customers"),
+          sum($"n_versions").as("sum_versions"))
+        .orderBy($"priority")
+    },
+
     // UNPIVOT/melt (q16's inverse): the wide pivoted quantity table
     // folded back to long form with the Dataset `unpivot` operator —
     // wide→long is pure per-row column shuffling (no exchange beyond
@@ -812,6 +892,66 @@ object RelationalQueries {
     // uniform mass split, each r_i one damped step; `//` (floor div) on
     // positive BIGINTs matches Spark's `div` exactly
     "q27_part_pagerank" -> PageRankOracleSql,
+
+    // identical rank over the aggregated dictionary (ties broken by the
+    // category value — a total order), re-joined to roll up per code
+    "q24_dict_encode" ->
+      """WITH freq AS (SELECT p_type, COUNT(*) AS n_cat FROM part GROUP BY p_type),
+        |dict AS (SELECT p_type,
+        |           ROW_NUMBER() OVER (ORDER BY n_cat DESC, p_type) AS code
+        |         FROM freq)
+        |SELECT CAST(d.code AS BIGINT) AS code, d.p_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT)
+        |    AS sum_retail_cents
+        |FROM part p JOIN dict d ON p.p_type = d.p_type
+        |GROUP BY 1, 2
+        |ORDER BY code""".stripMargin,
+
+    // identical lag/rank arithmetic replayed sequentially: change rows
+    // open versions, the as-of pick is rank-1 descending at the probe
+    "q32_scd2_history" ->
+      """WITH v AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |    lag(o_orderpriority) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |ver AS (SELECT * FROM v
+        |        WHERE prev IS NULL OR prev <> o_orderpriority),
+        |vc AS (SELECT o_custkey, COUNT(*) AS n_versions FROM ver GROUP BY 1),
+        |act AS (SELECT o_custkey, o_orderpriority AS priority FROM (
+        |    SELECT o_custkey, o_orderpriority,
+        |      ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM ver WHERE o_orderdate <= TIMESTAMP '1998-06-17')
+        |  WHERE rn = 1)
+        |SELECT act.priority, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(vc.n_versions) AS BIGINT) AS sum_versions
+        |FROM act JOIN vc ON act.o_custkey = vc.o_custkey
+        |GROUP BY 1 ORDER BY priority""".stripMargin,
+
+    // the same traversal as a recursive CTE: (node, dist) pairs grow
+    // level by level (UNION dedups against everything already walked),
+    // MIN(dist) per node is traversal-order independent
+    "q31_bfs_hops" ->
+      """WITH RECURSIVE
+        |op AS (SELECT DISTINCT l_orderkey, CAST(l_partkey AS BIGINT) AS item
+        |       FROM lineitem),
+        |e AS (SELECT a.item AS x, b.item AS y
+        |      FROM op a JOIN op b
+        |        ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |und AS (SELECT x AS u, y AS v FROM e UNION SELECT y, x FROM e),
+        |walk(node, dist) AS (
+        |  SELECT (SELECT MIN(u) FROM und), 0
+        |  UNION
+        |  SELECT und.v, walk.dist + 1
+        |  FROM walk JOIN und ON und.u = walk.node
+        |  WHERE walk.dist < 4),
+        |d AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node)
+        |SELECT CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  MIN(node) AS min_node, MAX(node) AS max_node
+        |FROM d GROUP BY dist ORDER BY dist""".stripMargin,
 
     // the roundtrip's fixed point is the plain GROUP BY
     "q29_unpivot_roundtrip" ->

@@ -116,6 +116,48 @@ object TextQueries {
         .orderBy($"source", $"split")
     },
 
+    // Sequence packing (the pretraining batch-construction step):
+    // documents concatenated in doc_id order and cut into fixed
+    // 512-token context windows, reported as per-window composition
+    // (docs touching the window / docs starting in it). The global
+    // token offset is a distributed two-level prefix sum — per-bucket
+    // totals from ONE hash aggregate, bucket base offsets from a window
+    // over the BUCKET frame (cardinality = n_docs/64, three orders
+    // smaller than the data; a third level makes it arbitrarily small),
+    // broadcast back, then a per-bucket key-partitioned cumsum. No
+    // single-partition pass over the full corpus anywhere — the naive
+    // `sum() over (order by doc_id)` would serialize 100 TB through one
+    // task. Window spans fan out via bounded `sequence()` (span ≤
+    // ⌈n_tok/512⌉+1). TextOpsSpec pins the two-level offsets ≡ the
+    // naive global cumsum.
+    "tx18_sequence_packing" -> { (s, dir) =>
+      import s.implicits._
+      val perDoc = Tables.documents(s, dir)
+        .select($"doc_id", TextOps.estimatedBpeTokens($"text").as("n_tok"))
+        .filter($"n_tok" > 0)
+        .withColumn("bucket", expr("doc_id div 64"))
+      val bucketBase = perDoc.groupBy($"bucket")
+        .agg(sum($"n_tok").as("btok"))
+        .withColumn("base", coalesce(sum($"btok").over(
+          Window.orderBy($"bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"bucket", $"base")
+      val offsets = perDoc.join(broadcast(bucketBase), "bucket")
+        .withColumn("start_tok", $"base" +
+          coalesce(sum($"n_tok").over(
+            Window.partitionBy($"bucket").orderBy($"doc_id")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("first_win", expr("start_tok div 512"))
+        .withColumn("last_win", expr("(start_tok + n_tok - 1) div 512"))
+      offsets
+        .select($"first_win",
+          explode(sequence($"first_win", $"last_win")).as("window_id"))
+        .groupBy($"window_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"window_id" === $"first_win", 1L).otherwise(0L)).as("n_starts"))
+        .orderBy($"window_id")
+    },
+
     // Stratified downsampling by language (the training-data-mix
     // primitive): keep 25% of English, 50% of Spanish, everything else —
     // decided by content hash, so it is deterministic under replay and
@@ -429,6 +471,31 @@ object TextQueries {
         |FROM documents
         |GROUP BY 1, 2
         |ORDER BY source, split""".stripMargin,
+
+    // the same packing replayed with the naive single-pass cumsum (the
+    // two-level offsets must land identically — also spec-pinned)
+    "tx18_sequence_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(string_split(text, ' '))
+        |      + list_sum(list_transform(string_split(text, ' '),
+        |          x -> CASE WHEN length(x) > 6 THEN length(x) - 6 ELSE 0 END)) // 6
+        |      AS n_tok
+        |  FROM documents),
+        |o AS (SELECT doc_id, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        |  FROM t WHERE n_tok > 0),
+        |w AS (SELECT doc_id, CAST(start_tok // 512 AS BIGINT) AS first_win,
+        |    CAST((start_tok + n_tok - 1) // 512 AS BIGINT) AS last_win
+        |  FROM o),
+        |x AS (SELECT first_win,
+        |    unnest(generate_series(first_win, last_win)) AS window_id
+        |  FROM w)
+        |SELECT CAST(window_id AS BIGINT) AS window_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN window_id = first_win THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_starts
+        |FROM x GROUP BY 1 ORDER BY window_id""".stripMargin,
 
     "tx12_tfidf_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

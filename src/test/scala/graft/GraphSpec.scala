@@ -55,6 +55,34 @@ class GraphSpec extends SparkSuite {
       "triangle counts differ across partitionings")
   }
 
+  test("bfsHops walks a known graph to exact hop distances") {
+    val s = spark
+    import s.implicits._
+    // 0-1-2-3 path with a branch 1-4 and an unreachable edge (8,9)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (1L, 4L), (8L, 9L))
+      .toDF("item_a", "item_b")
+    val got = Graph.bfsHops(edges, source = 0L, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2, 4L -> 2, 3L -> 3),
+      s"wrong distances: $got")
+    // maxHops truncates: node 3 is out of reach at 2 hops
+    val cut = Graph.bfsHops(edges, source = 0L, maxHops = 2).collect()
+      .map(_.getLong(0)).toSet
+    assert(cut == Set(0L, 1L, 2L, 4L))
+  }
+
+  test("bfsHops is traversal-order independent across partitionings") {
+    val edges = pairs.filter(col("w") >= 2).select(col("item_a"), col("item_b"))
+    val src = edges.agg(least(min(col("item_a")), min(col("item_b"))))
+      .head().getLong(0)
+    def run(p: org.apache.spark.sql.DataFrame) =
+      Graph.bfsHops(p, src, maxHops = 3)
+        .orderBy(col("node")).collect().toSeq
+    val a = run(edges.repartition(1))
+    val b = run(edges.repartition(7, col("item_b")))
+    assert(a.nonEmpty && a == b, "hop distances differ across partitionings")
+  }
+
   test("a hub node outranks a leaf on a known star graph") {
     val s = spark
     import s.implicits._

@@ -38,4 +38,28 @@ class IngestSpec extends SparkSuite {
     assert(plan.contains("PushedFilters") && plan.contains("l_quantity"),
       s"expected a pushed l_quantity filter in the ORC scan:\n$plan")
   }
+
+  test("cs10 checksum detects any single-cell mutation and ignores row order") {
+    val s = spark
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    def checksums(rows: DataFrame) = rows
+      .select(col("g"), expr(
+        "CAST(conv(substring(md5(row_str), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .groupBy(col("g")).agg(expr("bit_xor(h)").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    import s.implicits._
+    val base = Seq(("a", "1|10"), ("a", "2|20"), ("b", "3|30"))
+      .toDF("g", "row_str")
+    val shuffled = Seq(("a", "2|20"), ("b", "3|30"), ("a", "1|10"))
+      .toDF("g", "row_str").repartition(3)
+    assert(checksums(base) == checksums(shuffled),
+      "checksum must be row-order and partitioning independent")
+    val mutated = Seq(("a", "1|10"), ("a", "2|21"), ("b", "3|30"))
+      .toDF("g", "row_str")
+    assert(checksums(base)("a") != checksums(mutated)("a"),
+      "a single-cell mutation must flip its group's checksum")
+    assert(checksums(base)("b") == checksums(mutated)("b"),
+      "untouched groups must keep their checksum")
+  }
 }

@@ -99,4 +99,32 @@ class TextOpsSpec extends SparkSuite {
       docs.filter(TextOps.stratifiedKeep($"text", $"g", Map("a" -> 1.5))).count()
     }
   }
+
+  test("tx18: two-level distributed prefix sum equals the naive global cumsum") {
+    val s = spark
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    // sparse non-contiguous ids so buckets have ragged occupancy
+    val docs = (0 until 500).map(i => (i.toLong * 7 % 1000, (i % 37) + 1L))
+      .distinct.toDF("doc_id", "n_tok")
+    val bucketed = docs.withColumn("bucket", expr("doc_id div 64"))
+    val base = bucketed.groupBy($"bucket").agg(sum($"n_tok").as("btok"))
+      .withColumn("base", coalesce(sum($"btok").over(
+        Window.orderBy($"bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"bucket", $"base")
+    val twoLevel = bucketed.join(broadcast(base), "bucket")
+      .withColumn("start_tok", $"base" + coalesce(sum($"n_tok").over(
+        Window.partitionBy($"bucket").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"doc_id", $"start_tok")
+      .orderBy($"doc_id").collect().toSeq
+    val naive = docs.withColumn("start_tok", coalesce(sum($"n_tok").over(
+        Window.orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"doc_id", $"start_tok")
+      .orderBy($"doc_id").collect().toSeq
+    assert(twoLevel.nonEmpty && twoLevel == naive,
+      "two-level offsets diverge from the single-pass cumsum")
+  }
 }
