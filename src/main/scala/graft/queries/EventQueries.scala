@@ -292,6 +292,54 @@ object EventQueries {
         .orderBy($"day")
     },
 
+    // Run-length compression of per-user event-type runs (the telemetry
+    // compression primitive): consecutive same-type events collapse to
+    // (run, length) via the gaps-and-islands change-flag cumsum — one
+    // key-partitioned window (single shuffle by user), then a hash
+    // aggregate whose output cardinality is |event_type|, never rows.
+    // The compression ratio is emitted in exact basis points (integer
+    // floor-division), not a float.
+    "ev21_event_runs" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val runs = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("chg",
+          when(!(lag($"event_type", 1).over(w) <=> $"event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("run_id", sum($"chg").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"run_id", $"event_type")
+        .agg(count(lit(1)).as("len"))
+      runs.groupBy($"event_type")
+        .agg(sum($"len").as("n_events"), count(lit(1)).as("n_runs"),
+          max($"len").as("max_run"))
+        .withColumn("ratio_bp", expr("n_runs * 10000 div n_events"))
+        .orderBy($"event_type")
+    },
+
+    // Majority-vote label aggregation (the RLHF/annotation-consolidation
+    // shape): each user's noisy per-event "labels" collapse to the
+    // modal event_type with an exact agreement score. ONE hash aggregate
+    // over (user, label) — output cardinality |users|·|types| — then a
+    // window over that aggregated frame picks the argmax (ties broken by
+    // label value, a total order). Agreement in exact basis points.
+    "ev22_majority_label" -> { (s, dir) =>
+      import s.implicits._
+      val votes = Tables.events(s, dir)
+        .groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("n_votes"))
+      val w = Window.partitionBy($"user_id")
+      votes
+        .withColumn("n_total", sum($"n_votes").over(w))
+        .withColumn("rn", row_number().over(
+          w.orderBy($"n_votes".desc, $"event_type")))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type".as("label"), $"n_votes",
+          $"n_total", expr("n_votes * 10000 div n_total").as("agreement_bp"))
+        .orderBy($"user_id")
+    },
+
     "ev17_rolling_actives" -> { (s, dir) =>
       import s.implicits._
       val daily = Tables.events(s, dir)
@@ -595,6 +643,44 @@ object EventQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_users
         |FROM n ORDER BY day""".stripMargin,
+
+    // same islands cumsum sequentially; IS DISTINCT FROM mirrors Spark's
+    // null-safe <=> on the first row of each user
+    "ev21_event_runs" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id)
+        |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_type,
+        |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM x),
+        |g AS (SELECT user_id, run_id, event_type, COUNT(*) AS len
+        |      FROM r GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(SUM(len) AS BIGINT) AS n_events,
+        |  CAST(COUNT(*) AS BIGINT) AS n_runs,
+        |  CAST(MAX(len) AS BIGINT) AS max_run,
+        |  CAST((COUNT(*) * 10000) // CAST(SUM(len) AS BIGINT) AS BIGINT)
+        |    AS ratio_bp
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // identical argmax over the aggregated votes, ties by label value
+    "ev22_majority_label" ->
+      """WITH v AS (SELECT user_id, event_type, COUNT(*) AS n_votes
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, event_type, n_votes,
+        |    SUM(n_votes) OVER (PARTITION BY user_id) AS n_total,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY n_votes DESC, event_type) AS rn
+        |  FROM v)
+        |SELECT user_id, event_type AS label, CAST(n_votes AS BIGINT) AS n_votes,
+        |  CAST(n_total AS BIGINT) AS n_total,
+        |  CAST((n_votes * 10000) // CAST(n_total AS BIGINT) AS BIGINT)
+        |    AS agreement_bp
+        |FROM t WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "ev17_rolling_actives" ->
       """WITH daily AS (

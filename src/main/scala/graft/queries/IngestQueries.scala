@@ -258,6 +258,66 @@ object IngestQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // Constraint-validation audit (the ingest quality gate): referential
+    // integrity (FK orphans via one key join per fact table — broadcast
+    // when the dimension is small, else a plain key exchange) and domain
+    // predicates, ALL checks for a table folded into ONE aggregate pass
+    // (the q25 Expand trick: violations are conditional sums, so adding
+    // a check costs an expression, not a scan), unpivoted to one row per
+    // check. 100 TB shape: four table scans, one join each for the FK
+    // legs, output cardinality = number of checks.
+    "cs11_constraint_audit" -> { (s, dir) =>
+      // (internal alias, reported check name) pairs per table pass
+      def unpivot(agg: org.apache.spark.sql.DataFrame,
+                  checks: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
+        agg.select(expr(s"stack(${checks.size}, " +
+          checks.map { case (a, n) => s"'$n', $a" }.mkString(", ") +
+          ") as (check_name, n_violations)"), col("n_rows"))
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+            .as("li_fk_orphan"),
+          sum(when(col("l_quantity") <= 0, 1L).otherwise(0L))
+            .as("li_qty_nonpos"),
+          sum(when(col("l_extendedprice") < 0, 1L).otherwise(0L))
+            .as("li_price_neg"),
+          sum(when(col("l_orderkey").isNull || col("l_partkey").isNull, 1L)
+            .otherwise(0L)).as("li_key_null"))
+      val ord = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+            .as("ord_fk_orphan"),
+          sum(when(col("o_totalprice") < 0, 1L).otherwise(0L))
+            .as("ord_total_neg"))
+      val doc = Tables.documents(s, dir)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+            .as("doc_nchars_bad"),
+          sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+            .otherwise(0L)).as("doc_text_empty"))
+      val ev = Tables.events(s, dir)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("user_id").isNull, 1L).otherwise(0L))
+            .as("ev_user_null"),
+          sum(when(col("value").isNull || isnan(col("value")), 1L)
+            .otherwise(0L)).as("ev_value_bad"))
+      unpivot(li, Seq("li_fk_orphan" -> "lineitem.fk_order_orphan",
+          "li_qty_nonpos" -> "lineitem.qty_nonpositive",
+          "li_price_neg" -> "lineitem.price_negative",
+          "li_key_null" -> "lineitem.key_null"))
+        .union(unpivot(ord, Seq("ord_fk_orphan" -> "orders.fk_cust_orphan",
+          "ord_total_neg" -> "orders.total_negative")))
+        .union(unpivot(doc, Seq("doc_nchars_bad" -> "documents.n_chars_mismatch",
+          "doc_text_empty" -> "documents.text_empty")))
+        .union(unpivot(ev, Seq("ev_user_null" -> "events.user_null",
+          "ev_value_bad" -> "events.value_null_or_nan")))
+        .orderBy(col("check_name"))
+    },
+
     // JSON-lines write→read roundtrip over the documents corpus (the
     // interchange format raw training-data usually arrives in): read back
     // with an explicit schema, digest doc_id|lang|text per row. Text
@@ -364,6 +424,61 @@ object IngestQueries {
         |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(bit_xor(h) AS BIGINT) AS checksum
         |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // each check recomputed independently (plain scalar subqueries —
+    // the oracle does not need the one-pass Expand shape, only the
+    // identical counts)
+    "cs11_constraint_audit" ->
+      """WITH li AS (SELECT l.*, o.o_orderkey AS fk FROM lineitem l
+        |            LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |ord AS (SELECT o.*, c.c_custkey AS fk FROM orders o
+        |        LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT * FROM (
+        |  SELECT 'lineitem.fk_order_orphan' AS check_name,
+        |    CAST(SUM(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows FROM li
+        |  UNION ALL
+        |  SELECT 'lineitem.qty_nonpositive',
+        |    CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT) FROM li
+        |  UNION ALL
+        |  SELECT 'lineitem.price_negative',
+        |    CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT) FROM li
+        |  UNION ALL
+        |  SELECT 'lineitem.key_null',
+        |    CAST(SUM(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT) FROM li
+        |  UNION ALL
+        |  SELECT 'orders.fk_cust_orphan',
+        |    CAST(SUM(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT) FROM ord
+        |  UNION ALL
+        |  SELECT 'orders.total_negative',
+        |    CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT) FROM ord
+        |  UNION ALL
+        |  SELECT 'documents.n_chars_mismatch',
+        |    CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT 'documents.text_empty',
+        |    CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT 'events.user_null',
+        |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'events.value_null_or_nan',
+        |    CAST(SUM(CASE WHEN value IS NULL OR isnan(value)
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT) FROM events
+        |) ORDER BY check_name""".stripMargin,
 
     "cs07_jsonl_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -464,6 +464,37 @@ object RelationalQueries {
         .orderBy($"priority")
     },
 
+    // Range-partition planning (what RangePartitioner/global sort does
+    // under the hood, surfaced as a query): split boundaries for 8
+    // balanced ranges of order value, derived from the VALUE HISTOGRAM —
+    // one hash aggregate collapses rows to (value, count), an ordered
+    // cumsum runs over that bounded-cardinality frame (distinct prices,
+    // not rows; at true scale a sampled histogram replaces exact), and
+    // ONE aggregate picks each boundary as the smallest value whose
+    // cumulative count reaches i/8 of the total (pure integer compare:
+    // cum*8 >= n*i — no float quantiles, so both engines agree bit-for-
+    // bit). Assignment back onto the data is a broadcast of 7 longs.
+    "q33_range_partition_plan" -> { (s, dir) =>
+      import s.implicits._
+      val vals = Tables.orders(s, dir).select(cents($"o_totalprice").as("v"))
+      val cum = vals.groupBy($"v").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum($"c").over(Window.orderBy($"v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val boundCols = (1 to 7).map(i =>
+        min(when($"cum" * 8 >= $"n" * i, $"v")).as(s"b$i"))
+      val bounds = cum
+        .crossJoin(broadcast(vals.agg(count(lit(1)).as("n"))))
+        .agg(boundCols.head, boundCols.tail: _*)
+      val bucket = (1 to 7).map(i => when($"v" > col(s"b$i"), 1L)
+        .otherwise(0L)).reduce(_ + _)
+      vals.crossJoin(broadcast(bounds))
+        .withColumn("bucket", bucket)
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"v").as("min_cents"), max($"v").as("max_cents"))
+        .orderBy($"bucket")
+    },
+
     // UNPIVOT/melt (q16's inverse): the wide pivoted quantity table
     // folded back to long form with the Dataset `unpivot` operator —
     // wide→long is pure per-row column shuffling (no exchange beyond
@@ -929,6 +960,36 @@ object RelationalQueries {
         |  CAST(SUM(vc.n_versions) AS BIGINT) AS sum_versions
         |FROM act JOIN vc ON act.o_custkey = vc.o_custkey
         |GROUP BY 1 ORDER BY priority""".stripMargin,
+
+    // identical integer boundary rule (smallest v with cum*8 >= n*i) and
+    // identical strictly-greater bucket assignment
+    "q33_range_partition_plan" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS v
+        |           FROM orders),
+        |h AS (SELECT v, COUNT(*) AS c FROM v GROUP BY v),
+        |cum AS (SELECT v, SUM(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h),
+        |n AS (SELECT COUNT(*) AS n FROM v),
+        |b AS (SELECT
+        |    MIN(CASE WHEN cum*8 >= n*1 THEN v END) AS b1,
+        |    MIN(CASE WHEN cum*8 >= n*2 THEN v END) AS b2,
+        |    MIN(CASE WHEN cum*8 >= n*3 THEN v END) AS b3,
+        |    MIN(CASE WHEN cum*8 >= n*4 THEN v END) AS b4,
+        |    MIN(CASE WHEN cum*8 >= n*5 THEN v END) AS b5,
+        |    MIN(CASE WHEN cum*8 >= n*6 THEN v END) AS b6,
+        |    MIN(CASE WHEN cum*8 >= n*7 THEN v END) AS b7
+        |  FROM cum CROSS JOIN n),
+        |a AS (SELECT v,
+        |    (CASE WHEN v > b1 THEN 1 ELSE 0 END + CASE WHEN v > b2 THEN 1 ELSE 0 END
+        |     + CASE WHEN v > b3 THEN 1 ELSE 0 END + CASE WHEN v > b4 THEN 1 ELSE 0 END
+        |     + CASE WHEN v > b5 THEN 1 ELSE 0 END + CASE WHEN v > b6 THEN 1 ELSE 0 END
+        |     + CASE WHEN v > b7 THEN 1 ELSE 0 END) AS bucket
+        |  FROM v CROSS JOIN b)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(v) AS min_cents, MAX(v) AS max_cents
+        |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // the same traversal as a recursive CTE: (node, dist) pairs grow
     // level by level (UNION dedups against everything already walked),
