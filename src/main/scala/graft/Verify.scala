@@ -54,7 +54,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Same wanted() filter as the result dump: a prefix-filtered dev run
+    // must emit a matching oracle set, or the DuckDB compare reports
+    // every unselected query as missing results.
+    val json = SparkEntry.oracleSql.filter(kv => wanted(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }

@@ -466,20 +466,44 @@ object RelationalQueries {
 
     // Range-partition planning (what RangePartitioner/global sort does
     // under the hood, surfaced as a query): split boundaries for 8
-    // balanced ranges of order value, derived from the VALUE HISTOGRAM —
-    // one hash aggregate collapses rows to (value, count), an ordered
-    // cumsum runs over that bounded-cardinality frame (distinct prices,
-    // not rows; at true scale a sampled histogram replaces exact), and
-    // ONE aggregate picks each boundary as the smallest value whose
-    // cumulative count reaches i/8 of the total (pure integer compare:
-    // cum*8 >= n*i — no float quantiles, so both engines agree bit-for-
-    // bit). Assignment back onto the data is a broadcast of 7 longs.
+    // balanced ranges of order value, derived from the exact VALUE
+    // HISTOGRAM. The cumulative count is a two-level distributed prefix
+    // sum (tx18's sequence-packing trick applied to values), because
+    // o_totalprice is near-unique — a bare `Window.orderBy(v)` cumsum
+    // would move ALL (v, c) rows to ONE task, O(n_orders) on a single
+    // core at any scale. Instead: (1) one hash aggregate collapses rows
+    // to (v, c); (2) values are striped by `v div 2^20` (~$10k-wide
+    // cent stripes — the stripe count is bounded by the PRICE DOMAIN,
+    // ~60 stripes, never by row count); (3) the cumsum is a per-stripe
+    // window (parallel, ≤2^20 distinct cent values per stripe by
+    // construction) plus stripe offsets from a broadcast range self-
+    // join over the ~60 stripe totals (O(stripes²) on a domain-bounded
+    // frame — never a row-count-sized single-partition window; a bare
+    // `Window.orderBy` would warn and serialize, and a constant
+    // partition key gets constant-folded back to the same thing).
+    // ONE aggregate then picks each boundary as the
+    // smallest value whose cumulative count reaches i/8 of the total
+    // (pure integer compare: cum*8 >= n*i — no float quantiles, so both
+    // engines agree bit-for-bit). The total-count and boundary attaches
+    // are broadcast crossJoins of 1-row frames — the O(n·1) scalar-
+    // attach pattern PlanSpec whitelists for tx12/q26/sk05. Assignment
+    // back onto the data is a broadcast of 7 longs.
     "q33_range_partition_plan" -> { (s, dir) =>
       import s.implicits._
       val vals = Tables.orders(s, dir).select(cents($"o_totalprice").as("v"))
-      val cum = vals.groupBy($"v").agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum($"c").over(Window.orderBy($"v")
+      val hist = vals.groupBy($"v").agg(count(lit(1)).as("c"))
+        .withColumn("stripe", expr("v div 1048576"))
+      val within = hist.withColumn("wcum",
+        sum($"c").over(Window.partitionBy($"stripe").orderBy($"v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val totals = hist.groupBy($"stripe").agg(sum($"c").as("sc"))
+      val offsets = totals
+        .join(broadcast(totals.select($"stripe".as("p_stripe"), $"sc".as("p_sc"))),
+          $"p_stripe" < $"stripe", "left")
+        .groupBy($"stripe")
+        .agg(coalesce(sum($"p_sc"), lit(0L)).as("off"))
+      val cum = within.join(broadcast(offsets), "stripe")
+        .withColumn("cum", $"wcum" + $"off")
       val boundCols = (1 to 7).map(i =>
         min(when($"cum" * 8 >= $"n" * i, $"v")).as(s"b$i"))
       val bounds = cum

@@ -31,11 +31,16 @@ class PlanSpec extends SparkSuite {
     * an03 embeds that same brute-force frame as the recall ground truth. */
   /** tx12 crossJoins an explicitly-broadcast 1-row aggregate (the corpus
     * size scalar) into the scorer — O(n·1), the scale-correct way to
-    * attach a global scalar without collapsing to one partition. */
+    * attach a global scalar without collapsing to one partition. q33 is
+    * the same pattern twice: the total-count scalar (1 row) into the
+    * boundary aggregate, and the 7-boundary frame (1 row) onto the
+    * value stream — both explicitly `broadcast()`-hinted, so the
+    * BroadcastNestedLoopJoin is O(n·1) replication of constants, not a
+    * pairwise product. */
   private val bnljWhitelist = Set("an01_cosine_topk_brute", "an03_ivf_recall",
     "an04_pq_recall", "an05_ivfpq_recall", "an07_filtered_topk",
     "an09_sq8_recall", "tx12_tfidf_top_terms", "q26_market_basket",
-    "sk05_hll_intersection")
+    "sk05_hll_intersection", "q33_range_partition_plan")
 
   private def unwrap(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => a.executedPlan
