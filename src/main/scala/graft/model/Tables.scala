@@ -13,13 +13,22 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader only
-    * accepts as a raw long (`spark.sql.legacy.parquet.nanosAsLong`, set by
-    * Verify/Bench/tests). Convert to a microsecond timestamp here with
-    * exact integer division so every query sees a real timestamp column.
+  /** `events.ts` is parquet TIMESTAMP(NANOS). Depending on
+    * `spark.sql.legacy.parquet.nanosAsLong` (set by Verify/Bench/tests —
+    * but resolved through the THREAD-LOCAL `SQLConf.get` during parquet
+    * schema conversion, so a reader thread without an active session can
+    * silently see the default instead) the scan yields either a raw nanos
+    * long or a TIMESTAMP_NTZ. Normalize BOTH to a microsecond
+    * TimestampType here so every query sees the same column type
+    * regardless of which thread first resolved the schema:
+    *  - long: exact integer division nanos→micros;
+    *  - NTZ: cast, which interprets the naive value in the session
+    *    timezone — pinned UTC everywhere in this repo, so the instant
+    *    (and the micros truncation the NANOS→NTZ read already did)
+    *    matches the long path bit-for-bit.
     *
-    * CAVEAT: `timestamp_micros` yields session-timezone-sensitive
-    * TimestampType, so hour()/date_trunc/window results depend on
+    * CAVEAT: TimestampType is session-timezone-sensitive, so
+    * hour()/date_trunc/window results depend on
     * `spark.sql.session.timeZone` — every entry point in this repo pins
     * UTC (matching DuckDB's naive timestamps); a new entry point that
     * forgets the pin shifts every time-derived result. */
@@ -28,6 +37,8 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr(s"$c div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(c, df(c).cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
 

@@ -192,23 +192,24 @@ object Dedup {
     * @param pairs (id_a, id_b) undirected duplicate pairs
     * @return (id, component) — component = min id in the node's component
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    def cut(df: DataFrame) = Lineage.truncate(df, checkpointDir)
+    val edges = cut(pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+      .distinct())
+    var labels = cut(edges.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id")))
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), Seq("v"))
         .groupBy(col("u")).agg(min(col("vcomp")).as("nmin"))
-      val next = labels
+      val next = cut(labels
         .join(nbrMin.select(col("u").as("id"), col("nmin")), Seq("id"), "left")
         .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp2"))
-        .localCheckpoint()
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp2")))
       converged = next.filter(col("comp2") < col("comp")).isEmpty
       labels = next.select(col("id"), col("comp2").as("comp"))
       round += 1

@@ -20,11 +20,12 @@ import org.apache.spark.sql.functions._
   * leak a few units per step (never gained), which is deterministic too.
   *
   * Scale shape: one join + one aggregate per iteration on an `(u, v, w,
-  * outw)` edge frame built once; per-iteration lineage is truncated with
-  * `localCheckpoint` (the same guard as connectedComponents) so the plan
-  * stays O(1) deep. Iteration count is a fixed small constant — rank
-  * stabilizes geometrically, and each round is a full shuffle of the edge
-  * frame, so `iters` is the explicit cost knob.
+  * outw)` edge frame built once; per-iteration lineage is truncated
+  * ([[Lineage.truncate]] — reliable `checkpoint()` when a directory is
+  * given, `localCheckpoint` otherwise) so the plan stays O(1) deep.
+  * Iteration count is a fixed small constant — rank stabilizes
+  * geometrically — and the per-round cost is governed by how the rank
+  * frame meets the edge frame (see [[pageRankInt]]'s `broadcastRanks`).
   */
 object Graph {
 
@@ -38,34 +39,55 @@ object Graph {
     * Overflow audit: `rank ≤ TOTAL = 10¹²` (mass only leaks), so
     * `rank·w` stays below 2⁶³ for any weight `w < 9·10⁶`.
     *
+    * Per-round join strategy: the rank/contrib frames are NODE-cardinality
+    * (for a part-affinity graph, catalog-sized — millions of 16-byte rows,
+    * dimension-table territory), while the edge frame is the big side. With
+    * `broadcastRanks = true` (default) every per-round join broadcasts the
+    * node-sized frame, so the edge frame is scanned in place and NEVER
+    * re-shuffled — per round: one broadcast hash join + one map-side-
+    * combined aggregate whose shuffle carries at most distinct-v partial
+    * rows per task. For graphs whose node set exceeds driver/broadcast
+    * capacity set it false: the edge frame is then hash-partitioned on the
+    * join key ONCE (the partitioning survives each round's checkpoint via
+    * `LogicalRDD`), so rounds shuffle only the node-sized frames — never
+    * the edges.
+    *
     * @param pairs undirected weighted edges (item_a, item_b, w); both
     *              directions are materialized internally
     * @param iters fixed iteration count
+    * @param checkpointDir reliable-checkpoint root for executor-loss
+    *              survival on a real cluster (see [[Lineage.truncate]])
+    * @param broadcastRanks broadcast the node-sized rank frame per round
+    *              (edge frame never shuffles); false = co-partitioned join
     * @return (item, rank) — rank in integer mass units summing to ≤ TOTAL
     */
   def pageRankInt(pairs: DataFrame, iters: Int = 5,
-                  total: Long = 1000000000000L): DataFrame = {
+                  total: Long = 1000000000000L,
+                  checkpointDir: Option[String] = None,
+                  broadcastRanks: Boolean = true): DataFrame = {
+    def cut(df: DataFrame) = Lineage.truncate(df, checkpointDir)
+    def side(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
     val edges = pairs
       .select(col("item_a").as("u"), col("item_b").as("v"), col("w"))
       .union(pairs.select(col("item_b").as("u"), col("item_a").as("v"), col("w")))
-    val ew = edges
+    val ewRaw = edges
       .join(edges.groupBy(col("u")).agg(sum(col("w")).as("outw")), "u")
-      .localCheckpoint()
-    val nodes = ew.select(col("u").as("node")).distinct().localCheckpoint()
+    val ew = cut(if (broadcastRanks) ewRaw else ewRaw.repartition(col("u")))
+    val nodes = cut(ew.select(col("u").as("node")).distinct())
     val n = nodes.count()
     require(n > 0, "pageRankInt: empty graph")
     val base = (15L * total) / (100L * n)
     var rank = nodes.withColumn("rank", lit(total / n))
     for (_ <- 1 to iters) {
       val contrib = ew
-        .join(rank.select(col("node").as("u"), col("rank")), "u")
+        .join(side(rank.select(col("node").as("u"), col("rank"))), "u")
         .select(col("v"), expr("(rank * w) div outw").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("contrib"))
-      rank = nodes
-        .join(contrib.select(col("v").as("node"), col("contrib")), Seq("node"), "left")
+      rank = cut(nodes
+        .join(side(contrib.select(col("v").as("node"), col("contrib"))),
+          Seq("node"), "left")
         .select(col("node"),
-          (lit(base) + expr("(85 * coalesce(contrib, 0L)) div 100")).as("rank"))
-        .localCheckpoint()
+          (lit(base) + expr("(85 * coalesce(contrib, 0L)) div 100")).as("rank")))
     }
     rank.select(col("node").as("item"), col("rank"))
   }
@@ -94,12 +116,12 @@ object Graph {
     *              [[Cooccur.pairCounts]] with a min-support filter)
     * @return (node, degree, n_triangles) for every node on an edge
     */
-  def triangleParticipation(pairs: DataFrame): DataFrame = {
-    val und = pairs
+  def triangleParticipation(pairs: DataFrame,
+                            checkpointDir: Option[String] = None): DataFrame = {
+    val und = Lineage.truncate(pairs
       .select(col("item_a").as("u"), col("item_b").as("v"))
       .union(pairs.select(col("item_b").as("u"), col("item_a").as("v")))
-      .distinct()
-      .localCheckpoint()
+      .distinct(), checkpointDir)
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     // Orient u→v iff (deg(u), u) < (deg(v), v): a total order, so each
     // undirected edge survives exactly once.
@@ -109,11 +131,11 @@ object Graph {
       .filter(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")))
       .select(col("u"), col("v"))
-      .localCheckpoint()
+    val orientedCut = Lineage.truncate(oriented, checkpointDir)
     // Wedge (v, w) from a common source's two out-edges, canonicalized
     // v < w; closed against the canonical undirected edge set.
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2"),
+    val wedges = orientedCut.as("e1")
+      .join(orientedCut.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
       .select(col("e1.u").as("apex"), col("e1.v").as("a"), col("e2.v").as("b"))
     val tris = wedges
@@ -136,8 +158,9 @@ object Graph {
     * never the quadratic all-pairs expansion a naive "min over paths"
     * formulation would shuffle. Rounds are capped by `maxHops` (the
     * explicit cost knob: one key-join + one anti-join per round) with an
-    * early exit when the frontier drains; per-round `localCheckpoint`
-    * truncates lineage exactly like [[pageRankInt]].
+    * early exit when the frontier drains; per-round lineage truncation
+    * exactly like [[pageRankInt]] ([[Lineage.truncate]] — reliable when
+    * `checkpointDir` is set).
     *
     * Determinism: a node's hop distance is the unique minimum over
     * traversal orders, so the output is exact integers independent of
@@ -149,27 +172,26 @@ object Graph {
     * @param maxHops inclusive distance bound
     * @return (node, dist) for every node within `maxHops` of `source`
     */
-  def bfsHops(pairs: DataFrame, source: Long, maxHops: Int): DataFrame = {
+  def bfsHops(pairs: DataFrame, source: Long, maxHops: Int,
+              checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val und = pairs
+    def cut(df: DataFrame) = Lineage.truncate(df, checkpointDir)
+    val und = cut(pairs
       .select(col("item_a").as("u"), col("item_b").as("v"))
       .union(pairs.select(col("item_b").as("u"), col("item_a").as("v")))
-      .distinct()
-      .localCheckpoint()
-    var visited = Seq((source, 0)).toDF("node", "dist").localCheckpoint()
+      .distinct())
+    var visited = cut(Seq((source, 0)).toDF("node", "dist"))
     var frontier = visited.select(col("node"))
     var hop = 0
     while (hop < maxHops && frontier.head(1).nonEmpty) {
       hop += 1
-      val next = frontier.join(und, frontier("node") === und("u"))
+      val next = cut(frontier.join(und, frontier("node") === und("u"))
         .select(col("v").as("node"))
         .distinct()
-        .join(visited.select(col("node")), Seq("node"), "left_anti")
-        .localCheckpoint()
-      visited = visited
-        .union(next.withColumn("dist", lit(hop)).select(col("node"), col("dist")))
-        .localCheckpoint()
+        .join(visited.select(col("node")), Seq("node"), "left_anti"))
+      visited = cut(visited
+        .union(next.withColumn("dist", lit(hop)).select(col("node"), col("dist"))))
       frontier = next
     }
     visited

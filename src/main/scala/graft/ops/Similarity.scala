@@ -83,6 +83,29 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** EXACT all-pairs cosine near-dup pairs — the O(n²) certification
+    * baseline for [[embeddingDupPairs]], NOT a production operator: its
+    * only job is to supply ground truth for a recall cert (dd10) the way
+    * [[bruteForceTopK]] anchors the ANN tier (an03–an05/an09). One side
+    * is broadcast, so run it only on corpora that fit a broadcast
+    * (the testdata embeddings cap at 2 000 rows; a production recall
+    * cert samples the probe side first — recall is a statistical
+    * property, a fixed-size sample certifies it).
+    *
+    * @return (id_a, id_b) with id_a < id_b and cosine ≥ threshold
+    */
+  def allPairsCosine(corpus: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val c = nonZeroNorm(corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      .withColumn("vnorm", norm(col("vec"))), "vnorm")
+    val b = c.select(col("id").as("id_b"), col("vec").as("bvec"),
+      col("vnorm").as("bnorm"))
+    c.join(broadcast(b), col("id") < col("id_b"))
+      .filter(dot(col("vec"), col("bvec")) / (col("vnorm") * col("bnorm"))
+        >= threshold)
+      .select(col("id").as("id_a"), col("id_b"))
+  }
+
   // ---------------------------------------------------------------- IVF —
 
   /** Memoized coarse quantizers: one index build per (corpus key, cells,

@@ -244,7 +244,14 @@ object IngestQueries {
     // engines hash identical bytes; the oracle recomputes the same
     // digest in DuckDB (`('0x'||hex)::BIGINT` = Spark's `conv(hex,16,10)`).
     // IngestSpec pins the detection property: any single-cell mutation
-    // flips the group checksum.
+    // flips the group checksum. KNOWN xor-fold blind spot: a mutation
+    // that adds/removes an EVEN multiset of identical rows cancels in
+    // bit_xor (n_rows catches pure count changes, but +2/−2 of one row
+    // paired with −2/+2 of another is invisible to xor alone) — hence
+    // the second, sum-folded digest: the same 60-bit hashes summed in
+    // decimal (no overflow below ~10¹⁹ rows/group) mod 2⁶⁰, which any
+    // multiset change moves. Two independent folds over one aggregate
+    // pass — still bounded state, zero extra data movement.
     "cs10_table_checksum" -> { (s, dir) =>
       val h = expr("CAST(conv(substring(md5(row_str), 1, 15), 16, 10) AS BIGINT)")
       Tables.lineitem(s, dir)
@@ -254,7 +261,9 @@ object IngestQueries {
             col("l_shipdate").cast("date")).as("row_str"))
         .select(col("l_returnflag"), h.as("h"))
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"),
+          expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT)")
+            .as("sum_checksum"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -422,7 +431,8 @@ object IngestQueries {
         |       CAST(CAST(l_shipdate AS DATE) AS VARCHAR))), 1, 15))::BIGINT AS h
         |  FROM lineitem)
         |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(bit_xor(h) AS BIGINT) AS checksum
+        |  CAST(bit_xor(h) AS BIGINT) AS checksum,
+        |  CAST(sum(h) % 1152921504606846976 AS BIGINT) AS sum_checksum
         |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // each check recomputed independently (plain scalar subqueries —

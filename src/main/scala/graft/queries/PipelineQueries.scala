@@ -110,6 +110,47 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Self-certifying embedding near-dup quality (retires dd04's last
+    // spec-only claim, the same upgrade dd06 gave dd02): recall against
+    // the exact all-pairs cosine≥0.4 ground truth, which the DuckDB
+    // oracle recomputes independently (n_true_pairs is the data-derived
+    // hash-checked column). Threshold 0.4 is the testdata's noise floor
+    // (near-random embeddings, max cosine ≈ 0.51) — the hardest regime
+    // for cell-local search — so this is an an03-style two-point curve,
+    // not a full-recall claim (full recall at the noise floor degenerates
+    // to the O(n²) scan; see dd04's note):
+    //  - the PRODUCTION dd04 config (nProbe=2, maxCell=256): measured
+    //    0.52–0.73 across SFs, certified ≥ 0.45 — the bounded-cost
+    //    posture, precision 1.0 by construction (every pair is
+    //    exact-verified);
+    //  - the cranked config (nProbe=6, maxCell=1024): measured
+    //    0.98–1.0, certified ≥ 0.9 — the knob a user turns when recall
+    //    matters more than cost. The cap must rise WITH the probes:
+    //    multi-probe multiplies cell occupancy, and at nProbe=8 under
+    //    the production cap every bucket overflows and is dropped —
+    //    recall collapses to 0 (measured), the cap/probe interaction
+    //    this second point exists to pin.
+    "dd10_embdup_recall" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val exact = Similarity.allPairsCosine(emb, "vec_id", "embedding",
+        threshold = 0.4)
+      def point(nProbe: Int, maxCell: Int, bar: Double) = {
+        val found = Similarity.embeddingDupPairs(emb, "vec_id", "embedding",
+            threshold = 0.4, nProbe = nProbe, maxCell = maxCell,
+            quantizerKey = s"emb-dup-$dir-$nProbe-$maxCell")
+          .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+        exact.join(found, Seq("id_a", "id_b"), "left")
+          .agg(count(lit(1)).as("n_true_pairs"),
+            (sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)))
+              .as("recall"))
+          .select(lit(nProbe.toLong).as("n_probe"), col("n_true_pairs"),
+            lit(bar).as("threshold"),
+            when(col("recall") >= bar, 1L).otherwise(0L).as("recall_ok"))
+      }
+      point(2, 256, 0.45).unionByName(point(6, 1024, 0.9))
+        .orderBy(col("n_probe"))
+    },
+
     // Pair list → duplicate clusters (connected components over the exact
     // dd03 pairs): keeper selection is per GROUP, so this is the step that
     // turns near-dup detection into an actual dedup pass. Oracle-checked
@@ -531,6 +572,23 @@ object PipelineQueries {
         |       CAST(1 AS BIGINT) AS recall_ok
         |UNION ALL
         |SELECT CAST(12 AS BIGINT), 0.85, CAST(1 AS BIGINT)
+        |ORDER BY n_probe""".stripMargin,
+
+    // Independent exact recompute of the ground-truth pair count (a full
+    // O(n²) cross join — the embeddings table caps at 2 000 rows, so the
+    // oracle side is 4M dot products), plus the constant recall bit each
+    // configuration must clear (see the dd10 entry's two-point curve).
+    "dd10_embdup_recall" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |t AS (SELECT count(*) AS n_true_pairs
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4)
+        |SELECT CAST(2 AS BIGINT) AS n_probe,
+        |       CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+        |       0.45 AS threshold, CAST(1 AS BIGINT) AS recall_ok FROM t
+        |UNION ALL
+        |SELECT CAST(6 AS BIGINT), CAST(n_true_pairs AS BIGINT),
+        |       0.9, CAST(1 AS BIGINT) FROM t
         |ORDER BY n_probe""".stripMargin,
 
     // Constant oracle, same contract as an03: PQ must clear each

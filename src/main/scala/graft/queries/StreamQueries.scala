@@ -669,8 +669,21 @@ object StreamQueries {
       val scratch = new java.io.File(
         s"target/stream-scratch/event_chunks_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$nFiles")
         .getAbsolutePath
-      Tables.table(s, dir, "events")
-        .repartition(nFiles).write.mode("overwrite").parquet(scratch)
+      // The raw read's ts type depends on which THREAD resolved the
+      // parquet schema (`nanosAsLong` resolves through the thread-local
+      // SQLConf — see Tables.nanosToTimestamp): nanos long, or
+      // TIMESTAMP_NTZ micros. The chunk readers' explicit schema expects
+      // the nanos long, so normalize BEFORE writing. The NTZ leg
+      // re-derives nanos as micros·1000 — lossless for this data (no
+      // event carries sub-microsecond digits; the long leg keeps full
+      // nanos regardless), so st16's raw-nanos tie-breaking is unchanged.
+      val ev = Tables.table(s, dir, "events")
+      val norm = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => ev
+        case _ => ev.withColumn("ts",
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+      }
+      norm.repartition(nFiles).write.mode("overwrite").parquet(scratch)
       scratch
     })
 

@@ -39,15 +39,35 @@ object StreamSources {
                     schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(s"$dir/{$name}.parquet")
 
-  /** `events` as a stream. Its `ts` is parquet TIMESTAMP(NANOS), which the
-    * reader only yields as a raw long (`nanosAsLong`); convert to a real
-    * timestamp with exact integer division, mirroring `Tables.events`. */
+  /** Micros-per-unit of the raw INT64 `events.ts` read, detected ONCE per
+    * dir from the parquet footer (streaming sources need the schema fixed
+    * up front, so the branch happens driver-side):
+    *  - TIMESTAMP(NANOS) layout — surfaced as a raw nanos long under
+    *    `nanosAsLong` (every entry point sets it) — divide by 1000;
+    *  - TIMESTAMP(MICROS) layout (the reader yields TIMESTAMP_NTZ by
+    *    default, and an explicit LongType schema yields the micros
+    *    directly) — divide by 1.
+    * The testdata has shipped BOTH layouts across driver rounds; a reader
+    * hard-coded to either one shifts every event into 1970 (micros read
+    * as nanos) or year ~56k (nanos read as micros) on the other. */
+  private val eventsTsDivisor = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def tsDivisor(spark: SparkSession, dir: String): Long =
+    eventsTsDivisor.computeIfAbsent(dir, _ =>
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType match {
+        case LongType => 1000L
+        case _ => 1L
+      })
+
+  /** `events` as a stream: the raw INT64 `ts` (see [[tsDivisor]]) converted
+    * to a real microsecond timestamp with exact integer division, mirroring
+    * `Tables.events`. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val raw = StructType(graft.model.Schemas.events.map {
       case f if f.name == "ts" => f.copy(dataType = LongType)
       case f => f
     })
+    val div = tsDivisor(spark, dir)
     parquetStream(spark, dir, "events", raw)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(expr(s"ts div $div")))
   }
 }

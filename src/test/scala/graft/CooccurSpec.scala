@@ -9,13 +9,23 @@ class CooccurSpec extends SparkSuite {
 
   private def lineitem = Tables.lineitem(spark, sf)
 
-  test("q26 premise: the basket cap never fires on the test corpus") {
-    val maxOrder = lineitem
-      .groupBy(col("l_orderkey")).agg(countDistinct(col("l_partkey")).as("n"))
-      .agg(max(col("n"))).head().getLong(0)
-    assert(maxOrder <= 64,
-      s"an order holds $maxOrder distinct parts — the q26 oracle (uncapped " +
-        "self-join) would diverge from the capped Spark pipeline")
+  test("q26/q27/q31 premise: the basket cap never fires at ANY driver SF") {
+    // q26's oracle (and q27's/q31's, which build their edge sets through
+    // the same capped pairCounts) replays an UNCAPPED self-join — parity
+    // holds only while no basket exceeds maxBasket=64. The driver runs
+    // Verify at sf0.01 and Bench at sf0.1, so pin the premise at every
+    // SF it touches, not just the spec corpus.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                    "/root/testdata/sf0.1")
+         if new java.io.File(dir).isDirectory) {
+      val maxOrder = Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey")).agg(countDistinct(col("l_partkey")).as("n"))
+        .agg(max(col("n"))).head().getLong(0)
+      assert(maxOrder <= 64,
+        s"$dir: an order holds $maxOrder distinct parts — the uncapped " +
+          "oracle self-join would diverge from the capped Spark pipeline " +
+          "(q26 lift pairs, q27 pagerank edges, q31 bfs edges)")
+    }
   }
 
   test("pair counts match a direct self-join recompute on a small slice") {

@@ -37,10 +37,14 @@ class PlanSpec extends SparkSuite {
     * value stream — both explicitly `broadcast()`-hinted, so the
     * BroadcastNestedLoopJoin is O(n·1) replication of constants, not a
     * pairwise product. */
+  /** dd10 embeds the O(n²) all-pairs certification baseline
+    * (`Similarity.allPairsCosine`, explicitly broadcast) as its recall
+    * ground truth — same standing as an01/an03's brute-force frames. */
   private val bnljWhitelist = Set("an01_cosine_topk_brute", "an03_ivf_recall",
     "an04_pq_recall", "an05_ivfpq_recall", "an07_filtered_topk",
     "an09_sq8_recall", "tx12_tfidf_top_terms", "q26_market_basket",
-    "sk05_hll_intersection", "q33_range_partition_plan")
+    "sk05_hll_intersection", "q33_range_partition_plan",
+    "dd10_embdup_recall")
 
   private def unwrap(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => a.executedPlan

@@ -405,6 +405,55 @@ class StreamSpec extends SparkSuite {
       "final snapshot diverged from the one-shot batch aggregate")
   }
 
+  test("kafka wire format: producer (key, value) bytes are pinned exactly") {
+    // The broker swap (`batch.write.format("kafka")` in Router's
+    // foreachBatch, readStream.format("kafka") in StreamSources) ships
+    // `key`/`value` cast to BINARY. No broker runs in this sandbox, so
+    // pin the exact bytes that WOULD hit the producer: a later real-broker
+    // swap is byte-compatible iff this test still passes.
+    val s = spark
+    import s.implicits._
+    val records = Seq(
+      // good purchase line (reference 8-field CSV shape)
+      ("536365", "536365,2010-12-01 08:26:00,2.55,17850,United Kingdom,6,85123A,WHITE HANGING HEART"),
+      // cancelled: C-prefixed key, two distinct lines (min-collapse picks one)
+      ("C536379", "C536379,2010-12-01 09:41:00,27.50,14527,United Kingdom,-1,D,Discount"),
+      ("C536379", "C536379,2010-12-01 09:41:00,4.65,14527,United Kingdom,-2,21730,GLASS STAR"),
+      // invalid: 7 fields (wrong arity)
+      ("536370", "536370,2010-12-01 08:45:00,2.10,12583,France,24")
+    ).toDF("key", "value")
+    val classified = graft.stream.Router.classified(records)
+    val cancelled = classified.filter($"route" === "cancelled")
+      .groupBy($"key").agg(org.apache.spark.sql.functions.min($"value").as("value"))
+    val wire = classified.filter($"route" =!= "cancelled")
+      .select($"key", $"value")
+      .unionByName(cancelled)
+      // the exact projection the kafka sink consumes
+      .select($"key".cast("binary").as("key"), $"value".cast("binary").as("value"))
+    val got = wire.collect()
+      .map(r => (new String(r.getAs[Array[Byte]]("key"), "UTF-8"),
+                 new String(r.getAs[Array[Byte]]("value"), "UTF-8"))).toSet
+    assert(got === Set(
+      ("536365", "536365,2010-12-01 08:26:00,2.55,17850,United Kingdom,6,85123A,WHITE HANGING HEART"),
+      ("536370", "536370,2010-12-01 08:45:00,2.10,12583,France,24"),
+      // min() on the value string: the ASCII-smaller line survives
+      ("C536379", "C536379,2010-12-01 09:41:00,27.50,14527,United Kingdom,-1,D,Discount")),
+      "kafka producer bytes drifted from the pinned wire format")
+    // JSON payload leg (cs03's P9 shape): to_json field order and layout
+    // are part of the wire contract — consumers parse by position-free
+    // keys, but byte-level golden files (and the DuckDB oracle) depend on
+    // this exact serialization
+    import org.apache.spark.sql.functions.{to_json, struct, col}
+    val payload = Seq(("536365", 6L, "17850", "United Kingdom"))
+      .toDF("invoice_no", "quantity", "customer_id", "country")
+      .select(to_json(struct(col("invoice_no"), col("quantity"),
+        col("customer_id"), col("country"))).as("payload"))
+      .head().getString(0)
+    assert(payload ===
+      """{"invoice_no":"536365","quantity":6,"customer_id":"17850","country":"United Kingdom"}""",
+      "to_json wire layout drifted — kafka consumers with golden-file tests would break")
+  }
+
   test("st01's stream-static join broadcasts the static dimension (pinned plan)") {
     // AQE is off inside stateful streaming plans, so the broadcast() hint
     // in purchaseStream is load-bearing — without it the join shape rides
