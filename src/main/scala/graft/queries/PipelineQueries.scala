@@ -132,8 +132,11 @@ object PipelineQueries {
     //    this second point exists to pin.
     "dd10_embdup_recall" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
+      // both curve points join against the same ground truth — materialize
+      // it once (localCheckpoint) instead of paying the O(n²) scoring per
+      // point
       val exact = Similarity.allPairsCosine(emb, "vec_id", "embedding",
-        threshold = 0.4)
+        threshold = 0.4).localCheckpoint()
       def point(nProbe: Int, maxCell: Int, bar: Double) = {
         val found = Similarity.embeddingDupPairs(emb, "vec_id", "embedding",
             threshold = 0.4, nProbe = nProbe, maxCell = maxCell,
@@ -149,6 +152,31 @@ object PipelineQueries {
       }
       point(2, 256, 0.45).unionByName(point(6, 1024, 0.9))
         .orderBy(col("n_probe"))
+    },
+
+    // SEMANTIC dedup end-to-end (the embedding-tier twin of dd05's
+    // text-tier pipeline): cosine near-dup pairs → connected components →
+    // per-cluster keeper election (min id) → a keep/drop verdict for
+    // EVERY corpus row — the complete curation decision a training-data
+    // pipeline acts on, not just the pair list. This oracle-eligible
+    // entry walks the EXACT all-pairs edge set (the dd10-certified
+    // baseline, replayable in SQL); the production swap is
+    // embeddingDupPairs for the pair stage (dd10 certifies exactly how
+    // much of this exact answer that config retains), with components
+    // and keeper election unchanged.
+    "dd11_semantic_keepers" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Similarity.allPairsCosine(emb, "vec_id", "embedding",
+        threshold = 0.4)
+      val comps = Dedup.connectedComponents(pairs)
+      emb.select(col("vec_id"))
+        .join(comps.select(col("id").as("vec_id"), col("comp")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("comp"), col("vec_id")).as("keeper_id"),
+          when(coalesce(col("comp"), col("vec_id")) === col("vec_id"), 0L)
+            .otherwise(1L).as("is_dup"))
+        .orderBy(col("vec_id"))
     },
 
     // Pair list → duplicate clusters (connected components over the exact
@@ -573,6 +601,28 @@ object PipelineQueries {
         |UNION ALL
         |SELECT CAST(12 AS BIGINT), 0.85, CAST(1 AS BIGINT)
         |ORDER BY n_probe""".stripMargin,
+
+    // dd05's recursive-CTE closure replayed over the exact cosine edge
+    // set: component = min reachable id; rows in no pair keep themselves.
+    "dd11_semantic_keepers" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, ed.v FROM reach r JOIN edges ed ON r.v = ed.u),
+        |comp AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS keeper
+        |         FROM reach GROUP BY u)
+        |SELECT em.vec_id,
+        |       CAST(COALESCE(c.keeper, em.vec_id) AS BIGINT) AS keeper_id,
+        |       CAST(CASE WHEN COALESCE(c.keeper, em.vec_id) = em.vec_id
+        |            THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+        |FROM e em LEFT JOIN comp c ON em.vec_id = c.vec_id
+        |ORDER BY em.vec_id""".stripMargin,
 
     // Independent exact recompute of the ground-truth pair count (a full
     // O(n²) cross join — the embeddings table caps at 2 000 rows, so the

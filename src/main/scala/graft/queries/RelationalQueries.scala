@@ -519,6 +519,37 @@ object RelationalQueries {
         .orderBy($"bucket")
     },
 
+    // Join-key skew profiler — the pre-join diagnostic that decides
+    // salting factors and AQE skew thresholds BEFORE a 100 TB join is
+    // launched (q11's salted join is the cure; this is the instrument
+    // that says whether/where to apply it). One hash aggregate per
+    // candidate key — the percentile/max run over the per-key COUNT
+    // frame, whose cardinality is the number of distinct keys, never the
+    // row count — and O(1) output per key column. skew_x100 is the
+    // max-key-to-mean ratio in exact integer math (×100): under ~300 a
+    // plain hash join is fine, beyond that the max key dominates a task.
+    "q34_skew_profile" -> { (s, dir) =>
+      import s.implicits._
+      def profile(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                  label: String) =
+        df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_keys"), sum($"n").as("n_rows"),
+            max($"n").as("max_rows"),
+            expr("percentile(n, 0.5)").as("p50_rows"),
+            expr("percentile(n, 0.99)").as("p99_rows"),
+            expr("(max(n) * 100 * count(1)) div sum(n)").as("skew_x100"))
+          .select(lit(label).as("key_col"), $"n_keys", $"n_rows",
+            $"max_rows", $"p50_rows", $"p99_rows", $"skew_x100")
+      profile(Tables.lineitem(s, dir), "l_partkey", "lineitem.l_partkey")
+        .unionByName(profile(Tables.lineitem(s, dir), "l_suppkey",
+          "lineitem.l_suppkey"))
+        .unionByName(profile(Tables.orders(s, dir), "o_custkey",
+          "orders.o_custkey"))
+        .unionByName(profile(Tables.events(s, dir), "user_id",
+          "events.user_id"))
+        .orderBy($"key_col")
+    },
+
     // UNPIVOT/melt (q16's inverse): the wide pivoted quantity table
     // folded back to long form with the Dataset `unpivot` operator —
     // wide→long is pure per-row column shuffling (no exchange beyond
@@ -984,6 +1015,24 @@ object RelationalQueries {
         |  CAST(SUM(vc.n_versions) AS BIGINT) AS sum_versions
         |FROM act JOIN vc ON act.o_custkey = vc.o_custkey
         |GROUP BY 1 ORDER BY priority""".stripMargin,
+
+    // identical per-key count frames, quantile_cont ≡ Spark's exact
+    // interpolated percentile (the q13-proven pairing), and the same
+    // exact-integer skew ratio
+    "q34_skew_profile" -> {
+      def leg(table: String, key: String) =
+        s"""SELECT '$table.$key' AS key_col,
+           |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |  CAST(SUM(n) AS BIGINT) AS n_rows,
+           |  CAST(MAX(n) AS BIGINT) AS max_rows,
+           |  quantile_cont(n, 0.5) AS p50_rows,
+           |  quantile_cont(n, 0.99) AS p99_rows,
+           |  CAST(MAX(n) * 100 * COUNT(*) // SUM(n) AS BIGINT) AS skew_x100
+           |FROM (SELECT $key, COUNT(*) AS n FROM $table GROUP BY $key)""".stripMargin
+      Seq(leg("lineitem", "l_partkey"), leg("lineitem", "l_suppkey"),
+        leg("orders", "o_custkey"), leg("events", "user_id"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
+    },
 
     // identical integer boundary rule (smallest v with cum*8 >= n*i) and
     // identical strictly-greater bucket assignment

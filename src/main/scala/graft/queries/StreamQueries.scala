@@ -453,6 +453,33 @@ object StreamQueries {
       incrementalView(s, dir, nFiles = 3)._1
     },
 
+    // Streaming INGEST DEDUP against a static fingerprint index — the
+    // "don't re-ingest what the lake already holds" gate in front of
+    // every incremental corpus build. The already-ingested half of the
+    // corpus (even doc_ids) is reduced to a content-digest index; the
+    // stream of candidate docs (odd doc_ids) is anti-joined on digest,
+    // so a "new" doc whose CONTENT already exists is dropped no matter
+    // its id. Stream-static left_anti with an explicitly broadcast
+    // index: per-row, stateless, no watermark needed — at 100 TB the
+    // index side is digests only (32 B/doc; beyond broadcast size the
+    // same anti-join shuffles on digest), the stream side never carries
+    // text into the join. Rows pass the gate independently (no
+    // cross-row state), so the finite replay equals the batch anti-join
+    // row-for-row — the oracle replays exactly that.
+    "st17_stream_ingest_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val index = Tables.documents(s, dir).filter($"doc_id" % 2 === 0)
+        .select(md5($"text").as("digest")).distinct()
+      val stream = StreamSources.parquetStream(s, dir, "documents",
+          Schemas.documents)
+        .filter($"doc_id" % 2 === 1)
+        .withColumn("digest", md5($"text"))
+      val survivors = stream.join(broadcast(index), Seq("digest"), "left_anti")
+        .select($"doc_id", $"digest", $"n_chars")
+      StreamRunner.toMemory(survivors, mode = "append")
+        .orderBy($"doc_id")
+    },
+
     // Streaming MERGE (st15's keyed sibling — the foreachBatch upsert
     // every lakehouse streaming-ingest pipeline runs): a chunked
     // 3-micro-batch replay maintains a per-user SNAPSHOT TABLE with
@@ -793,6 +820,16 @@ object StreamQueries {
 
     // the one-shot batch equivalent of the streamed MERGE: total count +
     // arg-max (ts, event_id) row per user over full-precision event time
+    // the one-shot batch anti-join the streaming gate must equal on a
+    // finite replay
+    "st17_stream_ingest_dedup" ->
+      """SELECT doc_id, md5(text) AS digest, n_chars
+        |FROM documents
+        |WHERE doc_id % 2 = 1
+        |  AND md5(text) NOT IN
+        |      (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+        |ORDER BY doc_id""".stripMargin,
+
     "st16_streaming_upsert" ->
       """WITH l AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1),
         |lst AS (SELECT user_id, event_type, value,
