@@ -117,6 +117,44 @@ object TextQueries {
     },
 
     // Sequence packing (the pretraining batch-construction step):
+    // Source-mixture REBALANCING — the static form of the data-mixture
+    // step every pretraining corpus goes through: derive per-source keep
+    // rates that pull the token mix toward equal shares (rate =
+    // min(1, target/src_tokens), target = total/n_sources), then apply
+    // them with the tx08/tx10 content-hash rule (no RNG — duplicates
+    // sampled identically, stable under repartition/replay). All rate
+    // math is EXACT integer arithmetic: cut = min(256,
+    // (256·total) div (n_sources·src)) quantizes the rate to 1/256ths
+    // with floor division both engines compute identically — no float
+    // ratio anywhere. Scale shape: two hash aggregates over the data
+    // (token totals, post-sample report); the rate frame is
+    // #sources rows, broadcast both ways; the keep test is one per-row
+    // string compare fused into the scan.
+    "tx19_mixture_rebalance" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", $"text", $"source",
+          TextOps.estimatedBpeTokens($"text").as("toks"))
+      val per = docs.groupBy($"source").agg(sum($"toks").as("src_toks"))
+      val tot = per.agg(sum($"src_toks").as("total_toks"),
+        count(lit(1)).as("n_sources"))
+      val rates = per.crossJoin(broadcast(tot))
+        .select($"source", $"src_toks",
+          least(lit(256L),
+            expr("(256 * total_toks) div (n_sources * src_toks)")).as("cut"))
+      val kept = docs.join(broadcast(rates), "source")
+        .filter(concat(lit("0"), substring(md5($"text".cast("binary")), 1, 2))
+          < format_string("%03x", $"cut"))
+      val keptAgg = kept.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs_after"), sum($"toks").as("toks_after"))
+      rates.select($"source", $"src_toks".as("toks_before"), $"cut")
+        .join(keptAgg, Seq("source"), "left")
+        .select($"source", $"toks_before", $"cut",
+          coalesce($"n_docs_after", lit(0L)).as("n_docs_after"),
+          coalesce($"toks_after", lit(0L)).as("toks_after"))
+        .orderBy($"source")
+    },
+
     // documents concatenated in doc_id order and cut into fixed
     // 512-token context windows, reported as per-window composition
     // (docs touching the window / docs starting in it). The global
@@ -471,6 +509,33 @@ object TextQueries {
         |FROM documents
         |GROUP BY 1, 2
         |ORDER BY source, split""".stripMargin,
+
+    // identical integer rate quantization (floor division) and identical
+    // md5-prefix keep rule — printf('%03x') ≡ Spark's format_string
+    "tx19_mixture_rebalance" ->
+      """WITH d AS (SELECT doc_id, text, source,
+        |    CAST(len(string_split(text, ' '))
+        |      + list_sum(list_transform(string_split(text, ' '),
+        |          x -> CASE WHEN length(x) > 6 THEN length(x) - 6 ELSE 0 END)) // 6
+        |      AS BIGINT) AS toks
+        |  FROM documents),
+        |per AS (SELECT source, SUM(toks) AS src_toks FROM d GROUP BY source),
+        |tot AS (SELECT SUM(src_toks) AS total_toks, COUNT(*) AS n_sources FROM per),
+        |rates AS (SELECT source, src_toks,
+        |    CAST(LEAST(256, (256 * total_toks) // (n_sources * src_toks))
+        |      AS BIGINT) AS cut
+        |  FROM per CROSS JOIN tot),
+        |kept AS (SELECT d.source, d.toks
+        |  FROM d JOIN rates r ON d.source = r.source
+        |  WHERE '0' || substring(md5(d.text), 1, 2) < printf('%03x', r.cut)),
+        |ka AS (SELECT source, COUNT(*) AS n_docs_after, SUM(toks) AS toks_after
+        |       FROM kept GROUP BY source)
+        |SELECT r.source, CAST(r.src_toks AS BIGINT) AS toks_before,
+        |  CAST(r.cut AS BIGINT) AS cut,
+        |  CAST(COALESCE(ka.n_docs_after, 0) AS BIGINT) AS n_docs_after,
+        |  CAST(COALESCE(ka.toks_after, 0) AS BIGINT) AS toks_after
+        |FROM rates r LEFT JOIN ka ON r.source = ka.source
+        |ORDER BY r.source""".stripMargin,
 
     // the same packing replayed with the naive single-pass cumsum (the
     // two-level offsets must land identically — also spec-pinned)

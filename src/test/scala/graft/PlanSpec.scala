@@ -44,7 +44,8 @@ class PlanSpec extends SparkSuite {
     "an04_pq_recall", "an05_ivfpq_recall", "an07_filtered_topk",
     "an09_sq8_recall", "tx12_tfidf_top_terms", "q26_market_basket",
     "sk05_hll_intersection", "q33_range_partition_plan",
-    "dd10_embdup_recall", "dd11_semantic_keepers")
+    "dd10_embdup_recall", "dd11_semantic_keepers",
+    "tx19_mixture_rebalance")
 
   private def unwrap(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => a.executedPlan
