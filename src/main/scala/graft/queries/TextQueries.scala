@@ -117,6 +117,29 @@ object TextQueries {
     },
 
     // Sequence packing (the pretraining batch-construction step):
+    // Fixed-SIZE deterministic sampling — tx10's fixed-RATE complement
+    // (eval sets, human-review batches, and probe corpora are specified
+    // as "k docs per source", not a fraction): the k content-hash-
+    // smallest docs of each source, ties broken by doc_id. No RNG —
+    // replay-stable, duplicates sampled identically, and adding
+    // UNRELATED docs to a source only evicts from the hash boundary.
+    // Scale shape: one key-partitioned window (rank within source over
+    // the md5 ordering) — a single shuffle on source; k is a constant,
+    // so output is n_sources·k rows regardless of corpus size.
+    "tx20_fixed_k_sample" -> { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source")
+        .orderBy($"h", $"doc_id")
+      Tables.documents(s, dir)
+        .select($"doc_id", $"source", $"n_chars",
+          md5($"text".cast("binary")).as("h"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 5)
+        .select($"source", $"rank", $"doc_id", $"n_chars")
+        .orderBy($"source", $"rank")
+    },
+
     // Source-mixture REBALANCING — the static form of the data-mixture
     // step every pretraining corpus goes through: derive per-source keep
     // rates that pull the token mix toward equal shares (rate =
@@ -148,7 +171,7 @@ object TextQueries {
       val keptAgg = kept.groupBy($"source")
         .agg(count(lit(1)).as("n_docs_after"), sum($"toks").as("toks_after"))
       rates.select($"source", $"src_toks".as("toks_before"), $"cut")
-        .join(keptAgg, Seq("source"), "left")
+        .join(broadcast(keptAgg), Seq("source"), "left")
         .select($"source", $"toks_before", $"cut",
           coalesce($"n_docs_after", lit(0L)).as("n_docs_after"),
           coalesce($"toks_after", lit(0L)).as("toks_after"))
@@ -509,6 +532,16 @@ object TextQueries {
         |FROM documents
         |GROUP BY 1, 2
         |ORDER BY source, split""".stripMargin,
+
+    // identical md5-over-text ordering with the same doc_id tie-break
+    "tx20_fixed_k_sample" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY md5(text), doc_id) AS rank
+        |  FROM documents)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
+        |FROM r WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
 
     // identical integer rate quantization (floor division) and identical
     // md5-prefix keep rule — printf('%03x') ≡ Spark's format_string
