@@ -1,0 +1,120 @@
+package graft.apps
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.{Dedup, TextOps}
+
+/** Batch corpus-curation application — the LLM-pipeline counterpart of
+  * the reference's entry-point mains ([[Train]]/[[Pipeline]] mirror
+  * `train.scala`/`InvoicePipeline.scala`; this one has no reference
+  * counterpart because the curation tier is this library's extension
+  * surface, composed end-to-end here so a user can run it as ONE job):
+  *
+  *  1. exact dedup — digest keeper (min doc_id per md5) semi-join;
+  *  2. near-dup dedup — MinHash+LSH pairs → connected components →
+  *     keep each cluster's min-id representative;
+  *  3. quality + language floor (stopword-density score, n-gram langID);
+  *  4. content-hash train/val split (duplicates can never straddle it);
+  *  5. decontamination — drop TRAIN docs sharing any 8-gram with the
+  *     val split (digest-level join, 32 B per shingle on the wire);
+  *  6. write the curated corpus as parquet partitioned by split.
+  *
+  * Every stage is one of the catalog's oracle-certified operators
+  * (tx03/dd01/dd05/tx02/tx06/tx08/dd07) — this app adds orchestration,
+  * not new semantics. All decisions are content-hash deterministic: a
+  * re-run (or a 1000-executor run with different partitioning) produces
+  * the byte-identical corpus.
+  *
+  * Scale shape: per-row expressions fuse into the scans; the shuffles
+  * are the dedup digest aggregate, the LSH band exchange, the
+  * component label-propagation rounds (lineage-truncated, see
+  * [[graft.ops.Lineage]]), and the shingle-digest join — each the
+  * catalog-audited shape, none carrying document text beyond the scan.
+  *
+  * Usage: `runMain graft.apps.Curate <sfDir> <outDir> [qualityFloor]`
+  */
+object Curate {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Curate <sfDir> <outDir> [qualityFloor]")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val floor = args.lift(2).map(_.toDouble).getOrElse(0.1)
+    val report = run(spark, args(0), args(1), floor)
+    report.show(20, truncate = false)
+    spark.stop()
+  }
+
+  /** Runs the curation DAG; writes `outDir/corpus` (parquet, partitioned
+    * by split) and returns the per-stage survivor report. */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          qualityFloor: Double = 0.1): DataFrame = {
+    import spark.implicits._
+    val stopwords = Seq("the", "a")
+    val docs = Tables.documents(spark, sfDir)
+
+    // 1. exact dedup: one keeper per content digest
+    val withDigest = docs.withColumn("h", md5($"text".cast("binary")))
+    val exactKeepers = withDigest.groupBy($"h").agg(min($"doc_id").as("doc_id"))
+    val exact = withDigest.join(exactKeepers, Seq("h", "doc_id"), "left_semi")
+
+    // 2. near-dup dedup over the exact survivors: LSH pairs → components →
+    //    cluster-min representative survives
+    val pairs = Dedup.minHashDupPairs(exact, "doc_id", "text",
+        shingleK = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+      .select($"id_a", $"id_b")
+    val comps = Dedup.connectedComponents(pairs)
+    val dropNearDups = comps.filter($"id" =!= $"comp")
+      .select($"id".as("doc_id"))
+    val deduped = exact.join(dropNearDups, Seq("doc_id"), "left_anti")
+
+    // 3. quality + language floor
+    val scored = deduped
+      .withColumn("quality_score", TextOps.qualityScore($"text", stopwords))
+      .withColumn("predicted_lang", TextOps.languageId($"text"))
+    val clean = scored.filter($"quality_score" >= qualityFloor &&
+      $"predicted_lang" === "en")
+
+    // 4. content-hash split (duplicates are already gone; the hash rule
+    //    would keep any residual pair on one side regardless)
+    val split = clean.withColumn("split", TextOps.contentSplit($"text", 0.9))
+
+    // 5. decontamination: drop train docs sharing any 8-gram with val
+    val sh = split.select($"doc_id", $"split",
+        explode(array_distinct(TextOps.wordShingles($"text", 8))).as("s"))
+      .select($"doc_id", $"split", md5($"s").as("sh"))
+    val valSh = sh.filter($"split" === "val").select($"sh").distinct()
+    val contaminated = sh.filter($"split" === "train")
+      .join(valSh, Seq("sh"), "left_semi")
+      .select($"doc_id").distinct()
+    val curated = split.join(contaminated, Seq("doc_id"), "left_anti")
+
+    // 6. write, partitioned by split (the layout a training run reads)
+    curated
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars",
+        $"quality_score", $"predicted_lang", $"split")
+      .write.mode("overwrite").partitionBy("split")
+      .parquet(s"$outDir/corpus")
+
+    val out = spark.read.parquet(s"$outDir/corpus")
+    Seq(
+      ("0_input", docs.count()),
+      ("1_exact_dedup", exact.count()),
+      ("2_near_dedup", deduped.count()),
+      ("3_quality_lang", clean.count()),
+      ("4_decontaminated", out.count()),
+      ("4a_train", out.filter($"split" === "train").count()),
+      ("4b_val", out.filter($"split" === "val").count()))
+      .toDF("stage", "n_docs")
+  }
+}

@@ -39,6 +39,39 @@ class AppsSpec extends SparkSuite {
       s"staging leftovers: ${Option(staging.listFiles()).getOrElse(Array.empty).mkString(",")}")
   }
 
+  test("curate job end-to-end: deterministic curated corpus with all gates applied") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("curate-spec-").toString
+    val report = graft.apps.Curate.run(s, sf, s"$base/run1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the funnel only narrows, and nothing vanishes entirely
+    assert(report("0_input") >= report("1_exact_dedup"))
+    assert(report("1_exact_dedup") >= report("2_near_dedup"))
+    assert(report("2_near_dedup") >= report("3_quality_lang"))
+    assert(report("3_quality_lang") >= report("4_decontaminated"))
+    assert(report("4_decontaminated") > 0, "curation emptied the corpus")
+    assert(report("4a_train") + report("4b_val") == report("4_decontaminated"))
+    val out = s.read.parquet(s"$base/run1/corpus")
+    // gate 1+2: no two surviving docs share a content digest
+    assert(out.groupBy(md5($"text".cast("binary"))).count()
+      .filter($"count" > 1).isEmpty, "duplicate content survived dedup")
+    // gate 3: quality floor and language filter actually applied
+    assert(out.filter($"quality_score" < 0.1 || $"predicted_lang" =!= "en").isEmpty)
+    // gate 5: no surviving train doc shares an 8-gram with the val split
+    val sh = out.select($"doc_id", $"split",
+        explode(array_distinct(graft.ops.TextOps.wordShingles($"text", 8))).as("g"))
+    val leaked = sh.filter($"split" === "train").select($"doc_id", $"g")
+      .join(sh.filter($"split" === "val").select($"g").distinct(), Seq("g"), "left_semi")
+    assert(leaked.isEmpty, "decontamination let an 8-gram straddle the split")
+    // determinism: a second run produces the byte-identical doc set
+    graft.apps.Curate.run(s, sf, s"$base/run2")
+    val a = out.select($"doc_id", $"split").orderBy($"doc_id").collect().toSeq
+    val b = s.read.parquet(s"$base/run2/corpus")
+      .select($"doc_id", $"split").orderBy($"doc_id").collect().toSeq
+    assert(a == b, "curation is not replay-deterministic")
+  }
+
   test("train job + online pipeline end-to-end over the artifact contract") {
     val s = spark
     import s.implicits._
