@@ -464,6 +464,60 @@ object RelationalQueries {
         .orderBy($"priority")
     },
 
+    // CDC log apply with TOMBSTONES — the change-data-capture primitive
+    // q22 (merge) and st16 (streaming upsert) both lack: a DELETE op.
+    // The events stream is read as a change log (signup/click/view/
+    // purchase = upsert, error = delete) and folded to the final table
+    // state: per key, the last op by (ts, event_id) wins, and a key
+    // whose last op is a tombstone is ABSENT from the result — not
+    // null-valued, gone (the compaction semantic every CDC sink
+    // implements). One hash aggregate (max_by over the unique
+    // (ts, event_id) total order — associative, partials merge in any
+    // order); no windows over the raw log, no per-key sort.
+    "q36_cdc_apply" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"user_id", $"event_type", cents($"value").as("value_cents"),
+          $"ts", $"event_id")
+        .groupBy($"user_id")
+        .agg(expr("max_by(event_type, struct(ts, event_id))").as("last_type"),
+          expr("max_by(value_cents, struct(ts, event_id))").as("last_value_cents"),
+          count(lit(1)).as("n_changes"))
+        .filter($"last_type" =!= "error")
+        .orderBy($"user_id")
+    },
+
+    // SCD2 point-in-time lookup — the consuming half of q32's dimension
+    // build, and the join every backtest/training-data pipeline needs to
+    // avoid leakage: each fact row is enriched with the dimension version
+    // that was ACTIVE AT ITS OWN TIMESTAMP (never the current one — that
+    // leaks the future into history). Versions come from q32's change
+    // detection, collapsed to one per (key, day) with a deterministic
+    // max_by (same-day changes: last writer by orderkey wins), then the
+    // PIT lookup is ev05's as-of machinery: union + one key-partitioned
+    // ordered window — both exchanges key shuffles, no range join, no
+    // broadcast of the fact side. Oracle: DuckDB's native ASOF JOIN over
+    // the identically-derived version frame.
+    "q35_scd2_pit_join" -> { (s, dir) =>
+      import s.implicits._
+      val byTime = Seq($"o_orderdate", $"o_orderkey")
+      val versions = Tables.orders(s, dir)
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderpriority")
+        .withColumn("prev", lag($"o_orderpriority", 1)
+          .over(Window.partitionBy($"o_custkey").orderBy(byTime: _*)))
+        .filter($"prev".isNull || $"prev" =!= $"o_orderpriority")
+        .groupBy($"o_custkey", $"o_orderdate")
+        .agg(expr("max_by(o_orderpriority, o_orderkey)").as("pit_priority"))
+        .select($"o_custkey".as("v_custkey"), $"o_orderdate".as("v_date"),
+          $"pit_priority")
+      val facts = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      graft.ops.TemporalJoins.asOfJoin(facts, versions,
+          "o_custkey", "v_custkey", "o_orderdate", "v_date")
+        .select($"o_orderkey", $"o_custkey", $"pit_priority")
+        .orderBy($"o_orderkey")
+    },
+
     // Range-partition planning (what RangePartitioner/global sort does
     // under the hood, surfaced as a query): split boundaries for 8
     // balanced ranges of order value, derived from the exact VALUE
@@ -1015,6 +1069,37 @@ object RelationalQueries {
         |  CAST(SUM(vc.n_versions) AS BIGINT) AS sum_versions
         |FROM act JOIN vc ON act.o_custkey = vc.o_custkey
         |GROUP BY 1 ORDER BY priority""".stripMargin,
+
+    // last-writer-wins replayed as a sequential rank over the same
+    // unique (ts, event_id) order; tombstoned keys filtered identically
+    "q36_cdc_apply" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    CAST(round(value*100) AS BIGINT) AS value_cents, ts, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type,
+        |  value_cents AS last_value_cents, CAST(n_changes AS BIGINT) AS n_changes
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    // identical change detection (lag + filter), identical same-day
+    // collapse (max_by by orderkey), and DuckDB's native ASOF JOIN as the
+    // independent point-in-time implementation (the ev05-proven pairing)
+    "q35_scd2_pit_join" ->
+      """WITH v0 AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |                               ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |ch AS (SELECT * FROM v0 WHERE prev IS NULL OR prev <> o_orderpriority),
+        |v AS (SELECT o_custkey AS v_custkey, o_orderdate AS v_date,
+        |        max_by(o_orderpriority, o_orderkey) AS pit_priority
+        |      FROM ch GROUP BY 1, 2)
+        |SELECT f.o_orderkey, f.o_custkey, v.pit_priority
+        |FROM orders f ASOF LEFT JOIN v
+        |  ON f.o_custkey = v.v_custkey AND f.o_orderdate >= v.v_date
+        |ORDER BY f.o_orderkey""".stripMargin,
 
     // identical per-key count frames, quantile_cont ≡ Spark's exact
     // interpolated percentile (the q13-proven pairing), and the same
