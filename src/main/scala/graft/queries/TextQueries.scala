@@ -117,6 +117,29 @@ object TextQueries {
     },
 
     // Sequence packing (the pretraining batch-construction step):
+    // BPE MERGE CANDIDATES — the first iteration of byte-pair-encoding
+    // tokenizer training, run the way real BPE trainers run it: over
+    // the word-frequency DICTIONARY, not the raw corpus. One hash
+    // aggregate collapses the corpus to (distinct word, count) — vocab-
+    // bounded regardless of corpus size — then adjacent character pairs
+    // explode over the VOCABULARY only, weighted by word frequency, and
+    // the global top-20 merge candidates come out of a
+    // TakeOrderedAndProject (no full sort). All exact integer counts;
+    // ties broken by the pair string.
+    "tx21_bpe_merge_candidates" -> { (s, dir) =>
+      import s.implicits._
+      val vocab = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens($"text")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("wc"))
+      vocab.filter(length($"w") >= 2)
+        .select($"wc", explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy($"pair").agg(sum($"wc").as("n_occurrences"))
+        .orderBy($"n_occurrences".desc, $"pair")
+        .limit(20)
+    },
+
     // Fixed-SIZE deterministic sampling — tx10's fixed-RATE complement
     // (eval sets, human-review batches, and probe corpora are specified
     // as "k docs per source", not a fraction): the k content-hash-
@@ -532,6 +555,20 @@ object TextQueries {
         |FROM documents
         |GROUP BY 1, 2
         |ORDER BY source, split""".stripMargin,
+
+    // identical word-frequency dictionary and adjacent-pair expansion,
+    // top-20 by the same (count desc, pair) order
+    "tx21_bpe_merge_candidates" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |vocab AS (SELECT w, COUNT(*) AS wc FROM w GROUP BY w),
+        |pairs AS (SELECT unnest(list_transform(
+        |    generate_series(1, length(w) - 1),
+        |    i -> substring(w, i, 2))) AS pair, wc
+        |  FROM vocab WHERE length(w) >= 2)
+        |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n_occurrences
+        |FROM pairs GROUP BY pair
+        |ORDER BY n_occurrences DESC, pair
+        |LIMIT 20""".stripMargin,
 
     // identical md5-over-text ordering with the same doc_id tie-break
     "tx20_fixed_k_sample" ->
