@@ -63,6 +63,20 @@ object IngestQueries {
       }
     }
 
+  /** XML twin of the documents table (Spark 4's built-in XML source). */
+  private val xmlDir = new java.io.File("target/fixtures/documents_xml").getAbsolutePath
+  private var xmlFor: String = null
+  private def ensureXml(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    writeLock.synchronized {
+      if (xmlFor != dir) {
+        Tables.documents(s, dir).select("doc_id", "lang", "text")
+          .write.mode("overwrite")
+          .option("rootTag", "docs").option("rowTag", "doc")
+          .format("xml").save(xmlDir)
+        xmlFor = dir
+      }
+    }
+
   /** Schema-drift twin of the orders table: slice v1 (even order keys)
     * written WITHOUT `o_orderpriority`, slice v2 (odd keys) with it — the
     * shape a 100 TB lake always has after a producer adds a column
@@ -114,6 +128,7 @@ object IngestQueries {
     "build_csv_fixture" -> ((s, dir) => ensureFixture(s, dir)),
     "build_orc_fixture" -> ((s, dir) => ensureOrc(s, dir)),
     "build_jsonl_fixture" -> ((s, dir) => ensureJsonl(s, dir)),
+    "build_xml_fixture" -> ((s, dir) => ensureXml(s, dir)),
     "build_evo_fixture" -> ((s, dir) => ensureEvo(s, dir)),
     "build_compaction_fixture" -> ((s, dir) => ensureCompacted(s, dir)))
 
@@ -343,6 +358,24 @@ object IngestQueries {
           sum(length(col("text"))).as("total_chars"))
     },
 
+    // XML roundtrip (Spark 4's built-in XML source — the third
+    // interchange format after ORC/JSON-lines, and the one where
+    // escaping is hardest: `&`, `<`, `>` in document text must survive
+    // entity encoding byte-for-byte or the per-row digest breaks). Same
+    // contract as cs06/cs07: our side digests the XML-roundtripped copy,
+    // the oracle digests the ORIGINAL parquet.
+    "cs12_xml_roundtrip" -> { (s, dir) =>
+      ensureXml(s, dir)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("text", StringType)))
+      s.read.schema(schema).option("rowTag", "doc").format("xml").load(xmlDir)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(concat_ws("|", col("doc_id"), col("lang"), col("text"))))
+            .as("n_distinct_payloads"),
+          sum(length(col("text"))).as("total_chars"))
+    },
+
     // Schema evolution: a `mergeSchema` read over two parquet slices
     // written under drifted schemas — rows from the pre-drift slice
     // null-extend the added column, and the reconciled schema comes from
@@ -491,6 +524,17 @@ object IngestQueries {
         |) ORDER BY check_name""".stripMargin,
 
     "cs07_jsonl_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT md5(concat_ws('|',
+        |    CAST(doc_id AS VARCHAR), lang, text))) AS BIGINT)
+        |    AS n_distinct_payloads,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
+        |FROM documents""".stripMargin,
+
+    // same contract as cs07: the oracle digests the ORIGINAL table — the
+    // hash match certifies XML write+read (entity escaping included) is
+    // lossless
+    "cs12_xml_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT md5(concat_ws('|',
         |    CAST(doc_id AS VARCHAR), lang, text))) AS BIGINT)
