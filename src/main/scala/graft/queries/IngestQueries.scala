@@ -77,6 +77,29 @@ object IngestQueries {
       }
     }
 
+  /** Day-partitioned events copy with ONE day dynamically overwritten:
+    * full write, then a delta holding only the min day's even event_ids
+    * written under `partitionOverwriteMode=dynamic` — which must replace
+    * ONLY that day's partition. (Static overwrite mode would wipe every
+    * other day; cs13's oracle would catch exactly that.) */
+  private val dynDir = new java.io.File("target/fixtures/events_dynpart").getAbsolutePath
+  private var dynFor: String = null
+  private def ensureDynOverwrite(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    writeLock.synchronized {
+      if (dynFor != dir) {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        ev.write.mode("overwrite").partitionBy("day").parquet(dynDir)
+        val target = ev.agg(min(col("day"))).head().getString(0)
+        ev.filter(col("day") === target && col("event_id") % 2 === 0)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("day").parquet(dynDir)
+        dynFor = dir
+      }
+    }
+
   /** Schema-drift twin of the orders table: slice v1 (even order keys)
     * written WITHOUT `o_orderpriority`, slice v2 (odd keys) with it — the
     * shape a 100 TB lake always has after a producer adds a column
@@ -129,6 +152,7 @@ object IngestQueries {
     "build_orc_fixture" -> ((s, dir) => ensureOrc(s, dir)),
     "build_jsonl_fixture" -> ((s, dir) => ensureJsonl(s, dir)),
     "build_xml_fixture" -> ((s, dir) => ensureXml(s, dir)),
+    "build_dynpart_fixture" -> ((s, dir) => ensureDynOverwrite(s, dir)),
     "build_evo_fixture" -> ((s, dir) => ensureEvo(s, dir)),
     "build_compaction_fixture" -> ((s, dir) => ensureCompacted(s, dir)))
 
@@ -376,6 +400,27 @@ object IngestQueries {
           sum(length(col("text"))).as("total_chars"))
     },
 
+    // Dynamic partition overwrite — the in-place backfill semantic every
+    // partitioned lake depends on: rewriting ONE day must replace only
+    // that day's partition and leave every other partition's files
+    // untouched (static overwrite mode would wipe them all — this
+    // query's per-day counts would catch exactly that). The fixture
+    // full-writes the day-partitioned events copy, then dynamically
+    // overwrites the min day with only its even event_ids; the oracle
+    // recomputes the expected post-backfill state from the ORIGINAL
+    // table with the same day/even rule.
+    "cs13_partition_overwrite" -> { (s, dir) =>
+      ensureDynOverwrite(s, dir)
+      // partition-column type inference reads the day dir back as DATE;
+      // re-render as the yyyy-MM-dd string the oracle emits
+      s.read.parquet(dynDir)
+        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("sum_value_cents"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("day"))
+    },
+
     // Schema evolution: a `mergeSchema` read over two parquet slices
     // written under drifted schemas — rows from the pre-drift slice
     // null-extend the added column, and the reconciled schema comes from
@@ -541,6 +586,19 @@ object IngestQueries {
         |    AS n_distinct_payloads,
         |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
         |FROM documents""".stripMargin,
+
+    // expected post-backfill state recomputed from the original table:
+    // the min day keeps only even event_ids, every other day is intact
+    "cs13_partition_overwrite" ->
+      """WITH d AS (SELECT event_id, user_id, value,
+        |    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day FROM events),
+        |t AS (SELECT MIN(day) AS target FROM d)
+        |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM d CROSS JOIN t
+        |WHERE day <> target OR event_id % 2 = 0
+        |GROUP BY day ORDER BY day""".stripMargin,
 
     // expected result of the merged read, recomputed from the original
     // table: even keys were written without the column → NULL → '(absent)'
