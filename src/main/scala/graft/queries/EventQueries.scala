@@ -483,6 +483,34 @@ object EventQueries {
           "user_id", "p_user", "ts", "w_start", "w_end", binSeconds = 3600)
         .groupBy($"purchase_id").agg(count(lit(1)).as("n_events"))
         .orderBy($"purchase_id")
+    },
+
+    // MULTI-TOUCH linear attribution — ev06's inverse direction and the
+    // credit-splitting semantic last-touch misses: every click in the
+    // hour BEFORE a purchase shares that purchase's value equally. The
+    // touch set comes from the same binned range join (equi-join on
+    // (user, hour-bin), never a nested loop); the per-purchase touch
+    // count is a key-partitioned window (bounded by one purchase's
+    // touches); the split is integer floor division — cents div
+    // n_touches, remainder credited to no one — so credit sums are
+    // exact in both engines, no float shares.
+    "ev23_linear_attribution" -> { (s, dir) =>
+      import s.implicits._
+      val clicks = Tables.events(s, dir).filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id", $"ts")
+      val purchases = Tables.events(s, dir).filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+          cents($"value").as("p_cents"),
+          ($"ts" - expr("INTERVAL 1 HOUR")).as("w_start"), $"ts".as("w_end"))
+      val touches = graft.ops.TemporalJoins.rangeJoin(clicks, purchases,
+          "user_id", "p_user", "ts", "w_start", "w_end", binSeconds = 3600)
+        .withColumn("n_touches",
+          count(lit(1)).over(Window.partitionBy($"purchase_id")))
+      touches.groupBy($"user_id")
+        .agg(countDistinct($"purchase_id").as("n_purchases_touched"),
+          count(lit(1)).as("n_touches"),
+          sum(expr("p_cents div n_touches")).as("credit_cents"))
+        .orderBy($"user_id")
     })
 
   val oracles: Map[String, String] = Map(
@@ -593,6 +621,24 @@ object EventQueries {
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    // the raw inequality join, the identical window count, and the same
+    // integer floor-division credit split
+    "ev23_linear_attribution" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+        |        CAST(round(value*100) AS BIGINT) AS p_cents, ts AS p_ts
+        |      FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT c.user_id, c.click_id, p.purchase_id, p.p_cents,
+        |        COUNT(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+        |      FROM c JOIN p ON c.user_id = p.p_user
+        |        AND c.ts >= p.p_ts - INTERVAL 1 HOUR AND c.ts < p.p_ts)
+        |SELECT user_id,
+        |  CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases_touched,
+        |  CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(SUM(p_cents // n_touches) AS BIGINT) AS credit_cents
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // The oracle runs the raw inequality join the binned implementation
     // replaces.
