@@ -204,6 +204,78 @@ object StreamQueries {
     (lastEmissionPerKey(raw, s), q)
   }
 
+  /** Run-level evidence from the crash-recovery replay, so the spec can
+    * pin that the crash and the checkpoint recovery actually happened (not
+    * just that the final rows are right). Batch ids are taken from each
+    * query's progress events (one per COMMITTED micro-batch). */
+  private[graft] case class CrashRecoveryStats(
+      run1Failed: Boolean,
+      run1Batches: Seq[Long],
+      run2Batches: Seq[Long],
+      checkpointDir: String)
+
+  /** Crash-recovery certificate for the stateful invoice aggregation (the
+    * reference's core deployment scenario: a checkpointed streaming job
+    * that must survive restarts — `InvoicePipeline.scala:43`).
+    *
+    * The chunked replay of [[multibatchInvoiceState]] is run against a
+    * PERSISTENT checkpoint and an [[graft.stream.IdempotentSink]], with a
+    * crash injected at the most adversarial point: inside `foreachBatch`
+    * of micro-batch 1, AFTER the sink write but BEFORE the streaming
+    * commit log advances. The query dies with the batch's output on disk
+    * and its offsets uncommitted — exactly the window where a naive
+    * `append` sink duplicates data on restart. A second run from the SAME
+    * checkpoint must (a) resume at batch 1 — not reprocess batch 0, which
+    * would double-fold state — because offsets/state recover from the
+    * checkpoint, and (b) re-attempt batch 1, which the idempotent sink
+    * turns into a no-op. The accumulated sink, reduced to each key's final
+    * emission, must equal the batch weighted aggregate bit-for-bit: the
+    * at-least-once engine + idempotent sink compose to exactly-once. */
+  private[graft] def crashRecoveryInvoiceState(
+      s: org.apache.spark.sql.SparkSession, dir: String, nFiles: Int)
+      : (DataFrame, CrashRecoveryStats) = {
+    import s.implicits._
+    val scratch = ensureStreamChunks(s, dir, nFiles)
+    val needed = Seq("l_orderkey", "l_quantity", "l_extendedprice")
+    val schema = StructType(Schemas.lineitem.filter(f => needed.contains(f.name)))
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
+      "crash-").toString
+    val sinkDir = s"$base/sink"
+    val ckpt = s"$base/ckpt"
+    val crashPending = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def run(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(scratch)
+      val lines = purchaseLines(
+        stream.join(broadcast(Tables.orders(s, dir)), $"l_orderkey" === $"o_orderkey"), s)
+      InvoiceStateMachine(lines, idleTimeoutMs = 0L).toDF()
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.stream.IdempotentSink.writeBatch(batch, sinkDir, batchId)
+          // sink write done, commit log NOT yet advanced: dying here forces
+          // the restart to re-attempt this batch against already-published
+          // output — the exact failure the idempotent protocol exists for
+          if (batchId >= 1 && crashPending.getAndSet(false))
+            throw new RuntimeException("graft: injected crash between sink write and commit")
+        }
+        .start()
+    }
+    val q1 = run()
+    val run1Failed =
+      try { q1.awaitTermination(); false }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => true }
+    val run1Batches = q1.recentProgress.map(_.batchId).toSeq
+    val q2 = run()
+    q2.awaitTermination()
+    val run2Batches = q2.recentProgress.map(_.batchId).toSeq
+    val result = lastEmissionPerKey(graft.stream.IdempotentSink.read(s, sinkDir), s)
+    (result, CrashRecoveryStats(run1Failed, run1Batches, run2Batches, ckpt))
+  }
+
   val queries: Map[String, Q] = Map(
     // A4: stateful per-invoice aggregation. One micro-batch ⇒ one emission
     // per invoice ⇒ must equal the batch weighted aggregate.
@@ -295,6 +367,14 @@ object StreamQueries {
     // what the oracle hash-checks — not just the single-batch fold.
     "st07_invoice_state_multibatch" -> { (s, dir) =>
       multibatchInvoiceState(s, dir, nFiles = 3)._1
+    },
+
+    // A4 under failure: the same chunked replay, crashed between a sink
+    // write and the checkpoint commit, then restarted from the checkpoint.
+    // Recovery must converge to the identical batch aggregate — the
+    // strongest form of the at-least-once + idempotent-sink claim.
+    "st18_crash_recovery" -> { (s, dir) =>
+      crashRecoveryInvoiceState(s, dir, nFiles = 3)._1
     },
 
     // A4, event-time flavor: the same cross-batch state merge as st07, but
@@ -740,6 +820,9 @@ object StreamQueries {
     // The final per-key emission of the chunked replay must equal the same
     // batch aggregate — cross-batch state folding is exact.
     "st07_invoice_state_multibatch" -> s"$weightedAggSql ORDER BY invoice_no",
+
+    // Crash + checkpoint restart must converge to the same batch aggregate.
+    "st18_crash_recovery" -> s"$weightedAggSql ORDER BY invoice_no",
 
     // Same aggregate through the watermarked event-time state machine: an
     // over-span watermark makes the streaming result exactly the batch one.

@@ -34,12 +34,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object IdempotentSink {
 
-  /** Commit `batch` as the atomic directory `dir/b<batchId>`. */
+  /** Commit `batch` as the atomic directory `dir/b<batchId>`.
+    *
+    * A retry of an already-committed batch publishes nothing, but it must
+    * still PROCESS the batch: in a stateful query the re-attempted batch
+    * re-builds its state-store version from the last committed one, and
+    * the engine (Spark 4's state-store commit validation) requires every
+    * partition of every batch to run so those versions commit — an early
+    * return here would fail the restarted query and strand its state. */
   def writeBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
     val out = new Path(dir)
     val fs = out.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
     val target = new Path(out, s"b$batchId")
-    if (fs.exists(target)) return // prior attempt committed — retry is a no-op
+    if (fs.exists(target)) { materialize(batch); return } // committed — republish nothing
     val stage = new Path(out, s"_staging/b$batchId")
     batch.write.mode("overwrite").parquet(stage.toString)
     commitDir(fs, stage, target)
@@ -62,7 +69,7 @@ object IdempotentSink {
     // batch then skips the staging write entirely instead of re-running
     // the whole partitionBy job and discarding every directory.
     val done = new Path(base, s"_committed/b$batchId")
-    if (fs.exists(done)) return
+    if (fs.exists(done)) { materialize(classified); return } // see writeBatch
     val stage = new Path(base, s"_staging/b$batchId")
     classified.write.mode("overwrite").partitionBy(routeCol).parquet(stage.toString)
     fs.listStatus(stage)
@@ -80,6 +87,11 @@ object IdempotentSink {
     * standard hidden-path filter). */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(dir)
+
+  /** Run every partition of a re-attempted batch without writing anything
+    * — the cheapest full pass that lets upstream state stores commit. */
+  private def materialize(batch: DataFrame): Unit =
+    batch.foreach(_ => ())
 
   /** Publish a staged directory at `target` via one atomic rename. If a
     * prior attempt already committed `target`, the staged copy is

@@ -469,4 +469,46 @@ class StreamSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"stream-static join must broadcast the static orders side; got:\n$plan")
   }
+
+  test("st18: crash between sink write and commit recovers from the checkpoint to the batch answer") {
+    val s = spark
+    import s.implicits._
+    val (result, stats) =
+      graft.queries.StreamQueries.crashRecoveryInvoiceState(s, sf, nFiles = 3)
+
+    // The crash actually happened: run 1 terminated abnormally, having
+    // committed micro-batch 0 and nothing later (batch 1 died in-flight,
+    // so no progress event for it was ever published).
+    assert(stats.run1Failed, "injected crash must terminate run 1 abnormally")
+    assert(stats.run1Batches.nonEmpty && stats.run1Batches.min == 0,
+      s"run 1 must commit micro-batch 0 before dying; got ${stats.run1Batches}")
+    assert(stats.run1Batches.max <= 1,
+      s"run 1 must die at micro-batch 1; got ${stats.run1Batches}")
+
+    // The recovery actually happened: run 2 resumed at batch 1 from the
+    // SAME checkpoint (re-processing batch 0 would double-fold state), and
+    // the whole replay spanned >=3 micro-batches, so post-crash batches
+    // folded onto recovered state.
+    assert(stats.run2Batches.nonEmpty && stats.run2Batches.min >= 1,
+      s"restart must resume from checkpointed offsets, not batch 0; got ${stats.run2Batches}")
+    assert(stats.run2Batches.min <= 1,
+      s"restart must re-attempt the uncommitted batch 1; got ${stats.run2Batches}")
+    assert((stats.run1Batches ++ stats.run2Batches).max >= 2,
+      "the replay must span >=3 micro-batches so recovery lands mid-stream")
+
+    // Exactly-once: the accumulated idempotent sink, reduced to final
+    // emissions, equals the batch-mode fold of the same purchase lines
+    // bit-for-bit (integer-cents state makes this exact, not approximate).
+    val joined = graft.model.Tables.lineitem(s, sf)
+      .join(broadcast(graft.model.Tables.orders(s, sf)),
+        $"l_orderkey" === $"o_orderkey")
+    val batch = InvoiceStateMachine(
+      graft.queries.StreamQueries.purchaseLines(joined, s), idleTimeoutMs = 0L)
+      .select($"invoice_no".cast("long").as("invoice_no"),
+        $"avg_unit_price", $"min_unit_price", $"max_unit_price",
+        $"time_of_day", $"number_items", $"lines")
+      .orderBy($"invoice_no")
+    assert(result.collect().sameElements(batch.collect()),
+      "recovered streaming result diverged from the batch aggregate")
+  }
 }
