@@ -66,7 +66,12 @@ object Curate {
     // 1. exact dedup: one keeper per content digest
     val withDigest = docs.withColumn("h", md5($"text".cast("binary")))
     val exactKeepers = withDigest.groupBy($"h").agg(min($"doc_id").as("doc_id"))
-    val exact = withDigest.join(exactKeepers, Seq("h", "doc_id"), "left_semi")
+    // Stage frames that BOTH feed the next stage AND are re-counted for
+    // the survivor report are persisted: without the cache each count()
+    // re-executes everything upstream of it (the digest aggregate and the
+    // LSH pair generation would run ~4× per job — connectedComponents'
+    // internal lineage cut pins only the label frame).
+    val exact = withDigest.join(exactKeepers, Seq("h", "doc_id"), "left_semi").persist()
 
     // 2. near-dup dedup over the exact survivors: LSH pairs → components →
     //    cluster-min representative survives
@@ -76,14 +81,14 @@ object Curate {
     val comps = Dedup.connectedComponents(pairs)
     val dropNearDups = comps.filter($"id" =!= $"comp")
       .select($"id".as("doc_id"))
-    val deduped = exact.join(dropNearDups, Seq("doc_id"), "left_anti")
+    val deduped = exact.join(dropNearDups, Seq("doc_id"), "left_anti").persist()
 
     // 3. quality + language floor
     val scored = deduped
       .withColumn("quality_score", TextOps.qualityScore($"text", stopwords))
       .withColumn("predicted_lang", TextOps.languageId($"text"))
     val clean = scored.filter($"quality_score" >= qualityFloor &&
-      $"predicted_lang" === "en")
+      $"predicted_lang" === "en").persist()
 
     // 4. content-hash split (duplicates are already gone; the hash rule
     //    would keep any residual pair on one side regardless)
@@ -107,7 +112,7 @@ object Curate {
       .parquet(s"$outDir/corpus")
 
     val out = spark.read.parquet(s"$outDir/corpus")
-    Seq(
+    val report = Seq(
       ("0_input", docs.count()),
       ("1_exact_dedup", exact.count()),
       ("2_near_dedup", deduped.count()),
@@ -116,5 +121,7 @@ object Curate {
       ("4a_train", out.filter($"split" === "train").count()),
       ("4b_val", out.filter($"split" === "val").count()))
       .toDF("stage", "n_docs")
+    Seq(exact, deduped, clean).foreach(_.unpersist())
+    report
   }
 }

@@ -28,10 +28,23 @@ object Lineage {
     checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        // setCheckpointDir appends a UUID subdir (and may prefix an FS
-        // scheme); only reset when the configured root actually changed
-        if (!sc.getCheckpointDir.exists(_.contains(dir.stripPrefix("file:"))))
-          sc.setCheckpointDir(dir)
+        // setCheckpointDir stores `dir/<UUID>` (qualified with an FS
+        // scheme), so recover the configured ROOT as the parent of that
+        // UUID subdir and compare fully-qualified paths. Substring
+        // matching here would false-positive on a previously configured
+        // root that merely CONTAINS the requested path (e.g. requested
+        // /data/ckpt vs configured /data/ckpt-old/<uuid>), silently
+        // landing "reliable" blocks under a root someone else may clean.
+        // NOTE: the checkpoint root is PROCESS-GLOBAL SparkContext state —
+        // concurrent callers wanting different roots race on it; the last
+        // setter wins for subsequently checkpointed frames.
+        val hconf = sc.hadoopConfiguration
+        def qualified(p: String) = {
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(hconf).makeQualified(path)
+        }
+        val configuredRoot = sc.getCheckpointDir.map(d => qualified(d).getParent)
+        if (!configuredRoot.contains(qualified(dir))) sc.setCheckpointDir(dir)
         df.checkpoint()
       case None => df.localCheckpoint()
     }

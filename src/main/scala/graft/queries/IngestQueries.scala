@@ -392,7 +392,14 @@ object IngestQueries {
       ensureXml(s, dir)
       val schema = StructType(Seq(StructField("doc_id", LongType),
         StructField("lang", StringType), StructField("text", StringType)))
-      s.read.schema(schema).option("rowTag", "doc").format("xml").load(xmlDir)
+      // ignoreSurroundingSpaces defaults to TRUE in Spark 4's XML reader:
+      // leading/trailing whitespace in document text would be trimmed on
+      // read and break the digest vs the original-parquet oracle. Pin it
+      // off; IngestSpec pins the data premise (no XML-illegal control
+      // chars, which could not survive the write at all).
+      s.read.schema(schema).option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .format("xml").load(xmlDir)
         .agg(
           count(lit(1)).as("n_docs"),
           countDistinct(md5(concat_ws("|", col("doc_id"), col("lang"), col("text"))))

@@ -27,6 +27,29 @@ class IngestSpec extends SparkSuite {
     assert(a == b, "compaction must not change table content")
   }
 
+  test("cs12 premise: document text is XML-roundtrip-safe at ANY driver SF") {
+    // cs12's digest parity vs the original parquet holds only while the
+    // corpus contains nothing XML itself cannot represent losslessly:
+    // control characters illegal in XML 1.0 (anything < 0x20 except
+    // tab/LF/CR) would not survive the write, and surrounding whitespace
+    // depends on the reader honoring ignoreSurroundingSpaces=false (set
+    // on the read — this pin is the early alarm if a regenerated corpus
+    // starts exercising either edge). The driver runs Verify at sf0.01
+    // and Bench at sf0.1, so pin every SF it touches.
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                    "/root/testdata/sf0.1")
+         if new java.io.File(dir).isDirectory) {
+      val bad = graft.model.Tables.documents(spark, dir)
+        .filter(col("text").rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]") ||
+          col("text") =!= trim(col("text")))
+        .count()
+      assert(bad == 0,
+        s"$dir: $bad documents carry XML-illegal control chars or " +
+          "surrounding whitespace — cs12's roundtrip digest premise broke")
+    }
+  }
+
   test("the ORC scan pushes filters down like parquet") {
     val s = spark
     import org.apache.spark.sql.functions._
