@@ -62,6 +62,58 @@ object PipelineQueries {
           when(col("recall") >= 0.9, 1L).otherwise(0L).as("recall_ok"))
     },
 
+    // Hot-bucket skew-stress certificate for the LSH dedup tier (the
+    // boilerplate scenario every crawl corpus hits at scale): inject a
+    // 200-copy identical-text clique into the corpus — its signature is
+    // one fixed MinHash vector, so ALL its copies land in the same 8 band
+    // buckets, each 3x over the production cap (maxBucket=64). The cert
+    // pins, in one self-certifying row, that
+    //   (a) hot_bucket_seen: the injected clique genuinely formed
+    //       over-cap buckets (the stress is not vacuous),
+    //   (b) cap_bounded: zero pairs among the clique ids survive — the
+    //       cap dropped the would-be 19,900-pair quadratic blow-up (the
+    //       mega-cluster belongs to exact dedup tx03, not LSH), and
+    //   (c) recall_ok: recall over the TRUE pair set of the original
+    //       corpus stays >= 0.9 — real docs' band keys are untouched by
+    //       the injection, so the cure costs nothing elsewhere.
+    // n_true_pairs is the data-derived hash-checked column (DuckDB
+    // recomputes the exact-Jaccard pair set independently, as in dd01).
+    "dd12_lsh_hotbucket_stress" -> { (s, dir) =>
+      val BoilerBase = 10000000L
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val boiler = s.range(200).select(
+        (col("id") + BoilerBase).as("doc_id"),
+        lit("identical boilerplate footer paragraph repeated verbatim " +
+          "across every crawled page of the mirrored site").as("text"))
+      val skewed = docs.unionByName(boiler)
+      val found = Dedup.minHashDupPairs(skewed, "doc_id", "text",
+        shingleK = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      val baseline = Dedup.minHashDupPairs(docs, "doc_id", "text",
+        shingleK = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val hotOk = skewed
+        .select(explode(Dedup.bandKeys(
+          Dedup.minHashSignature(
+            Dedup.shingleHashes(TextOps.tokens(col("text")), 3), 32),
+          8, 4)).as("band"))
+        .groupBy(col("band")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("mx"))
+        .select(when(col("mx") > 64, 1L).otherwise(0L).as("hot_bucket_seen"))
+      val capOk = found
+        .filter(col("id_a") >= BoilerBase || col("id_b") >= BoilerBase)
+        .agg(count(lit(1)).as("n"))
+        .select(when(col("n") === 0, 1L).otherwise(0L).as("cap_bounded"))
+      baseline.join(found, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_true_pairs"),
+          (sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)))
+            .as("recall"))
+        .select(col("n_true_pairs"),
+          when(col("recall") >= 0.9, 1L).otherwise(0L).as("recall_ok"))
+        .crossJoin(broadcast(capOk))
+        .crossJoin(broadcast(hotOk))
+    },
+
     // Exact n-gram Jaccard with rare-shingle blocking.
     "dd03_ngram_jaccard_pairs" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -807,6 +859,35 @@ object PipelineQueries {
         |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
+
+    // dd12's ground truth: the exact-Jaccard pair count of the ORIGINAL
+    // corpus (same pipeline as dd01's oracle), plus the three certificate
+    // bits pinned to 1 — the stress fired, the cap bounded it, recall
+    // survived it.
+    "dd12_lsh_hotbucket_stress" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(t) < 3
+        |           THEN [array_to_string(t, ' ')]
+        |           ELSE list_transform(generate_series(1, len(t) - 2),
+        |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |         END) AS shingles
+        |  FROM toks),
+        |post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |         FROM post l JOIN post r ON l.shingle = r.shingle
+        |                                AND l.doc_id < r.doc_id),
+        |pairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+        |  WHERE len(list_intersect(a.shingles, b.shingles))
+        |        / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+        |       CAST(1 AS BIGINT) AS recall_ok,
+        |       CAST(1 AS BIGINT) AS cap_bounded,
+        |       CAST(1 AS BIGINT) AS hot_bucket_seen
+        |FROM pairs""".stripMargin,
 
     // The mapPartitions decode path is stubbed deterministically from the
     // payload byte length, so the whole per-partition pipeline — binary

@@ -604,6 +604,27 @@ object RelationalQueries {
         .orderBy($"key_col")
     },
 
+    // Skew-stress certificate for the salted-join cure: a DERIVED
+    // hot-keyed frame (every 5th event remapped to customer 1, so one key
+    // holds ~20%+ of all rows — JoinsSpec pins the fixture's skew_x100 far
+    // above q34's 300 alarm line AND that the salt genuinely spreads the
+    // hot key across all 16 sub-partitions) pushed through
+    // `Joins.saltedEquiJoin` must equal the PLAIN join's aggregate: the
+    // cure changes partitioning, never results — now certified ON a
+    // skewed input, not just the organic q11 distribution.
+    "q37_hotkey_salted_join" -> { (s, dir) =>
+      import s.implicits._
+      val skewed = Tables.events(s, dir).select(
+        when($"event_id" % 5 === 0, lit(1L)).otherwise($"user_id").as("c_custkey"),
+        $"event_id", $"value")
+      graft.ops.Joins.saltedEquiJoin(
+        skewed, Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment"),
+        key = "c_custkey", saltEntropy = Seq("event_id"), saltFactor = 16)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_events"), sumMoney($"value").as("sum_value"))
+        .orderBy($"c_mktsegment")
+    },
+
     // UNPIVOT/melt (q16's inverse): the wide pivoted quantity table
     // folded back to long form with the Dataset `unpivot` operator —
     // wide→long is pure per-row column shuffling (no exchange beyond
@@ -942,6 +963,18 @@ object RelationalQueries {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
+
+    // the PLAIN join over the same derived hot-keyed frame — parity
+    // certifies the salted cure is result-transparent under real skew
+    "q37_hotkey_salted_join" ->
+      s"""WITH e AS (SELECT CASE WHEN event_id % 5 = 0 THEN 1
+         |                       ELSE user_id END AS c_custkey, value
+         |           FROM events)
+         |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  ${sqlSumMoney("value")} AS sum_value
+         |FROM e JOIN customer USING (c_custkey)
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin,
 
     "q12_bucketed_join" ->
       s"""SELECT o_orderstatus,

@@ -22,6 +22,38 @@ class JoinsSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("q37 premise: the derived hot key is genuinely skewed and the salt spreads it") {
+    val s = spark
+    import s.implicits._
+    // the same derivation as the q37 catalog entry: every 5th event
+    // remapped to customer 1
+    val skewed = graft.model.Tables.events(s, sf).select(
+      when($"event_id" % 5 === 0, lit(1L)).otherwise($"user_id").as("k"),
+      $"event_id")
+    // two skew pins: the hot key holds >=20% of the WHOLE table (an
+    // absolute statement that survives the small key cardinality at
+    // sf0.001 — skew_x100 is bounded by 100·n_keys, so a ratio-only bar
+    // would be unreachable there), and q34's skew_x100 alarm line (300)
+    // fires on the fixture
+    val prof = skewed.groupBy($"k").agg(count(lit(1)).as("n"))
+      .agg(expr("max(n) / sum(n)").as("hot_share"),
+        expr("(max(n) * 100 * count(1)) div sum(n)").as("skew_x100"))
+      .head()
+    val (hotShare, skewX100) = (prof.getDouble(0), prof.getLong(1))
+    assert(hotShare >= 0.2,
+      s"hot key holds only ${hotShare * 100}%% of rows — not a meaningful hot key")
+    assert(skewX100 > 300,
+      s"fixture skew_x100 = $skewX100 — q34's alarm line (300) does not even fire")
+    // the cure's mechanism, not just its result: the hot key's rows carry
+    // all saltFactor distinct salt values (same expression saltedEquiJoin
+    // uses), so its work spreads across 16 sub-partitions instead of one
+    val spread = skewed.filter($"k" === 1L)
+      .select(pmod(xxhash64($"event_id"), lit(16)).cast("int").as("salt"))
+      .distinct().count()
+    assert(spread == 16L,
+      s"hot key covers only $spread of 16 salt sub-partitions")
+  }
+
   test("AQE skew-join splits the hot partition; salting stays result-identical") {
     val s = spark
     import s.implicits._
