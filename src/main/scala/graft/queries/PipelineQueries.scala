@@ -488,13 +488,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
-    // Trained KMeans over embeddings: cluster sizes (seeded,
-    // deterministic; no SQL oracle — pinned by MlSpec). The fit runs on a
-    // bounded deterministic hash sample (single-partition, sorted — see
-    // ml05's determinism note), capped iterations; only the *scoring*
-    // pass touches the full corpus. At 100 TB a full-corpus fit per query
-    // is a non-starter; cluster centers from a bounded sample partition
-    // the space the same way.
+    // Trained KMeans over embeddings, upgraded from rows-only to a
+    // SELF-CERTIFYING oracle row (the an03/dd06 pattern): the fit runs on
+    // a bounded deterministic hash sample (single-partition, sorted — see
+    // ml05's determinism note), capped iterations; the scoring pass over
+    // the full corpus is certified by
+    //  - n_points: sum of the cluster sizes, hash-checked against
+    //    DuckDB's independent COUNT(*) of the table — the scoring pass
+    //    covers every row exactly once (a partition of n);
+    //  - k_ok: 1 <= #clusters <= the configured k;
+    //  - split_ok: the model genuinely partitions (>= 2 non-empty
+    //    clusters, none holding the whole corpus).
+    // The per-cluster sizes themselves stay pinned by MlSpec.
     "ml01_kmeans_cluster_sizes" -> { (s, dir) =>
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
@@ -506,30 +511,36 @@ object PipelineQueries {
         .setInitMode("random").setFeaturesCol("features").fit(sample)
       model.transform(emb)
         .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
-        .select(col("prediction").cast("long").as("cluster"), col("n"))
-        .orderBy(col("cluster"))
+        .agg(sum(col("n")).as("n_points"), count(lit(1)).as("k"),
+          max(col("n")).as("mx"))
+        .select(col("n_points").cast("long").as("n_points"),
+          when(col("k").between(1, 10), 1L).otherwise(0L).as("k_ok"),
+          when(col("k") >= 2 && col("mx") < col("n_points"), 1L)
+            .otherwise(0L).as("split_ok"))
     },
 
     // The reference's full train→save→load→score pipeline on invoice
     // features (A7–A10 + F5 + S2/S3/S6/S7): the model is trained ONCE per
     // session (ModelStore), persisted and re-loaded, and the query itself
     // is a pure scoring pass — at scale, training is an index build, not a
-    // per-query cost.
+    // per-query cost. Output upgraded from the rows-only anomaly list to
+    // the self-certifying [[trainedAnomalyCert]] row (the anomaly list
+    // itself stays pinned by MlSpec).
     "ml02_invoice_anomalies_trained" -> { (s, dir) =>
       val feats = InvoiceQueries.invoiceFeatures(s, dir)
       val m = ModelStore.kmeansAnomaly(s"invoice-$dir", feats,
         InvoiceFeaturizer.FeatureCols, sampleMod = 4)
-      Scoring.score(feats, InvoiceFeaturizer.FeatureCols, m.centers, m.threshold)
-        .filter(col("is_anomaly") === 1L)
-        .select(col("invoice_no"), round(col("dist"), 2).as("dist"))
-        .orderBy(col("invoice_no"))
+      trainedAnomalyCert(feats, m)
     },
 
     // Elbow-selected k over a cost sweep (A9/A10), documented semantics.
     // Like ml05: the 7 fits run on a bounded deterministic hash sample
     // (the elbow reads the cost curve's *shape* — per-sample SSE has the
     // same shape), single-partition + sorted so the raw double costs are
-    // replay-deterministic, capped iterations, random init.
+    // replay-deterministic, capped iterations, random init. Output is the
+    // self-certifying [[elbowCert]] row; withMonotone is on (the
+    // embeddings cost curve is measured strictly decreasing at every
+    // local SF — max ratio 0.997; ml05's invoice curve is not, see there).
     "ml03_elbow_selection" -> { (s, dir) =>
       import s.implicits._
       val emb = Training.hashSample(Tables.embeddings(s, dir), "vec_id", 4)
@@ -541,9 +552,10 @@ object PipelineQueries {
         maxIter = 5, initMode = "random")
       val costs = sweep.map(_._3)
       val selected = Training.elbowSelection(costs, 0.7)
-      sweep.zipWithIndex.map { case ((k, _, cost), i) =>
+      val curve = sweep.zipWithIndex.map { case ((k, _, cost), i) =>
         (k.toLong, cost, i == selected)
-      }.toDF("k", "cost", "selected").orderBy($"k")
+      }.toDF("k", "cost", "selected")
+      elbowCert(curve, withMonotone = true)
     },
 
     // BisectingKMeans end-to-end (reference `trainBisecting.scala:11-49`) —
@@ -553,10 +565,7 @@ object PipelineQueries {
       val feats = InvoiceQueries.invoiceFeatures(s, dir)
       val m = ModelStore.bisectingAnomaly(s"invoice-$dir", feats,
         InvoiceFeaturizer.FeatureCols, sampleMod = 4)
-      Scoring.score(feats, InvoiceFeaturizer.FeatureCols, m.centers, m.threshold)
-        .filter(col("is_anomaly") === 1L)
-        .select(col("invoice_no"), round(col("dist"), 2).as("dist"))
-        .orderBy(col("invoice_no"))
+      trainedAnomalyCert(feats, m)
     },
 
     // The reference's full training entry: k-sweep over the invoice
@@ -586,10 +595,82 @@ object PipelineQueries {
       val sweep = Training.kMeansSweep(assembled, 2 to 20, seed = 1L,
         maxIter = 5, initMode = "random")
       val selected = Training.elbowSelection(sweep.map(_._3), 0.7)
-      sweep.zipWithIndex.map { case ((k, _, cost), i) =>
+      // self-certifying row; withMonotone is OFF — with maxIter=5
+      // non-converged fits on the clustered invoice features, cost(k+1)
+      // can genuinely exceed cost(k) (measured ratios up to 1.32), which
+      // is exactly the curve shape the elbow rule exists to cut off
+      val curve = sweep.zipWithIndex.map { case ((k, _, cost), i) =>
         (k.toLong, cost, i == selected)
-      }.toDF("k", "cost", "selected").orderBy($"k")
+      }.toDF("k", "cost", "selected")
+      elbowCert(curve, withMonotone = false)
     })
+
+  /** Self-certifying single-row certificate for a trained anomaly scorer
+    * (ml02/ml04 — upgrades their rows-only story the way an03 upgraded
+    * an02's). Columns, oracle-pinned:
+    *  - n_scored: rows scored, hash-checked against DuckDB's independent
+    *    per-invoice count — the scoring pass covers every invoice;
+    *  - threshold_pos: the calibrated threshold is a positive distance;
+    *  - dist_xcheck_ok: the codegen [[graft.functions.SqDistToNearest]]
+    *    kernel agrees with an INDEPENDENT plain-column-arithmetic
+    *    formulation of least-squared-distance (relative dev <= 1e-9) —
+    *    the custom expression is cross-validated, not trusted;
+    *  - anomaly_tail_ok: the flagged set is exactly the dist>threshold
+    *    tail, non-empty, and not the whole corpus. */
+  private def trainedAnomalyCert(feats: org.apache.spark.sql.DataFrame,
+                                 m: ModelStore.AnomalyModel): org.apache.spark.sql.DataFrame = {
+    val featCols = InvoiceFeaturizer.FeatureCols.map(c => col(c).cast("double"))
+    val indep = least(m.centers.map(c => InvoiceQueries.sqDistTo(c, featCols)): _*)
+    Scoring.score(feats, InvoiceFeaturizer.FeatureCols, m.centers, m.threshold)
+      .withColumn("dist_indep", indep)
+      .agg(
+        count(lit(1)).as("n_scored"),
+        sum(col("is_anomaly")).as("n_anom"),
+        sum(when(col("dist") > m.threshold, 1L).otherwise(0L)).as("n_tail"),
+        max(abs(col("dist") - col("dist_indep")) /
+          greatest(abs(col("dist")), lit(1.0))).as("max_rel_dev"))
+      .select(
+        col("n_scored"),
+        when(lit(m.threshold) > 0.0, 1L).otherwise(0L).as("threshold_pos"),
+        when(col("max_rel_dev") <= 1e-9, 1L).otherwise(0L).as("dist_xcheck_ok"),
+        when(col("n_anom") === col("n_tail") && col("n_anom") > 0 &&
+          col("n_anom") < col("n_scored"), 1L).otherwise(0L).as("anomaly_tail_ok"))
+  }
+
+  /** Self-certifying single-row certificate for an elbow sweep (ml03/
+    * ml05). The driver-side [[Training.elbowSelection]] pick is
+    * cross-checked against an INDEPENDENT declarative window-function
+    * formulation of the same rule (first k whose cost ratio exceeds 0.7,
+    * else the last) — the index arithmetic the reference got wrong
+    * (`Clustering.scala:125-136`'s off-by-one) is exactly what this bit
+    * would catch. Columns, oracle-pinned: n_ks (sweep width), one_selected,
+    * sel_in_range, elbow_consistent, costs_finite, and (when
+    * `withMonotone`) monotone_ok — no cost increase anywhere in the curve. */
+  private def elbowCert(curve: org.apache.spark.sql.DataFrame,
+                        withMonotone: Boolean): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+    val base = curve
+      .withColumn("ratio", col("cost") / lag(col("cost"), 1).over(w))
+      .agg(
+        count(lit(1)).as("n_ks"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("n_sel"),
+        min(when(col("selected"), col("k"))).as("sel_k"),
+        min(when(col("ratio") > 0.7, col("k"))).as("first_elbow_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(when(isnan(col("cost")) || col("cost") < 0.0 ||
+          col("cost") === Double.PositiveInfinity, 1L).otherwise(0L)).as("bad_costs"),
+        sum(when(col("ratio") > 1.0, 1L).otherwise(0L)).as("n_increases"))
+    val certed = base.select(
+      col("n_ks"),
+      when(col("n_sel") === 1L, 1L).otherwise(0L).as("one_selected"),
+      when(col("sel_k").between(col("min_k"), col("max_k")), 1L)
+        .otherwise(0L).as("sel_in_range"),
+      when(col("sel_k") === coalesce(col("first_elbow_k"), col("max_k")), 1L)
+        .otherwise(0L).as("elbow_consistent"),
+      when(col("bad_costs") === 0L, 1L).otherwise(0L).as("costs_finite"),
+      when(col("n_increases") === 0L, 1L).otherwise(0L).as("monotone_ok"))
+    if (withMonotone) certed else certed.drop("monotone_ok")
+  }
 
   /** One-time index builds the catalog queries amortize — same memo keys
     * as the queries above, so running a build first makes the matching
@@ -643,6 +724,47 @@ object PipelineQueries {
     * dependent; and dd04's full-recall configuration would be the O(n²)
     * scan (see its entry). */
   val oracles: Map[String, String] = Map(
+    // ml01: n_points is DuckDB's independent row count of the scored
+    // table (a partition-of-n check on the cluster sizes); the bits are
+    // pinned to 1.
+    "ml01_kmeans_cluster_sizes" ->
+      """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_points,
+        |       CAST(1 AS BIGINT) AS k_ok,
+        |       CAST(1 AS BIGINT) AS split_ok""".stripMargin,
+
+    // ml02/ml04: n_scored is DuckDB's independent per-invoice count (the
+    // scoring pass covers every invoice); certificate bits pinned to 1.
+    "ml02_invoice_anomalies_trained" ->
+      """SELECT (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+        |        FROM lineitem JOIN orders ON l_orderkey = o_orderkey) AS n_scored,
+        |       CAST(1 AS BIGINT) AS threshold_pos,
+        |       CAST(1 AS BIGINT) AS dist_xcheck_ok,
+        |       CAST(1 AS BIGINT) AS anomaly_tail_ok""".stripMargin,
+
+    "ml04_bisecting_anomalies" ->
+      """SELECT (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+        |        FROM lineitem JOIN orders ON l_orderkey = o_orderkey) AS n_scored,
+        |       CAST(1 AS BIGINT) AS threshold_pos,
+        |       CAST(1 AS BIGINT) AS dist_xcheck_ok,
+        |       CAST(1 AS BIGINT) AS anomaly_tail_ok""".stripMargin,
+
+    // ml03/ml05: sweep-width constant + certificate bits pinned to 1
+    // (ml05 carries no monotone bit — see the entry's comment).
+    "ml03_elbow_selection" ->
+      """SELECT CAST(7 AS BIGINT) AS n_ks,
+        |       CAST(1 AS BIGINT) AS one_selected,
+        |       CAST(1 AS BIGINT) AS sel_in_range,
+        |       CAST(1 AS BIGINT) AS elbow_consistent,
+        |       CAST(1 AS BIGINT) AS costs_finite,
+        |       CAST(1 AS BIGINT) AS monotone_ok""".stripMargin,
+
+    "ml05_elbow_invoice" ->
+      """SELECT CAST(19 AS BIGINT) AS n_ks,
+        |       CAST(1 AS BIGINT) AS one_selected,
+        |       CAST(1 AS BIGINT) AS sel_in_range,
+        |       CAST(1 AS BIGINT) AS elbow_consistent,
+        |       CAST(1 AS BIGINT) AS costs_finite""".stripMargin,
+
     // Constant oracle: the IVF pipeline must deliver recall@5 above each
     // probe setting's calibrated bar at any SF the driver runs — the
     // quality bars themselves are the hash-checked values (see the an03

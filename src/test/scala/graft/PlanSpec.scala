@@ -39,13 +39,17 @@ class PlanSpec extends SparkSuite {
     * pairwise product. */
   /** dd10 embeds the O(n²) all-pairs certification baseline
     * (`Similarity.allPairsCosine`, explicitly broadcast) as its recall
-    * ground truth — same standing as an01/an03's brute-force frames. */
+    * ground truth — same standing as an01/an03's brute-force frames.
+    * dd12 attaches its two 1-row certificate aggregates (cap_bounded,
+    * hot_bucket_seen) to the 1-row recall aggregate via explicitly
+    * `broadcast()`-hinted crossJoins — O(1·1) scalar attaches, the tx12
+    * pattern. */
   private val bnljWhitelist = Set("an01_cosine_topk_brute", "an03_ivf_recall",
     "an04_pq_recall", "an05_ivfpq_recall", "an07_filtered_topk",
     "an09_sq8_recall", "tx12_tfidf_top_terms", "q26_market_basket",
     "sk05_hll_intersection", "q33_range_partition_plan",
     "dd10_embdup_recall", "dd11_semantic_keepers",
-    "tx19_mixture_rebalance")
+    "tx19_mixture_rebalance", "dd12_lsh_hotbucket_stress")
 
   private def unwrap(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => a.executedPlan

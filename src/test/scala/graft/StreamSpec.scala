@@ -301,23 +301,29 @@ class StreamSpec extends SparkSuite {
       "event-time cross-batch fold diverged from batch path")
   }
 
-  test("routed-batch retry after full commit skips the staging write entirely") {
+  test("routed-batch retry after full commit re-processes but publishes NOTHING") {
     val s = spark
     import s.implicits._
-    import org.apache.spark.sql.functions.{col, lit, raise_error, when}
     val base = java.nio.file.Files.createTempDirectory("routed-retry-").toString
     val df = Seq(("1", "good"), ("2", "bad")).toDF("v", "route")
     graft.stream.IdempotentSink.writeRoutedBatch(df, base, "route", batchId = 3)
     def goodVals() = graft.stream.IdempotentSink.read(s, s"$base/good")
       .collect().map(_.getString(0)).toSeq
     assert(goodVals() == Seq("1"))
-    // a retry of a fully-committed batch must not re-run the staging job:
-    // this frame raises on evaluation, so reaching the next assert proves
-    // the early-exit returned before any write was attempted
-    val poisoned = df.withColumn("v",
-      when(lit(true), raise_error(lit("retry evaluated the batch"))).otherwise(col("v")))
-    graft.stream.IdempotentSink.writeRoutedBatch(poisoned, base, "route", batchId = 3)
+    // A retry of a fully-committed batch MUST still process every
+    // partition (Spark 4 validates that each batch's state stores commit;
+    // an early return would permanently strand a restarted stateful
+    // query on this batch) but must publish nothing: committed output is
+    // immutable and no staging job re-runs. The accumulator proves the
+    // processing pass happened; the file asserts prove nothing landed.
+    val acc = s.sparkContext.longAccumulator("routed_retry_probe")
+    val probed = df.as[(String, String)]
+      .mapPartitions { it => acc.add(1L); it }.toDF("v", "route")
+    graft.stream.IdempotentSink.writeRoutedBatch(probed, base, "route", batchId = 3)
+    assert(acc.value > 0, "retry must process partitions (state-store commit requirement)")
     assert(goodVals() == Seq("1"))
+    assert(!new java.io.File(s"$base/_staging/b3").exists,
+      "retry of a committed batch must not re-stage")
     // a PARTIALLY committed batch (route dir landed, marker did not — crash
     // between renames) must still re-stage and converge to one copy
     val df4 = Seq(("5", "good"), ("6", "bad")).toDF("v", "route")
