@@ -120,6 +120,64 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  /** Total shuffle-write records observed while `body` runs (listener-bus
+    * events are async, so poll until the counter is stable). */
+  private def shuffleRecords(body: => Unit): Long = {
+    val recs = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(te.taskMetrics)
+          .foreach(m => recs.addAndGet(m.shuffleWriteMetrics.recordsWritten): Unit)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var prev = -1L
+      var cur = recs.get()
+      var spins = 0
+      while (cur != prev && spins < 50) {
+        prev = cur; Thread.sleep(200); cur = recs.get(); spins += 1
+      }
+      cur
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("per-round shuffle is node-sized in BOTH join modes — edges shuffle " +
+      "at most once, never per iteration") {
+    val s = spark
+    import s.implicits._
+    // multigraph with edges >> nodes so an accidental per-round edge
+    // shuffle is unmistakable in the record counts: 20 nodes, ~5000
+    // parallel edges (pageRankInt does not dedupe), 2x directed inside
+    val rnd = new scala.util.Random(42)
+    val n = 20
+    val edges = Seq.fill(5000)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, 1L + rnd.nextInt(3).toLong))
+      .filter { case (a, b, _) => a != b }
+      .toDF("item_a", "item_b", "w")
+      .cache()
+    val directed = edges.count() * 2
+    def records(iters: Int, bcast: Boolean): Long =
+      shuffleRecords(
+        Graph.pageRankInt(edges, iters = iters, broadcastRanks = bcast)
+          .count(): Unit)
+    // iters=0 runs the full one-time build (ew join, nodes distinct);
+    // the marginal cost per extra round must be node-sized, not edge-sized
+    val perRoundB = (records(4, bcast = true) - records(0, bcast = true)) / 4.0
+    assert(perRoundB < directed / 2.0,
+      s"broadcast mode shuffles ~$perRoundB records/round " +
+        s"(edge frame is $directed rows — edges are being re-shuffled)")
+    // co-partitioned mode pays ONE edge repartition in the build (inside
+    // the iters=0 base), after which the LogicalRDD partitioning survives
+    // every round's checkpoint — rounds shuffle only the node-sized frames
+    val perRoundC = (records(4, bcast = false) - records(0, bcast = false)) / 4.0
+    assert(perRoundC < directed / 2.0,
+      s"co-partitioned mode shuffles ~$perRoundC records/round " +
+        s"(edge frame is $directed rows — partitioning lost across rounds)")
+    edges.unpersist(): Unit
+  }
+
   test("a hub node outranks a leaf on a known star graph") {
     val s = spark
     import s.implicits._
