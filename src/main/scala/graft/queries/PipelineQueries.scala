@@ -114,6 +114,55 @@ object PipelineQueries {
         .crossJoin(broadcast(hotOk))
     },
 
+    // Paragraph-level exact dedup — the finer-granularity scrub stage
+    // (Dolma-style) that removes repeated boilerplate WITHIN documents
+    // while keeping the first occurrence corpus-wide: explode paragraphs
+    // with positions, elect the (cid, pos)-minimal owner per distinct
+    // paragraph digest, reassemble survivors in position order. Scale
+    // shape: the dedup shuffle carries 16 B md5 digests + integer
+    // positions (never the text twice), reassembly is one groupBy —
+    // no pairwise stage anywhere. The driver corpus is single-line
+    // texts, so paragraph structure is built deterministically
+    // (composite cid = doc_id div 3, paragraphs joined with blank
+    // lines) and four injected composites re-use the first composites'
+    // paragraphs — keep-first must zero them out (n_kept = 0), the
+    // certificate DuckDB independently replays.
+    "dd13_paragraph_dedup" -> { (s, dir) =>
+      val DupBase = 1000000L
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val base = docs
+        .select(expr("doc_id div 3").as("cid"), col("doc_id"), col("text"))
+        .unionByName(docs
+          .filter(col("doc_id") < 12 && expr("doc_id % 3") =!= 2)
+          .select((expr("doc_id div 3") + lit(DupBase)).as("cid"),
+            col("doc_id"), col("text")))
+      val comp = base.groupBy(col("cid")).agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")), "\n\n").as("ctext"))
+      val para = comp
+        .select(col("cid"), posexplode(split(col("ctext"), "\n\n")))
+        .select(col("cid"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("para"))
+      val winner = para.groupBy(md5(col("para")).as("d"))
+        .agg(min(col("cid") * 100 + col("pos")).as("wk"))
+      val kept = para.join(winner,
+          md5(para("para")) === winner("d") &&
+            para("cid") * 100 + para("pos") === winner("wk"))
+        .select(para("cid"), para("pos"), para("para"))
+      val stats = para.groupBy(col("cid")).agg(count(lit(1)).as("n_paras"))
+      val reb = kept.groupBy(col("cid")).agg(
+        count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x.getField("para")), "\n\n")).as("kept_md5"))
+      stats.join(reb, Seq("cid"), "left")
+        .select(col("cid").as("comp_id"), col("n_paras"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+        .orderBy(col("comp_id"))
+    },
+
     // Exact n-gram Jaccard with rare-shingle blocking.
     "dd03_ngram_jaccard_pairs" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -1077,7 +1126,38 @@ object PipelineQueries {
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          |SELECT u AS doc_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY u
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+
+    // same composite construction, winner election, and reassembly as
+    // the Spark entry — keep-first by (cid, pos) over md5 digests
+    "dd13_paragraph_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id // 3 AS cid, doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 1000000 + doc_id // 3 AS cid, doc_id, text FROM documents
+        |  WHERE doc_id < 12 AND doc_id % 3 <> 2),
+        |comp AS (
+        |  SELECT cid, string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS ctext
+        |  FROM base GROUP BY cid),
+        |pl AS (SELECT cid, string_split(ctext, chr(10) || chr(10)) AS ps FROM comp),
+        |pu AS (SELECT cid, ps, unnest(generate_series(1, len(ps))) AS pos FROM pl),
+        |para AS (SELECT cid, CAST(pos AS BIGINT) AS pos, ps[pos] AS para FROM pu),
+        |w AS (SELECT md5(para) AS d, MIN(cid * 100 + pos) AS wk
+        |      FROM para GROUP BY md5(para)),
+        |kept AS (
+        |  SELECT p.cid, p.pos, p.para FROM para p
+        |  JOIN w ON md5(p.para) = w.d AND p.cid * 100 + p.pos = w.wk),
+        |stats AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_paras
+        |          FROM para GROUP BY cid),
+        |reb AS (
+        |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    md5(string_agg(para, chr(10) || chr(10) ORDER BY pos)) AS kept_md5
+        |  FROM kept GROUP BY cid)
+        |SELECT s.cid AS comp_id, s.n_paras,
+        |  COALESCE(r.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+        |  COALESCE(r.kept_md5, md5('')) AS kept_md5
+        |FROM stats s LEFT JOIN reb r ON s.cid = r.cid
+        |ORDER BY comp_id""".stripMargin)
 
   /** Shared CTE prefix of the dd03/dd05 oracles: string-shingle pipeline →
     * blocked candidate pairs (k=4, df ≤ 16). Lazy: referenced by the

@@ -438,7 +438,62 @@ object TextQueries {
         .withColumn("n_patches", $"patches_x" * $"patches_y")
         .withColumn("n_tokens", least($"n_patches", lit(196L)))
         .orderBy($"doc_id")
+    },
+
+    // PII detection + redaction — the scrub stage every curation pipeline
+    // runs before training (emails, phone numbers, IPv4s). Pure per-row
+    // regexp projection: embarrassingly parallel, no shuffle besides the
+    // 1-row premise attach, stays in codegen. The driver corpus contains
+    // no digits/'@' at any SF (premise column base_pii_docs, expected 0,
+    // is DATA-DERIVED on both engines), so detection+redaction are
+    // certified on a deterministic injected fixture — the dd12 pattern.
+    // Identical Java-regex/RE2 subset on both engines (char classes,
+    // bounded counts, \b) so the DuckDB oracle replays it exactly.
+    "tx22_pii_redaction" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+      val inj = PiiFixture.toDF("doc_id", "text")
+      val all = docs.unionByName(inj)
+      val hits = all.select(
+        $"doc_id", $"text",
+        size(regexp_extract_all($"text", lit(PiiEmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all($"text", lit(PiiPhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all($"text", lit(PiiIpRe), lit(0)))
+          .cast("long").as("n_ips"))
+      val basePii = hits.filter($"doc_id" < PiiInjBase)
+        .agg(sum(when($"n_emails" + $"n_phones" + $"n_ips" > 0, 1L)
+          .otherwise(0L)).as("base_pii_docs"))
+      hits.filter($"n_emails" + $"n_phones" + $"n_ips" > 0)
+        .withColumn("redacted_md5", md5(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace($"text", PiiEmailRe, "<EMAIL>"),
+              PiiIpRe, "<IP>"),
+            PiiPhoneRe, "<PHONE>")))
+        .drop("text")
+        .crossJoin(broadcast(basePii))
+        .orderBy($"doc_id")
     })
+
+  // ---- tx22 PII fixture + regexes (shared with the DuckDB oracle) ----
+
+  /** Injected PII-bearing rows — doc_ids far above any corpus id. One row
+    * is PII-free on purpose (must NOT appear in the output). */
+  private val PiiInjBase = 30000000L
+  private val PiiFixture: Seq[(Long, String)] = Seq(
+    PiiInjBase -> "reach us at john.doe@example.com or sales+eu@corp.example.org today",
+    (PiiInjBase + 1) -> "call 415-555-0173 or 020.555.0144 to confirm",
+    (PiiInjBase + 2) -> "hosts 192.168.10.42 and 10.0.0.7 replied",
+    (PiiInjBase + 3) -> "mix a.b@c.io at 10.1.2.3 phone 555-123-4567 done",
+    (PiiInjBase + 4) -> "clean row with no sensitive tokens at all")
+  private val PiiEmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val PiiPhoneRe = """\b\d{3}[-.]\d{3}[-.]\d{4}\b"""
+  private val PiiIpRe = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  /** The fixture as a DuckDB VALUES list. */
+  private def piiValuesSql: String = PiiFixture
+    .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
 
   /** The tx02/tx09 quality expression in DuckDB SQL (identical int
     * arithmetic + the same two float divisions as `TextOps.qualityScore`
@@ -753,5 +808,33 @@ object TextQueries {
         |  CAST(((w + 15) // 16) * ((h + 15) // 16) AS BIGINT) AS n_patches,
         |  CAST(LEAST(((w + 15) // 16) * ((h + 15) // 16), 196) AS BIGINT)
         |    AS n_tokens
-        |FROM m ORDER BY doc_id""".stripMargin)
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // same injected fixture, regexes, and replacement order as the Spark
+    // entry; DuckDB regexp_replace needs the explicit 'g' flag to match
+    // Java's replace-all
+    "tx22_pii_redaction" ->
+      s"""WITH inj(doc_id, text) AS (VALUES $piiValuesSql),
+        |alltext AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM inj),
+        |hits AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_extract_all(text, '$PiiEmailRe', 0)) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(text, '$PiiPhoneRe', 0)) AS BIGINT) AS n_phones,
+        |    CAST(len(regexp_extract_all(text, '$PiiIpRe', 0)) AS BIGINT) AS n_ips
+        |  FROM alltext),
+        |base AS (
+        |  SELECT CAST(COALESCE(SUM(CASE WHEN n_emails + n_phones + n_ips > 0
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS base_pii_docs
+        |  FROM hits WHERE doc_id < $PiiInjBase)
+        |SELECT CAST(h.doc_id AS BIGINT) AS doc_id, n_emails, n_phones, n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(h.text,
+        |    '$PiiEmailRe', '<EMAIL>', 'g'),
+        |    '$PiiIpRe', '<IP>', 'g'),
+        |    '$PiiPhoneRe', '<PHONE>', 'g')) AS redacted_md5,
+        |  b.base_pii_docs
+        |FROM hits h CROSS JOIN base b
+        |WHERE n_emails + n_phones + n_ips > 0
+        |ORDER BY doc_id""".stripMargin)
 }
