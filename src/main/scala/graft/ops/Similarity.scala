@@ -112,12 +112,62 @@ object Similarity {
     * seed) per session, shared by every IVF query over that corpus.
     *
     * SESSION-SCOPED CACHE semantics: the default key is a fingerprint of
-    * the corpus' logical plan, not its data — overwriting the files
-    * behind the same path mid-session serves the stale quantizer. Long-
-    * lived drivers cycling many corpora should pass explicit
-    * `quantizerKey`s and treat index refresh as part of data refresh
-    * (the same contract as any external index). */
+    * the corpus' logical plan, not its data. A GUARD protects the stale
+    * mode: the file listing behind the corpus scan (path, length, mtime
+    * per file) is recorded when an index artifact is fitted, and serving
+    * any memoized artifact for a corpus whose file set has since changed
+    * throws [[IllegalStateException]] — unless an explicit `quantizerKey`
+    * was passed, which hands index-refresh lifecycle to the caller (the
+    * same contract as any external index). Non-file corpora (in-memory
+    * frames) have no listing to fingerprint; the guard is inert there. */
   private val quantizers = new ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  /** File-listing fingerprint recorded per corpus key at first index fit
+    * (see [[checkFreshness]]). */
+  private val corpusFileFp = new ConcurrentHashMap[String, String]()
+
+  /** Fingerprint of every file-source leaf under `df`'s plan: sorted
+    * (path, length, modificationTime) triples, hashed. Listings come from
+    * the scan's own [[org.apache.spark.sql.execution.datasources.FileIndex]]
+    * (cached at read time — no extra FS round-trips). Empty string when
+    * the plan has no file sources. */
+  private def fileFingerprint(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val entries = df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.listFiles(Nil, Nil).flatMap(_.files)
+            .map(f => s"${f.getPath}|${f.getLen}|${f.getModificationTime}")
+        case _ => Seq.empty[String]
+      }
+    }.flatten.sorted
+    if (entries.isEmpty) ""
+    else java.lang.Long.toHexString(
+      entries.foldLeft(17L)((h, e) => h * 31 + e.hashCode))
+  }
+
+  /** The stale-index guard. Called by every entry point that consumes a
+    * memoized index artifact, BEFORE the artifact is fetched: records the
+    * corpus' file fingerprint under its memo key on first sight, and
+    * fails loudly if the fingerprint has changed since — the files behind
+    * the same logical corpus were rewritten mid-session, so every cached
+    * quantizer/codebook/range for that key is stale. An explicit
+    * `quantizerKey` opts out: the caller owns refresh (rotate the key
+    * when the data rotates). */
+  private def checkFreshness(key: String, corpus: DataFrame,
+                             explicitKey: String): Unit = {
+    if (explicitKey.nonEmpty) return
+    val fp = fileFingerprint(corpus)
+    if (fp.isEmpty) return
+    val prev = corpusFileFp.putIfAbsent(key, fp)
+    if (prev != null && prev != fp)
+      throw new IllegalStateException(
+        s"Stale similarity index cache for corpus key $key: the file set " +
+          "behind the corpus changed since its index artifacts (quantizer/" +
+          "codebooks/ranges) were fitted this session. Pass an explicit " +
+          "quantizerKey (and rotate it when the data rotates) to manage " +
+          "index lifecycle, or refit under a fresh key.")
+  }
 
   /** Max rows the quantizer is ever fit on. Cell centroids are a coarse
     * partitioning device — a bounded sample fixes them as well as the full
@@ -138,6 +188,7 @@ object Similarity {
     // quantizerKey when given, else the plan fingerprint — same scheme as
     // the quantizer memo) or the "auto" sizing costs a full scan on every
     // query over the same corpus
+    checkFreshness(defaultKey(corpus, quantizerKey), corpus, quantizerKey)
     cellCounts.computeIfAbsent(s"${defaultKey(corpus, quantizerKey)}|$maxCell", _ => {
       val n = corpus.queryExecution.optimizedPlan.stats.rowCount
         .map(_.toLong).getOrElse(corpus.count())
@@ -208,6 +259,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
               seed: Long = 42L, quantizerKey: String = ""): DataFrame = {
+    checkFreshness(defaultKey(corpus, quantizerKey), corpus, quantizerKey)
     val centers = coarseQuantizer(corpus, idCol, vecCol,
       defaultKey(corpus, quantizerKey), nCells, seed)
     val c = nonZeroNorm(corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cvec"))
@@ -344,6 +396,7 @@ object Similarity {
              vecCol: String, k: Int, m: Int = 16, ksub: Int = 16,
              shortlist: Int = 0, seed: Long = 42L,
              quantizerKey: String = ""): DataFrame = {
+    checkFreshness(defaultKey(corpus, quantizerKey), corpus, quantizerKey)
     val books = pqCodebooks(corpus, idCol, vecCol,
       defaultKey(corpus, quantizerKey), m, ksub, seed)
     val c = nonZeroNorm(corpus.select(col(idCol).as("neighbor_id"),
@@ -391,6 +444,7 @@ object Similarity {
                 m: Int = 16, ksub: Int = 16, shortlist: Int = 0,
                 seed: Long = 42L, quantizerKey: String = ""): DataFrame = {
     val key = defaultKey(corpus, quantizerKey)
+    checkFreshness(key, corpus, quantizerKey)
     val centers = coarseQuantizer(corpus, idCol, vecCol, key, nCells, seed)
     val books = pqCodebooks(corpus, idCol, vecCol, key, m, ksub, seed)
     val c = nonZeroNorm(corpus.select(col(idCol).as("neighbor_id"),
@@ -448,6 +502,7 @@ object Similarity {
   def sqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, shortlist: Int = 0,
              quantizerKey: String = ""): DataFrame = {
+    checkFreshness(defaultKey(corpus, quantizerKey), corpus, quantizerKey)
     val key = s"sq-${defaultKey(corpus, quantizerKey)}"
     val (mins, maxs) = sqRange(corpus, vecCol, key)
     val mnLit = typedlit(mins.toSeq)
@@ -502,6 +557,7 @@ object Similarity {
                         threshold: Double = 0.95, nCells: Int = 0,
                         nProbe: Int = 2, maxCell: Int = 256,
                         seed: Long = 42L, quantizerKey: String = ""): DataFrame = {
+    checkFreshness(defaultKey(corpus, quantizerKey), corpus, quantizerKey)
     val cells = if (nCells > 0) nCells else autoCells(corpus, maxCell, quantizerKey)
     val centers = coarseQuantizer(corpus, idCol, vecCol,
       defaultKey(corpus, quantizerKey), cells, seed)

@@ -267,6 +267,42 @@ class DedupSpec extends SparkSuite {
       "mean_val differs across partitionings — exact fixed-point property broken")
   }
 
+  test("stale index cache guard: in-place corpus overwrite fails loudly, " +
+    "explicit quantizerKey opts out") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stale-ivf")
+      .toFile.getAbsolutePath
+    def writeCorpus(shift: Int): Unit =
+      (0 until 300).map { i =>
+        (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 3 + shift) % 13).toFloat))
+      }.toDF("id", "vec").write.mode("overwrite").parquet(dir)
+
+    writeCorpus(0)
+    val c1 = s.read.parquet(dir)
+    // first use fits + memoizes the quantizer and records the file set
+    assert(Similarity.ivfTopK(c1, c1.limit(3), "id", "vec", k = 2,
+      nCells = 4).count() > 0)
+
+    writeCorpus(1) // rewrite the SAME path: every cached artifact is stale
+    val c2 = s.read.parquet(dir)
+    val e = intercept[IllegalStateException] {
+      Similarity.ivfTopK(c2, c2.limit(3), "id", "vec", k = 2, nCells = 4)
+    }
+    assert(e.getMessage.contains("Stale similarity index cache"),
+      s"unexpected message: ${e.getMessage}")
+    // the other artifact consumers guard the same corpus key
+    intercept[IllegalStateException] {
+      Similarity.sqTopK(c2, c2.limit(3), "id", "vec", k = 2)
+    }
+    intercept[IllegalStateException] {
+      Similarity.embeddingDupPairs(c2, "id", "vec", threshold = 0.99)
+    }
+    // explicit quantizerKey = caller owns refresh: a fresh key refits fine
+    assert(Similarity.ivfTopK(c2, c2.limit(3), "id", "vec", k = 2,
+      nCells = 4, quantizerKey = s"refit-$dir").count() > 0)
+  }
+
   test("dd08: banded levenshtein equals the full distance on every kept pair") {
     val s = spark
     import s.implicits._
