@@ -475,6 +475,96 @@ object TextQueries {
         .drop("text")
         .crossJoin(broadcast(basePii))
         .orderBy($"doc_id")
+    },
+
+    // Substring-level duplication coverage — exact-substring dedup at
+    // word granularity (the "train on each substring once" posture of
+    // suffix-array dedup, reference-free): a token position is
+    // "duplicated" when ANY 8-gram covering its document occurs in at
+    // least one OTHER document. Positional 8-grams are md5-hashed before
+    // the shuffle (16 B + position, never text); cross-doc hashes come
+    // from one hash aggregate; the per-doc token coverage is an interval
+    // union computed as a running-max sweep WITHIN each doc's window —
+    // all-integer arithmetic, partitioned by doc, no global state. At
+    // 100 TB this is two hash shuffles over fixed-width rows; the window
+    // holds only one doc's duplicated-gram starts.
+    "dd14_duplicate_spans" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+      val grams = docs
+        .select($"doc_id", TextOps.tokens($"text").as("t"))
+        .filter(size($"t") >= 8)
+        .select($"doc_id", explode(transform(
+          sequence(lit(1), size($"t") - 7),
+          i => struct(i.cast("long").as("s"),
+            md5(array_join(slice($"t", i, lit(8)), " ")).as("h")))).as("g"))
+        .select($"doc_id", $"g.s".as("s"), $"g.h".as("h"))
+      val dup = grams.groupBy($"h")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .filter($"nd" >= 2).select($"h")
+      val w = Window.partitionBy($"doc_id").orderBy($"s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cov = grams.join(dup, "h")
+        .select($"doc_id", $"s", ($"s" + 7L).as("e"))
+        .withColumn("pmax", max($"e").over(w))
+        .withColumn("contrib", greatest(lit(0L),
+          $"e" - greatest(coalesce($"pmax", lit(0L)), $"s" - 1L)))
+        .groupBy($"doc_id").agg(sum($"contrib").as("dup_tokens"))
+      docs.select($"doc_id", TextOps.tokenCount($"text").as("n_tokens"))
+        .join(cov, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens",
+          coalesce($"dup_tokens", lit(0L)).as("dup_tokens"))
+        .withColumn("dup_frac", $"dup_tokens".cast("double") / $"n_tokens")
+        .orderBy($"doc_id")
+    },
+
+    // Unigram-LM quality proxy — score every document against the
+    // CORPUS-WIDE unigram distribution (the statistical-quality filter a
+    // curation pipeline runs where a trained LM perplexity model would
+    // sit): tokens whose corpus frequency is ≤ 2 are "rare", and a
+    // document that is mostly rare tokens is flagged. Two hash
+    // aggregates + one term-keyed hash join; every fraction divides
+    // exact integer counts, so both engines produce identical doubles.
+    "tx23_rare_word_score" -> { (s, dir) =>
+      import s.implicits._
+      val tok = Tables.documents(s, dir)
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+      val freq = tok.groupBy($"term").agg(count(lit(1)).as("cf"))
+      tok.join(freq, "term")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when($"cf" <= 2, 1L).otherwise(0L)).as("n_rare"))
+        .withColumn("rare_frac", $"n_rare".cast("double") / $"n_tokens")
+        .withColumn("low_quality",
+          when($"rare_frac" > 0.5, 1L).otherwise(0L))
+        .orderBy($"doc_id")
+    },
+
+    // Deterministic global shuffle — the pretraining data-ordering op: a
+    // seeded, content-keyed permutation of the corpus with a global
+    // position and round-robin shard assignment, reproducible across
+    // engines and runs (md5 of seed+id, not an RNG). The global index is
+    // the q33 two-level stripe pattern: ranks are windowed WITHIN the
+    // 256 md5 stripes, stripe offsets come from a broadcast self-join
+    // over the 256-row stripe-count frame — no unpartitioned window, no
+    // zipWithIndex, no driver loop at any corpus size.
+    "tx24_deterministic_shuffle" -> { (s, dir) =>
+      import s.implicits._
+      val keyed = Tables.documents(s, dir)
+        .select($"doc_id",
+          md5(concat(lit("graft-shuffle-42:"), $"doc_id".cast("string"))).as("h"))
+        .withColumn("stripe", substring($"h", 1, 2))
+      val totals = keyed.groupBy($"stripe").agg(count(lit(1)).as("sc"))
+      val offsets = totals
+        .join(broadcast(totals.select($"stripe".as("p_stripe"), $"sc".as("p_sc"))),
+          $"p_stripe" < $"stripe", "left")
+        .groupBy($"stripe")
+        .agg(coalesce(sum($"p_sc"), lit(0L)).as("off"))
+      val wr = Window.partitionBy($"stripe").orderBy($"h", $"doc_id")
+      keyed.join(broadcast(offsets), "stripe")
+        .withColumn("pos", $"off" + row_number().over(wr))
+        .select($"pos", (($"pos" - 1L) % 8L).as("shard"), $"doc_id")
+        .orderBy($"pos")
     })
 
   // ---- tx22 PII fixture + regexes (shared with the DuckDB oracle) ----
@@ -836,5 +926,57 @@ object TextQueries {
         |  b.base_pii_docs
         |FROM hits h CROSS JOIN base b
         |WHERE n_emails + n_phones + n_ips > 0
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    // positional 8-grams via zipped unnests; identical interval-union
+    // sweep (running max over the preceding frame, all integer math)
+    "dd14_duplicate_spans" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(generate_series(1, len(w) - 7)) AS s,
+        |         unnest(list_transform(generate_series(1, len(w) - 7),
+        |                i -> md5(array_to_string(w[i:i+7], ' ')))) AS h
+        |  FROM d WHERE len(w) >= 8),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT doc_id, s, s + 7 AS e FROM g JOIN dup USING (h)),
+        |cov AS (
+        |  SELECT doc_id,
+        |         SUM(GREATEST(0, e - GREATEST(COALESCE(pmax, 0), s - 1))) AS dup_tokens
+        |  FROM (SELECT doc_id, s, e,
+        |               MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |        FROM hit)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |       CAST(COALESCE(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |       CAST(COALESCE(cov.dup_tokens, 0) AS DOUBLE) / len(w) AS dup_frac
+        |FROM d LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "tx23_rare_word_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |freq AS (SELECT term, COUNT(*) AS cf FROM tok GROUP BY 1),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(CASE WHEN cf <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |  FROM tok JOIN freq USING (term)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_rare,
+        |       CAST(n_rare AS DOUBLE) / n_tokens AS rare_frac,
+        |       CAST(CASE WHEN CAST(n_rare AS DOUBLE) / n_tokens > 0.5
+        |            THEN 1 ELSE 0 END AS BIGINT) AS low_quality
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "tx24_deterministic_shuffle" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         ROW_NUMBER() OVER (
+        |           ORDER BY md5('graft-shuffle-42:' || CAST(doc_id AS VARCHAR)),
+        |                    doc_id) AS pos
+        |  FROM documents)
+        |SELECT CAST(pos AS BIGINT) AS pos,
+        |       CAST((pos - 1) % 8 AS BIGINT) AS shard, doc_id
+        |FROM r ORDER BY pos""".stripMargin)
 }

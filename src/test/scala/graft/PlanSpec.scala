@@ -44,12 +44,18 @@ class PlanSpec extends SparkSuite {
     * hot_bucket_seen) to the 1-row recall aggregate via explicitly
     * `broadcast()`-hinted crossJoins — O(1·1) scalar attaches, the tx12
     * pattern. */
+  /** tx22 attaches its 1-row premise aggregate (base_pii_docs) to the
+    * PII-hit stream via an explicitly `broadcast()`-hinted crossJoin —
+    * the tx12 O(n·1) scalar-attach pattern. tx24's stripe-offset prefix
+    * sum is the q33 pattern: a broadcast theta-join over the stripe-count
+    * frame, bounded at 256×256 rows regardless of corpus size. */
   private val bnljWhitelist = Set("an01_cosine_topk_brute", "an03_ivf_recall",
     "an04_pq_recall", "an05_ivfpq_recall", "an07_filtered_topk",
     "an09_sq8_recall", "tx12_tfidf_top_terms", "q26_market_basket",
     "sk05_hll_intersection", "q33_range_partition_plan",
     "dd10_embdup_recall", "dd11_semantic_keepers",
-    "tx19_mixture_rebalance", "dd12_lsh_hotbucket_stress")
+    "tx19_mixture_rebalance", "dd12_lsh_hotbucket_stress",
+    "tx22_pii_redaction", "tx24_deterministic_shuffle")
 
   private def unwrap(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => a.executedPlan
