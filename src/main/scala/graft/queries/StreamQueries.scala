@@ -116,7 +116,58 @@ object StreamQueries {
 
   val builds: Map[String, B] = Map(
     "build_stream_chunks" -> ((s, dir) => { ensureStreamChunks(s, dir, 3); () }),
-    "build_event_chunks" -> ((s, dir) => { ensureEventChunks(s, dir, 3); () }))
+    "build_event_chunks" -> ((s, dir) => { ensureEventChunks(s, dir, 3); () }),
+    "build_late_chunks" -> ((s, dir) => { ensureLateChunks(s, dir); () }))
+
+  /** Content-addressed chunk id (0–3) for the late-data replay: quarters
+    * of the md5-prefix space, replayable verbatim in the DuckDB oracle
+    * (string comparison — no hex parsing on either engine). Four chunks
+    * so TWO watermark levels actually filter (the engine's late filter
+    * lags the data by two batches — see [[lateDataAudit]]). */
+  private def lateChunkOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val p = substring(md5(id.cast("string")), 1, 2)
+    when(p < "40", 0).when(p < "80", 1).when(p < "c0", 2).otherwise(3)
+  }
+
+  /** One-FILE-per-chunk fixture for the late-data audit (st19): events
+    * split into four content-addressed chunks ([[lateChunkOf]] — the
+    * oracle recomputes membership), each written as a single parquet file
+    * with strictly increasing mtimes, so `maxFilesPerTrigger=1` replays
+    * chunk 0 → 1 → 2 → 3 in a deterministic batch order (the file source
+    * processes oldest-mtime first). Batch identity is what makes the
+    * watermark progression — and therefore the late-drop set — a pure
+    * function of the data. */
+  private[graft] def ensureLateChunks(s: org.apache.spark.sql.SparkSession,
+                                      dir: String): String =
+    chunkDirs.computeIfAbsent(s"late|$dir", _ => {
+      val scratch = new java.io.File(
+        s"target/stream-scratch/late_chunks_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+        .getAbsolutePath
+      val ev = Tables.table(s, dir, "events")
+      val norm = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => ev
+        case _ => ev.withColumn("ts",
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+      }
+      val base = System.currentTimeMillis()
+      for (c <- 0 until 4) {
+        val tmp = s"$scratch/_tmp_$c"
+        norm.filter(lateChunkOf(col("event_id")) === c)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written under $tmp"))
+        val dest = new java.io.File(s"$scratch/chunk_$c.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dest.setLastModified(base + c * 2000L)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+      }
+      scratch
+    })
 
   /** Chunked multi-batch replay of the invoice state machine: the lineitem
     * scan (pruned to the three purchase columns) is rewritten to `nFiles`
@@ -202,6 +253,64 @@ object StreamQueries {
     val (raw, q) = StreamRunner.toMemoryWithQuery(
       InvoiceStateMachine.eventTimed(timed, "4000 days", idleMs = horizonMs))
     (lastEmissionPerKey(raw, s), q)
+  }
+
+  /** The st19 replay: hour-tumbling event counts under a 1 h watermark
+    * over the [[ensureLateChunks]] four-batch replay, plus the audit
+    * columns (total late-dropped rows; the boundary-collision premise).
+    *
+    * ENGINE LATE-FILTER SEMANTICS (measured, and pinned by StreamSpec's
+    * two probes — do not "fix" this to the naive model): under a
+    * back-to-back `AvailableNow` replay, the stateful operator in batch k
+    * filters input with the watermark derived from data through batch
+    * **k−2**, one batch LATER than the committed watermark the progress
+    * log displays — so chunk 0 and chunk 1 are never filtered, chunk 2
+    * is filtered at wm(c0) = max ts(c0) − 1 h, and chunk 3 at
+    * wm(c0∪c1). A row is dropped iff its window END ≤ that watermark
+    * (`numRowsDroppedByWatermark` counts dropped post-partial-agg rows,
+    * not raw rows, so the audit derives raw drops from the sink).
+    * Returns the terminated query too so StreamSpec can pin ≥4
+    * micro-batches and genuine drops. */
+  private[graft] def lateDataAudit(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
+    import s.implicits._
+    val scratch = ensureLateChunks(s, dir)
+    val raw = StructType(Schemas.events.map {
+      case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
+      case f => f
+    })
+    val windows = s.readStream.schema(raw)
+      .option("maxFilesPerTrigger", 1).parquet(scratch)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "1 hour")
+      .groupBy(window($"ets", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        $"n")
+    val (rawOut, q) = StreamRunner.toMemoryWithQuery(windows)
+    // update mode re-emits a window each touched batch; its final count
+    // (the max — counts only grow) is the complete kept-row count
+    val kept = rawOut.groupBy($"w_start").agg(max($"n").as("n"))
+    val HourUs = 3600L * 1000000L
+    // the two watermark levels that actually filter (two-batch lag):
+    // wm1 = through chunk 0 (filters chunk 2), wm2 = through chunks 0–1
+    // (filters chunk 3)
+    val audit = Tables.events(s, dir)
+      .select(unix_micros($"ts".cast("timestamp")).as("tsm"),
+        lateChunkOf($"event_id").as("ck"))
+      .agg(count(lit(1)).as("total"),
+        (max(when($"ck" === 0, $"tsm")) - HourUs).as("wm1"),
+        (max(when($"ck" <= 1, $"tsm")) - HourUs).as("wm2"))
+      .select($"total",
+        (when(pmod($"wm1", lit(HourUs)) === 0, 1L).otherwise(0L) +
+          when(pmod($"wm2", lit(HourUs)) === 0, 1L).otherwise(0L)).as("boundary_hits"))
+    val keptTotal = kept.agg(sum($"n").as("kept_total"))
+    val result = kept
+      .crossJoin(broadcast(audit)).crossJoin(broadcast(keptTotal))
+      .select($"w_start", $"n", ($"total" - $"kept_total").as("n_dropped"),
+        $"boundary_hits")
+      .orderBy($"w_start")
+    (result, q)
   }
 
   /** Run-level evidence from the crash-recovery replay, so the spec can
@@ -359,6 +468,26 @@ object StreamQueries {
         .select(date_format($"sw.start", "yyyy-MM-dd HH:mm:ss").as("s_start"),
           $"user_id", $"n_events")
         .orderBy($"user_id", $"s_start")
+    },
+
+    // Late-data accounting under a deliberately tight watermark — the
+    // audit a production event pipeline runs to know what the watermark
+    // is silently discarding. Events replay in FOUR content-addressed
+    // chunks (md5-prefix quarters of event_id — the oracle recomputes
+    // membership) as one file per trigger in deterministic mtime order,
+    // so the watermark progression is a pure function of the data. The
+    // ENGINE's late filter lags the committed watermark by one batch
+    // (measured + StreamSpec-pinned): batch k filters with max event
+    // time through batch k−2, minus the 1 h delay — chunks 0–1 pass
+    // unfiltered, chunk 2 is cut at wm(c0), chunk 3 at wm(c0∪c1); late
+    // rows still advance the watermark. A row is dropped iff its
+    // hour-window END ≤ the filter watermark (boundary pinned by
+    // StreamSpec), so the DuckDB oracle replays the exact kept set,
+    // per-window counts, and total dropped rows. boundary_hits (both
+    // engines, data-derived) certifies no window end lands exactly ON a
+    // watermark — the premise that makes ≤-vs-< unobservable here.
+    "st19_late_data_audit" -> { (s, dir) =>
+      lateDataAudit(s, dir)._1
     },
 
     // A4 across micro-batches: the same state machine as st01, but the
@@ -820,6 +949,37 @@ object StreamQueries {
     // The final per-key emission of the chunked replay must equal the same
     // batch aggregate — cross-batch state folding is exact.
     "st07_invoice_state_multibatch" -> s"$weightedAggSql ORDER BY invoice_no",
+
+    // replays the full late-drop mechanics: chunk membership (md5-prefix
+    // quarters), the TWO-BATCH-LAGGED filter watermarks (chunk 2 cut at
+    // max-ts(c0) − 1 h, chunk 3 at max-ts(c0∪c1) − 1 h; chunks 0–1
+    // unfiltered), and the drop rule window_end ≤ wm
+    "st19_late_data_audit" ->
+      """WITH e AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tsm,
+        |         CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 2) < '40' THEN 0
+        |              WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 2) < '80' THEN 1
+        |              WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 2) < 'c0' THEN 2
+        |              ELSE 3 END AS ck
+        |  FROM events),
+        |wm AS (
+        |  SELECT COUNT(*) AS total,
+        |         MAX(CASE WHEN ck = 0 THEN tsm END) - 3600000000 AS wm1,
+        |         MAX(CASE WHEN ck <= 1 THEN tsm END) - 3600000000 AS wm2
+        |  FROM e),
+        |kept AS (
+        |  SELECT (tsm // 3600000000) * 3600000000 AS wsu
+        |  FROM e, wm
+        |  WHERE ck <= 1
+        |     OR (ck = 2 AND ((tsm // 3600000000) + 1) * 3600000000 > wm1)
+        |     OR (ck = 3 AND ((tsm // 3600000000) + 1) * 3600000000 > wm2)),
+        |win AS (SELECT wsu, CAST(COUNT(*) AS BIGINT) AS n FROM kept GROUP BY wsu)
+        |SELECT strftime(make_timestamp(wsu), '%Y-%m-%d %H:%M:%S') AS w_start, n,
+        |       CAST(wm.total - (SELECT SUM(n) FROM win) AS BIGINT) AS n_dropped,
+        |       CAST((CASE WHEN wm.wm1 % 3600000000 = 0 THEN 1 ELSE 0 END)
+        |          + (CASE WHEN wm.wm2 % 3600000000 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS boundary_hits
+        |FROM win, wm ORDER BY w_start""".stripMargin,
 
     // Crash + checkpoint restart must converge to the same batch aggregate.
     "st18_crash_recovery" -> s"$weightedAggSql ORDER BY invoice_no",

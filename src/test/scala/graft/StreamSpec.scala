@@ -517,4 +517,122 @@ class StreamSpec extends SparkSuite {
     assert(result.collect().sameElements(batch.collect()),
       "recovered streaming result diverged from the batch aggregate")
   }
+
+  test("st19 premise: the late-drop boundary is window_end <= watermark " +
+    "(end==wm dropped, raw ts==wm kept), and the watermark is prior-batch max") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes")).agg(count(lit(1)).as("n"))
+      .select(date_format($"window.start", "HH:mm").as("ws"), $"n")
+    val q = df.writeStream.format("memory").queryName("wm_boundary_pin")
+      .outputMode("update").start()
+    def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    try {
+      mem.addData((t("10:00"), 1L)) // batch 0: max 10:00 → wm becomes 09:50
+      q.processAllAvailable()
+      // batch 1: window ends 09:40 (< wm), 09:50 (== wm), 10:00 (> wm,
+      // one row AT the raw watermark instant)
+      mem.addData((t("09:35"), 2L), (t("09:45"), 3L), (t("09:50"), 4L),
+        (t("09:55"), 5L))
+      q.processAllAvailable()
+      val rows = s.table("wm_boundary_pin").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(!rows.exists(_._1 == "09:30"), "window ending BELOW wm must drop")
+      assert(!rows.exists(_._1 == "09:40"),
+        "window ending EXACTLY AT wm must drop (the <= boundary st19's oracle encodes)")
+      assert(rows.contains(("09:50", 2L)),
+        s"the wm-straddling window must keep BOTH rows (raw ts == wm is " +
+          s"not the filter — window end is); got $rows")
+    } finally q.stop()
+  }
+
+  test("st19 premise: under AvailableNow the late filter uses the watermark " +
+    "from data through batch k-2 (one batch behind the committed watermark)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wmlag").toString
+    def t(h: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2026-01-${1 + h / 24}%02d ${h % 24}%02d:30:00")
+    // 1 h windows, 1 h delay. Chunk maxes 100h/110h/120h ⇒ candidate
+    // watermarks 99.5h (c0), 109.5h (c0∪c1), 119.5h (c0..c2). Probes:
+    //   c1 @50h  — kept ⟺ batch 1 is UNFILTERED (wm through batch −1)
+    //   c2 @51h dropped + @105h kept — batch 2 filters at 99.5 (NOT 109.5)
+    //   c3 @105h dropped + @115h kept — batch 3 filters at 109.5 (NOT 119.5)
+    val chunks = Seq(Seq(10, 100), Seq(50, 110), Seq(51, 105, 110),
+      Seq(52, 105, 115, 120))
+    chunks.zipWithIndex.foreach { case (hs, c) =>
+      val tmp = s"$dir/_tmp_$c"
+      hs.map(h => (t(h), h.toLong)).toDF("ts", "h")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$dir/chunk_$c.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(1700000000000L + c * 2000L)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.LongType)))
+    val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour")).agg(count(lit(1)).as("n"))
+      .select(date_format($"window.start", "dd HH:mm").as("ws"), $"n")
+    val (out, _) = graft.stream.StreamRunner.toMemoryWithQuery(stream)
+    val wins = out.groupBy($"ws").agg(max($"n").as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(wins.contains("03 02:00"),
+      s"c1@50h must pass — batch 1 runs unfiltered (two-batch lag); got $wins")
+    assert(!wins.contains("03 03:00"),
+      s"c2@51h must drop at wm(c0); got $wins")
+    assert(wins.get("05 09:00").contains(1L),
+      s"105h window must keep the c2 row (batch 2 filters at wm(c0), not " +
+        s"wm(c0∪c1)) and drop the c3 row (batch 3 filters at wm(c0∪c1)); got $wins")
+    assert(wins.contains("05 19:00"),
+      s"c3@115h must pass — batch 3 filters at wm(c0∪c1), not wm(c0..c2); got $wins")
+  }
+
+  test("st19: late-data audit crosses >=4 batches, drops rows, and its " +
+    "accounting matches an independent batch replay of the lag rule") {
+    val s = spark
+    import s.implicits._
+    val (df, q) = graft.queries.StreamQueries.lateDataAudit(s, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "no windows survived — audit is vacuous")
+    assert(q.lastProgress.batchId >= 3,
+      s"replay must span >=4 micro-batches, got ${q.lastProgress.batchId}")
+    val dropped = rows.head.getAs[Long]("n_dropped")
+    assert(dropped > 0, "watermark dropped nothing — audit is vacuous")
+    assert(rows.head.getAs[Long]("boundary_hits") == 0L,
+      "a watermark landed exactly on a window boundary — the <=-vs-< " +
+        "premise the oracle relies on does not hold on this data")
+    // the engine's own metric counts dropped POST-PARTIAL-AGG rows, so it
+    // must be positive and can never exceed the raw-row accounting
+    val reported = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      .map(_.numRowsDroppedByWatermark).sum
+    assert(reported > 0 && reported <= dropped,
+      s"engine reported $reported dropped partials vs $dropped raw rows")
+    // independent batch-side replay of the lagged-filter rule
+    val HourUs = 3600000000L
+    val ev = graft.model.Tables.events(s, sf)
+      .select(unix_micros($"ts".cast("timestamp")).as("tsm"),
+        substring(md5($"event_id".cast("string")), 1, 2).as("p"))
+      .withColumn("ck", when($"p" < "40", 0).when($"p" < "80", 1)
+        .when($"p" < "c0", 2).otherwise(3))
+    val m = ev.agg(max(when($"ck" === 0, $"tsm")),
+      max(when($"ck" <= 1, $"tsm"))).head()
+    val (wm1, wm2) = (m.getLong(0) - HourUs, m.getLong(1) - HourUs)
+    val wend = (($"tsm" / HourUs).cast("long") + 1) * HourUs
+    val modelDropped = ev.filter(($"ck" === 2 && wend <= wm1) ||
+      ($"ck" === 3 && wend <= wm2)).count()
+    assert(modelDropped == dropped,
+      s"audit says $dropped dropped, independent replay says $modelDropped")
+  }
 }
