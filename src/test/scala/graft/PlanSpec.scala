@@ -138,6 +138,17 @@ class PlanSpec extends SparkSuite {
     } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("dd14: no shuffle carries document text — only hashed grams, " +
+    "positions, and per-doc counts cross an exchange") {
+    val plan = planOf(SparkEntry.queries("dd14_duplicate_spans")(spark, sf))
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, s"dd14 expected shuffles in:\n$plan")
+    for (e <- exchanges)
+      assert(!e.output.exists(_.name == "text"),
+        s"dd14 exchange carries the raw text column — the 16 B-digest " +
+          s"shuffle claim is broken:\n$e")
+  }
+
   test("q18/ev11: the window stack runs on ONE shuffle and ONE sort") {
     // q18's five analytics (lag×2, ntile, percent_rank, cume_dist) and
     // ev11's three frames all declare the same (partitionBy, orderBy).
