@@ -125,6 +125,29 @@ object TextOps {
     "fr" -> Seq("le", "la", "de", "et", "est", "un", "une"),
     "zh" -> Seq("的", "是", "在", "了", "和"))
 
+  /** Per-key union length of inclusive integer intervals `[s, e]` — the
+    * all-integer running-max sweep dd14 uses for duplicated-span
+    * coverage: intervals sorted by start within each key's window, each
+    * contributing `max(0, e − max(prevMaxEnd, s−1))`. Window state is one
+    * key's intervals; exact on any partitioning (integer math only).
+    *
+    * @param df (keyCol, sCol, eCol) rows, `1 ≤ s ≤ e`, both integral
+    *           (the missing-prev sentinel is 0, so starts must be ≥ 1)
+    * @return (key, covered) — one row per key present in `df`
+    */
+  def intervalUnionLength(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                          sCol: String, eCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("key")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(keyCol).as("key"), col(sCol).cast("long").as("s"),
+        col(eCol).cast("long").as("e"))
+      .withColumn("pmax", max(col("e")).over(w))
+      .withColumn("contrib", greatest(lit(0L),
+        col("e") - greatest(coalesce(col("pmax"), lit(0L)), col("s") - 1L)))
+      .groupBy(col("key")).agg(sum(col("contrib")).as("covered"))
+  }
+
   /** Predicted language = argmax over profile-overlap scores; ties broken
     * deterministically by greatest language code (struct max semantics). */
   def languageId(text: Column): Column = {

@@ -502,14 +502,10 @@ object TextQueries {
       val dup = grams.groupBy($"h")
         .agg(countDistinct($"doc_id").as("nd"))
         .filter($"nd" >= 2).select($"h")
-      val w = Window.partitionBy($"doc_id").orderBy($"s")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val cov = grams.join(dup, "h")
-        .select($"doc_id", $"s", ($"s" + 7L).as("e"))
-        .withColumn("pmax", max($"e").over(w))
-        .withColumn("contrib", greatest(lit(0L),
-          $"e" - greatest(coalesce($"pmax", lit(0L)), $"s" - 1L)))
-        .groupBy($"doc_id").agg(sum($"contrib").as("dup_tokens"))
+      val cov = TextOps.intervalUnionLength(
+          grams.join(dup, "h").select($"doc_id", $"s", ($"s" + 7L).as("e")),
+          "doc_id", "s", "e")
+        .select($"key".as("doc_id"), $"covered".as("dup_tokens"))
       docs.select($"doc_id", TextOps.tokenCount($"text").as("n_tokens"))
         .join(cov, Seq("doc_id"), "left")
         .select($"doc_id", $"n_tokens",

@@ -127,4 +127,27 @@ class TextOpsSpec extends SparkSuite {
     assert(twoLevel.nonEmpty && twoLevel == naive,
       "two-level offsets diverge from the single-pass cumsum")
   }
+
+  test("intervalUnionLength: 200 random interval sets match brute-force " +
+    "bitset coverage (incl. nesting, duplicates, adjacency)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val cases = (0 until 200).flatMap { k =>
+      val n = 1 + rnd.nextInt(12)
+      (0 until n).map { _ =>
+        val st = 1 + rnd.nextInt(40)
+        val e = st + rnd.nextInt(10)
+        (k.toLong, st.toLong, e.toLong)
+      }
+    }
+    val expected = cases.groupBy(_._1).map { case (k, ivs) =>
+      k -> ivs.flatMap { case (_, st, e) => st to e }.distinct.size.toLong
+    }
+    val got = graft.ops.TextOps.intervalUnionLength(
+        cases.toDF("k", "s", "e").repartition(7), "k", "s", "e")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"first divergence: ${expected.find(kv => got.get(kv._1) != Some(kv._2))}")
+  }
 }
