@@ -271,15 +271,18 @@ object StreamQueries {
     * not raw rows, so the audit derives raw drops from the sink).
     * Returns the terminated query too so StreamSpec can pin ≥4
     * micro-batches and genuine drops. */
-  private[graft] def lateDataAudit(s: org.apache.spark.sql.SparkSession, dir: String)
-      : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
+  /** The shared st19/st20 streaming plan: hour-tumbling event counts
+    * under a 1 h watermark over the [[ensureLateChunks]] four-batch
+    * replay. */
+  private def lateWindowStream(s: org.apache.spark.sql.SparkSession,
+                               dir: String): DataFrame = {
     import s.implicits._
     val scratch = ensureLateChunks(s, dir)
     val raw = StructType(Schemas.events.map {
       case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
       case f => f
     })
-    val windows = s.readStream.schema(raw)
+    s.readStream.schema(raw)
       .option("maxFilesPerTrigger", 1).parquet(scratch)
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ets", "1 hour")
@@ -287,7 +290,12 @@ object StreamQueries {
       .agg(count(lit(1)).as("n"))
       .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("w_start"),
         $"n")
-    val (rawOut, q) = StreamRunner.toMemoryWithQuery(windows)
+  }
+
+  private[graft] def lateDataAudit(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
+    import s.implicits._
+    val (rawOut, q) = StreamRunner.toMemoryWithQuery(lateWindowStream(s, dir))
     // update mode re-emits a window each touched batch; its final count
     // (the max — counts only grow) is the complete kept-row count
     val kept = rawOut.groupBy($"w_start").agg(max($"n").as("n"))
@@ -309,6 +317,40 @@ object StreamQueries {
       .crossJoin(broadcast(audit)).crossJoin(broadcast(keptTotal))
       .select($"w_start", $"n", ($"total" - $"kept_total").as("n_dropped"),
         $"boundary_hits")
+      .orderBy($"w_start")
+    (result, q)
+  }
+
+  /** The st20 replay: the SAME plan as [[lateDataAudit]] in APPEND mode —
+    * each window emits at most once, when the committed watermark passes
+    * its end. Measured semantics: emission at batch k's end uses the wm
+    * through batch k−1 — one batch AHEAD of the input filter's lagged
+    * wm — and `AvailableNow` runs a trailing empty flush batch only when
+    * the final chunk advanced the committed wm; either way the final cut
+    * is wmF = max event time over ALL chunks − 1 h. The window holding
+    * the global max is therefore always still open at termination: append
+    * output = kept windows with end ≤ wmF, a strict subset of st19's
+    * update-mode result. boundary premise extends to wmF. */
+  private[graft] def appendWindowFlush(s: org.apache.spark.sql.SparkSession,
+                                       dir: String)
+      : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
+    import s.implicits._
+    val (rawOut, q) = StreamRunner.toMemoryWithQuery(
+      lateWindowStream(s, dir), mode = "append")
+    val HourUs = 3600L * 1000000L
+    val audit = Tables.events(s, dir)
+      .select(unix_micros($"ts".cast("timestamp")).as("tsm"),
+        lateChunkOf($"event_id").as("ck"))
+      .agg((max(when($"ck" === 0, $"tsm")) - HourUs).as("wm1"),
+        (max(when($"ck" <= 1, $"tsm")) - HourUs).as("wm2"),
+        (max($"tsm") - HourUs).as("wmf"))
+      .select(
+        (when(pmod($"wm1", lit(HourUs)) === 0, 1L).otherwise(0L) +
+          when(pmod($"wm2", lit(HourUs)) === 0, 1L).otherwise(0L) +
+          when(pmod($"wmf", lit(HourUs)) === 0, 1L).otherwise(0L))
+          .as("boundary_hits"))
+    val result = rawOut.crossJoin(broadcast(audit))
+      .select($"w_start", $"n", $"boundary_hits")
       .orderBy($"w_start")
     (result, q)
   }
@@ -488,6 +530,18 @@ object StreamQueries {
     // watermark — the premise that makes ≤-vs-< unobservable here.
     "st19_late_data_audit" -> { (s, dir) =>
       lateDataAudit(s, dir)._1
+    },
+
+    // st19's APPEND-mode twin: the finalized-windows-only contract a
+    // file/Kafka sink consumes (update-mode re-emission would duplicate
+    // rows there). Emission happens when the committed watermark passes a
+    // window's end; the trailing AvailableNow flush batch emits
+    // everything up to max-event-time − 1 h, so the window holding the
+    // global max is ALWAYS still open — append output is the kept set of
+    // st19 minus the open tail, and the oracle replays exactly that
+    // (lagged input filter + end ≤ final-wm emission cut).
+    "st20_append_window_flush" -> { (s, dir) =>
+      appendWindowFlush(s, dir)._1
     },
 
     // A4 across micro-batches: the same state machine as st01, but the
@@ -980,6 +1034,38 @@ object StreamQueries {
         |          + (CASE WHEN wm.wm2 % 3600000000 = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |         AS boundary_hits
         |FROM win, wm ORDER BY w_start""".stripMargin,
+
+    // st19's kept set, cut to windows the committed watermark finalized
+    // (end <= max event time over ALL chunks - 1 h); the open tail never
+    // appears in append output
+    "st20_append_window_flush" ->
+      """WITH e AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tsm,
+        |         CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 2) < '40' THEN 0
+        |              WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 2) < '80' THEN 1
+        |              WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 2) < 'c0' THEN 2
+        |              ELSE 3 END AS ck
+        |  FROM events),
+        |wm AS (
+        |  SELECT MAX(CASE WHEN ck = 0 THEN tsm END) - 3600000000 AS wm1,
+        |         MAX(CASE WHEN ck <= 1 THEN tsm END) - 3600000000 AS wm2,
+        |         MAX(tsm) - 3600000000 AS wmf
+        |  FROM e),
+        |kept AS (
+        |  SELECT (tsm // 3600000000) * 3600000000 AS wsu
+        |  FROM e, wm
+        |  WHERE ck <= 1
+        |     OR (ck = 2 AND ((tsm // 3600000000) + 1) * 3600000000 > wm1)
+        |     OR (ck = 3 AND ((tsm // 3600000000) + 1) * 3600000000 > wm2)),
+        |win AS (SELECT wsu, CAST(COUNT(*) AS BIGINT) AS n FROM kept GROUP BY wsu)
+        |SELECT strftime(make_timestamp(wsu), '%Y-%m-%d %H:%M:%S') AS w_start, n,
+        |       CAST((CASE WHEN wm.wm1 % 3600000000 = 0 THEN 1 ELSE 0 END)
+        |          + (CASE WHEN wm.wm2 % 3600000000 = 0 THEN 1 ELSE 0 END)
+        |          + (CASE WHEN wm.wmf % 3600000000 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS boundary_hits
+        |FROM win, wm
+        |WHERE wsu + 3600000000 <= wm.wmf
+        |ORDER BY w_start""".stripMargin,
 
     // Crash + checkpoint restart must converge to the same batch aggregate.
     "st18_crash_recovery" -> s"$weightedAggSql ORDER BY invoice_no",

@@ -635,4 +635,27 @@ class StreamSpec extends SparkSuite {
     assert(modelDropped == dropped,
       s"audit says $dropped dropped, independent replay says $modelDropped")
   }
+
+  test("st20: append output equals st19's kept windows minus the open tail " +
+    "(same counts, strictly fewer windows, no duplicate emissions)") {
+    val s = spark
+    val (appendDf, q) = graft.queries.StreamQueries.appendWindowFlush(s, sf)
+    val append = appendDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 4 data batches = ids 0..3; a 5th trailing flush batch only runs if
+    // the final chunk raised the global max (the committed wm advanced
+    // after the last data batch) — either way the cut lands at wmF
+    assert(q.lastProgress.batchId >= 3,
+      s"append replay must span all four chunks, got ${q.lastProgress.batchId}")
+    assert(append.size == appendDf.count(),
+      "append mode emitted some window more than once")
+    val update = graft.queries.StreamQueries.lateDataAudit(s, sf)._1.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(append.nonEmpty && append.size < update.size,
+      s"append (${append.size}) must be a strict subset of update (${update.size}) — " +
+        "the window holding the global max is always still open")
+    for ((w, n) <- append)
+      assert(update.get(w).contains(n),
+        s"window $w: append count $n != update-mode final count ${update.get(w)}")
+  }
 }
