@@ -442,6 +442,37 @@ object IngestQueries {
           sum(cents(col("o_totalprice"))).as("sum_price_cents"),
           countDistinct(col("o_custkey")).as("n_custs"))
         .orderBy(col("priority"))
+    },
+
+    // In-flight data-quality counters via the Observation API
+    // (`CollectMetrics`): row count, bad-row count, key range — computed
+    // AS THE DATA FLOWS through an action, the way a production ingest
+    // rides its audit on the main write instead of paying a second
+    // 100 TB scan. Here the observed pass is the explicit driver action
+    // (the entry must hold the metrics before returning its frame); the
+    // metrics then ride every output row as literals, and the DuckDB
+    // oracle recomputes them as ordinary aggregates — certifying the
+    // observe-path numbers equal the query-path numbers exactly.
+    "cs14_observed_ingest" -> { (s, dir) =>
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation("cs14")
+      val li = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_quantity")
+      li.observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(when($"l_quantity" <= 0, 1L).otherwise(0L)).as("bad_qty_rows"),
+          min($"l_orderkey").as("min_key"),
+          max($"l_orderkey").as("max_key"))
+        .count(): Unit
+      val m = obs.get
+      li.groupBy(($"l_orderkey" % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity").as("sum_qty"))
+        .withColumn("obs_rows", lit(m("n_rows").asInstanceOf[Long]))
+        .withColumn("obs_bad_qty", lit(m("bad_qty_rows").asInstanceOf[Long]))
+        .withColumn("obs_min_key", lit(m("min_key").asInstanceOf[Long]))
+        .withColumn("obs_max_key", lit(m("max_key").asInstanceOf[Long]))
+        .orderBy($"bucket")
     })
 
   val oracles: Map[String, String] = Map(
@@ -618,5 +649,23 @@ object IngestQueries {
         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
         |FROM orders
         |GROUP BY 1
-        |ORDER BY priority""".stripMargin)
+        |ORDER BY priority""".stripMargin,
+
+    // the observe-path counters recomputed as plain aggregates
+    "cs14_observed_ingest" ->
+      """WITH m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |         CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS bad_qty_rows,
+        |         CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+        |         CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+        |  FROM lineitem)
+        |SELECT CAST(l_orderkey % 10 AS BIGINT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       SUM(l_quantity) AS sum_qty,
+        |       m.n_rows AS obs_rows, m.bad_qty_rows AS obs_bad_qty,
+        |       m.min_key AS obs_min_key, m.max_key AS obs_max_key
+        |FROM lineitem CROSS JOIN m
+        |GROUP BY 1, m.n_rows, m.bad_qty_rows, m.min_key, m.max_key
+        |ORDER BY bucket""".stripMargin)
 }
