@@ -625,6 +625,35 @@ object RelationalQueries {
         .orderBy($"c_mktsegment")
     },
 
+    // NULL-semantics certification — the cross-engine traps every SQL
+    // migration hits, pinned against DuckDB on one frame: NULL forms its
+    // own GROUP BY group, count(col) skips NULLs while count(*) doesn't,
+    // aggregates ignore NULL inputs, and the null-safe equality join
+    // (`<=>` ≡ IS NOT DISTINCT FROM) matches NULL keys where plain `=`
+    // drops them — eq_matches vs nullsafe_matches differ by exactly the
+    // NULL-key pair. Nulls are derived deterministically (the URGENT
+    // priority nulled out), so both engines see identical inputs; the
+    // two match-count scalars ride every row via 1-row broadcast
+    // attaches (the tx12 pattern).
+    "q38_null_semantics" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables.orders(s, dir).select(
+        when($"o_orderpriority" === "1-URGENT", lit(null))
+          .otherwise($"o_orderpriority").as("prio"),
+        cents($"o_totalprice").as("pc"))
+      val d = o.select($"prio").distinct()
+      val r = d.select($"prio".as("rp"))
+      val eq = d.join(r, $"prio" === $"rp")
+        .agg(count(lit(1)).as("eq_matches"))
+      val ns = d.join(r, $"prio" <=> $"rp")
+        .agg(count(lit(1)).as("nullsafe_matches"))
+      o.groupBy(coalesce($"prio", lit("(null)")).as("prio_key"))
+        .agg(count(lit(1)).as("n_rows"), count($"prio").as("n_nonnull"),
+          sum($"pc").as("sum_cents"))
+        .crossJoin(broadcast(eq)).crossJoin(broadcast(ns))
+        .orderBy($"prio_key")
+    },
+
     // UNPIVOT/melt (q16's inverse): the wide pivoted quantity table
     // folded back to long form with the Dataset `unpivot` operator —
     // wide→long is pure per-row column shuffling (no exchange beyond
@@ -975,6 +1004,27 @@ object RelationalQueries {
          |FROM e JOIN customer USING (c_custkey)
          |GROUP BY c_mktsegment
          |ORDER BY c_mktsegment""".stripMargin,
+
+    // IS NOT DISTINCT FROM is DuckDB's spelling of Spark's <=>
+    "q38_null_semantics" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+        |              ELSE o_orderpriority END AS prio,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        |  FROM orders),
+        |d AS (SELECT DISTINCT prio FROM o),
+        |eq AS (SELECT CAST(COUNT(*) AS BIGINT) AS eq_matches
+        |       FROM d a JOIN d b ON a.prio = b.prio),
+        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS nullsafe_matches
+        |       FROM d a JOIN d b ON a.prio IS NOT DISTINCT FROM b.prio)
+        |SELECT COALESCE(prio, '(null)') AS prio_key,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(prio) AS BIGINT) AS n_nonnull,
+        |       CAST(SUM(pc) AS BIGINT) AS sum_cents,
+        |       eq.eq_matches, ns.nullsafe_matches
+        |FROM o CROSS JOIN eq CROSS JOIN ns
+        |GROUP BY 1, eq.eq_matches, ns.nullsafe_matches
+        |ORDER BY prio_key""".stripMargin,
 
     "q12_bucketed_join" ->
       s"""SELECT o_orderstatus,

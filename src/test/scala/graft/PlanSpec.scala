@@ -55,7 +55,8 @@ class PlanSpec extends SparkSuite {
     "sk05_hll_intersection", "q33_range_partition_plan",
     "dd10_embdup_recall", "dd11_semantic_keepers",
     "tx19_mixture_rebalance", "dd12_lsh_hotbucket_stress",
-    "tx22_pii_redaction", "tx24_deterministic_shuffle")
+    "tx22_pii_redaction", "tx24_deterministic_shuffle",
+    "q38_null_semantics") // two 1-row match-count scalars, broadcast-attached
 
   private def unwrap(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => a.executedPlan

@@ -634,6 +634,18 @@ class StreamSpec extends SparkSuite {
       ($"ck" === 3 && wend <= wm2)).count()
     assert(modelDropped == dropped,
       s"audit says $dropped dropped, independent replay says $modelDropped")
+    // state is watermark-BOUNDED, not append-only: the watermark evicted
+    // window state mid-replay, and what remains at termination is only
+    // the open tail (windows ending after max-event-time − 1 h), never
+    // the month of history that flowed through
+    val progresses = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+    val removedSum = progresses.map(_.numRowsRemoved).sum
+    val finalState = progresses.lastOption.map(_.numRowsTotal).getOrElse(-1L)
+    assert(removedSum > 0, "watermark never evicted state during the replay")
+    assert(finalState >= 0 && finalState <= 8,
+      s"terminal state holds $finalState windows — expected only the open " +
+        "tail; state is not watermark-bounded")
   }
 
   test("st20: append output equals st19's kept windows minus the open tail " +
