@@ -302,6 +302,41 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Late-interaction (ColBERT-style MaxSim) retrieval: each vector is
+    // treated as 4 token sub-vectors (contiguous dim/4 slices), and
+    // score(q, d) = Σ_i max_j ⟨q_i, d_j⟩ — every query token matches its
+    // best document token, the retrieval shape multi-vector models use
+    // where single-vector cosine loses token-level signal. All 16 slice
+    // dot products run through the codegen DotProduct expression; the
+    // corpus is never shuffled (broadcast query set, as an01) and the
+    // fixed i-then-j evaluation order makes the float sum identical to
+    // DuckDB's left-associative replay.
+    "an10_maxsim_topk" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val dim = emb.select(size($"embedding")).head().getInt(0)
+      val dsub = dim / 4
+      def sub(v: org.apache.spark.sql.Column, i: Int) =
+        slice(v, i * dsub + 1, dsub)
+      val c = emb.select($"vec_id".as("neighbor_id"),
+        $"embedding".cast("array<double>").as("dv"))
+      val q = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"embedding".cast("array<double>").as("qv"))
+      val score = (0 until 4).map { i =>
+        greatest((0 until 4).map(j =>
+          Similarity.dot(sub($"qv", i), sub($"dv", j))): _*)
+      }.reduce(_ + _)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+        .orderBy($"maxsim".desc, $"neighbor_id")
+      c.join(broadcast(q), $"query_id" =!= $"neighbor_id")
+        .select($"query_id", $"neighbor_id", score.as("maxsim"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"rank", $"neighbor_id",
+          round($"maxsim", 6).as("maxsim"))
+        .orderBy($"query_id", $"rank")
+    },
+
     // Filtered vector search (the RAG shape: top-k under a metadata
     // predicate). The filter applies to the CORPUS side before scoring —
     // pushed to the parquet scan, so the brute-force pass reads and
@@ -943,6 +978,34 @@ object PipelineQueries {
         |       round(cosine, 6) AS cosine
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // 16 slice dot products, max per query token, left-associative sum —
+    // the same evaluation order as the Spark expression tree
+    "an10_maxsim_topk" -> {
+      def subQ(i: Int) = s"q.v[${i}*q.ds+1:${i + 1}*q.ds]"
+      def subC(j: Int) = s"c.v[${j}*c.ds+1:${j + 1}*c.ds]"
+      val score = (0 until 4).map { i =>
+        s"GREATEST(${(0 until 4).map(j =>
+          s"list_dot_product(${subQ(i)}, ${subC(j)})").mkString(", ")})"
+      }.mkString(" + ")
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |                  len(embedding) // 4 AS ds
+         |           FROM embeddings),
+         |q AS (SELECT vec_id, v, ds FROM c WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         $score AS maxsim
+         |  FROM c CROSS JOIN q WHERE q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, maxsim,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY maxsim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+         |       round(maxsim, 6) AS maxsim
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     // the same fixed-point quantize→exact-sum→two-division sequence,
     // evaluated sequentially — equality IS the order-independence proof

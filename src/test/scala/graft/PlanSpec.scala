@@ -49,7 +49,8 @@ class PlanSpec extends SparkSuite {
     * the tx12 O(n·1) scalar-attach pattern. tx24's stripe-offset prefix
     * sum is the q33 pattern: a broadcast theta-join over the stripe-count
     * frame, bounded at 256×256 rows regardless of corpus size. */
-  private val bnljWhitelist = Set("an01_cosine_topk_brute", "an03_ivf_recall",
+  private val bnljWhitelist = Set("an01_cosine_topk_brute", "an10_maxsim_topk",
+    "an03_ivf_recall",
     "an04_pq_recall", "an05_ivfpq_recall", "an07_filtered_topk",
     "an09_sq8_recall", "tx12_tfidf_top_terms", "q26_market_basket",
     "sk05_hll_intersection", "q33_range_partition_plan",
