@@ -124,4 +124,47 @@ class AppsSpec extends SparkSuite {
     // bisecting branch wrote (possibly zero rows but the sink must exist)
     assert(new java.io.File(s"$base/out/anomalias_bisect_kmeans").exists())
   }
+
+  test("insights job end-to-end: consistent sessions/funnel/retention/value " +
+    "reports, deterministic across runs") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("insights-").toString
+    val summary = graft.apps.Insights.run(s, sf, s"$base/run1").head()
+    val nEvents = summary.getAs[Long]("n_events")
+    // conservation: every event lands in exactly one session
+    assert(summary.getAs[Long]("n_session_events") == nEvents,
+      "sessionization lost or duplicated events")
+    // the funnel only narrows, stage by stage
+    val (users, viewers, clickers, buyers) = (summary.getAs[Long]("n_users"),
+      summary.getAs[Long]("n_viewers"), summary.getAs[Long]("n_clickers"),
+      summary.getAs[Long]("n_purchasers"))
+    assert(users >= viewers && viewers >= clickers && clickers >= buyers,
+      s"funnel not monotone: $users/$viewers/$clickers/$buyers")
+    assert(buyers > 0, "no purchaser completed the funnel at this sf — vacuous")
+    // sessions are well-formed: positive length windows, ordered bounds
+    val sess = s.read.parquet(s"$base/run1/sessions")
+    assert(sess.filter($"sess_end" < $"sess_start" || $"sess_events" <= 0).isEmpty)
+    // retention: week 0 of each cohort equals the cohort's size, and no
+    // offset row ever exceeds it
+    val ret = s.read.parquet(s"$base/run1/retention")
+    val week0 = ret.filter($"week_offset" === 0)
+      .select($"cohort_week", $"n_users".as("w0"))
+    assert(ret.join(week0, "cohort_week").filter($"n_users" > $"w0").isEmpty,
+      "a retention offset exceeds its cohort size")
+    val cohortSizes = s.read.parquet(s"$base/run1/funnel").count()
+    assert(week0.agg(sum($"w0")).head().getLong(0) == cohortSizes,
+      "cohort week-0 totals must partition the user base")
+    // value conservation: per-user cents sum to the global exact total
+    val uv = s.read.parquet(s"$base/run1/user_value")
+    val globalCents = graft.model.Tables.events(s, sf)
+      .agg(sum(round($"value" * 100).cast("long"))).head().getLong(0)
+    assert(uv.agg(sum($"value_cents")).head().getLong(0) == globalCents)
+    // determinism: a second run reproduces the session report exactly
+    graft.apps.Insights.run(s, sf, s"$base/run2")
+    val a = sess.orderBy($"user_id", $"sess_id").collect().toSeq
+    val b = s.read.parquet(s"$base/run2/sessions")
+      .orderBy($"user_id", $"sess_id").collect().toSeq
+    assert(a == b, "re-run produced a different session report")
+  }
 }
