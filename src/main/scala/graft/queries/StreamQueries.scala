@@ -355,6 +355,57 @@ object StreamQueries {
     (result, q)
   }
 
+  /** The st21 replay: stream-static join against a dimension that
+    * REFRESHES between micro-batches — the slowly-changing-dimension
+    * pattern a production `foreachBatch` job uses (re-read the dim per
+    * batch; the version each batch saw is visible in its output). The
+    * dim is re-derived deterministically per version (tier =
+    * (user_id + v) mod 3, version column carried through the join), the
+    * handler overwrites the dim path AFTER each batch, and the four-chunk
+    * replay ([[ensureLateChunks]], mtime-ordered) makes batch k see
+    * exactly version k — so the DuckDB oracle replays the whole
+    * progression from chunk membership alone. Output goes through the
+    * idempotent batch sink (at-least-once → exactly-once files). */
+  private[graft] def streamDimRefresh(s: org.apache.spark.sql.SparkSession,
+                                      dir: String): DataFrame = {
+    import s.implicits._
+    val scratch = ensureLateChunks(s, dir)
+    val raw = StructType(Schemas.events.map {
+      case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
+      case f => f
+    })
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
+      "dimref-").toString
+    val dimPath = s"$base/dim"
+    val outPath = s"$base/out"
+    val users = Tables.events(s, dir).select($"user_id").distinct()
+    def writeDim(v: Long): Unit = users
+      .select($"user_id", pmod($"user_id" + v, lit(3L)).as("tier"),
+        lit(v).as("dim_version"))
+      .write.mode("overwrite").parquet(dimPath)
+    writeDim(0L)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    val q = s.readStream.schema(raw)
+      .option("maxFilesPerTrigger", 1).parquet(scratch)
+      .select($"event_id", $"user_id")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val dim = s.read.parquet(dimPath) // fresh listing: the CURRENT version
+        graft.apps.Pipeline.writeBatch(
+          batch.join(broadcast(dim), "user_id"), outPath, id)
+        writeDim(id + 1) // refresh AFTER the batch: batch k sees version k
+      }
+      .start()
+    q.awaitTermination()
+    graft.stream.IdempotentSink.read(s, outPath)
+      .groupBy($"dim_version", $"tier")
+      .agg(count(lit(1)).as("n_events"), countDistinct($"user_id").as("n_users"))
+      .orderBy($"dim_version", $"tier")
+  }
+
   /** Run-level evidence from the crash-recovery replay, so the spec can
     * pin that the crash and the checkpoint recovery actually happened (not
     * just that the final rows are right). Batch ids are taken from each
@@ -542,6 +593,14 @@ object StreamQueries {
     // (lagged input filter + end ≤ final-wm emission cut).
     "st20_append_window_flush" -> { (s, dir) =>
       appendWindowFlush(s, dir)._1
+    },
+
+    // Stream-static join against a BETWEEN-BATCH refreshing dimension
+    // (the slowly-changing-dim production pattern): each micro-batch
+    // re-reads the dim and provably sees its own version — the oracle
+    // replays version-per-batch from chunk membership alone.
+    "st21_stream_dim_refresh" -> { (s, dir) =>
+      streamDimRefresh(s, dir)
     },
 
     // A4 across micro-batches: the same state machine as st01, but the
@@ -1066,6 +1125,24 @@ object StreamQueries {
         |FROM win, wm
         |WHERE wsu + 3600000000 <= wm.wmf
         |ORDER BY w_start""".stripMargin,
+
+    // batch k = chunk k (mtime-ordered one-file triggers) saw dim
+    // version k, whose tier function is (user_id + k) mod 3
+    "st21_stream_dim_refresh" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |         CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 2) < '40' THEN 0
+        |              WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 2) < '80' THEN 1
+        |              WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 2) < 'c0' THEN 2
+        |              ELSE 3 END AS ck
+        |  FROM events)
+        |SELECT CAST(ck AS BIGINT) AS dim_version,
+        |       CAST((user_id + ck) % 3 AS BIGINT) AS tier,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM e
+        |GROUP BY 1, 2
+        |ORDER BY dim_version, tier""".stripMargin,
 
     // Crash + checkpoint restart must converge to the same batch aggregate.
     "st18_crash_recovery" -> s"$weightedAggSql ORDER BY invoice_no",
