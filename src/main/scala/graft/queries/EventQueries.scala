@@ -114,6 +114,34 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
+    // Time-weighted average value (TWAP) per user — the time-series mean
+    // that weights each observation by how long it was "current" (lead()
+    // interval × value), the correct aggregate for irregularly-sampled
+    // series where a plain avg over-weights bursts. All accumulation is
+    // exact integer micros × cents (bounded far below Long overflow at
+    // any realistic value·span product; DuckDB sums via int128 and casts
+    // back); the single final division is guarded against zero spans so
+    // both engines emit NULL rather than engine-specific Inf/NaN.
+    "ev24_time_weighted_value" -> { (s, dir) =>
+      import s.implicits._
+      // ordering by epoch micros == ordering by ts (monotone bijection)
+      val w = Window.partitionBy($"user_id").orderBy($"t_us", $"event_id")
+      Tables.events(s, dir)
+        .select($"user_id", $"event_id",
+          cents($"value").as("vc"),
+          unix_micros($"ts".cast("timestamp")).as("t_us"))
+        .withColumn("next_us", lead($"t_us", 1).over(w))
+        .filter($"next_us".isNotNull)
+        .groupBy($"user_id")
+        .agg(sum($"vc" * ($"next_us" - $"t_us")).as("weighted_cents_us"),
+          sum($"next_us" - $"t_us").as("span_us"),
+          count(lit(1)).as("n_intervals"))
+        .withColumn("twap_cents",
+          when($"span_us" > 0,
+            $"weighted_cents_us".cast("double") / $"span_us"))
+        .orderBy($"user_id")
+    },
+
     // P3: the reference's decimal-hour projection (shared batch/stream
     // expression) aggregated per event type. The average is accumulated in
     // exact integer minutes-of-day (a float-accumulated avg is
@@ -547,6 +575,25 @@ object EventQueries {
         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
         |       CAST(MAX(sess_events) AS BIGINT) AS max_session_events
         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ev24_time_weighted_value" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         CAST(round(value * 100) AS BIGINT) AS vc,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+        |         lead(epoch_us(CAST(ts AS TIMESTAMP)))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(SUM(vc * (next_us - t_us)) AS BIGINT) AS weighted_cents_us,
+        |  CAST(SUM(next_us - t_us) AS BIGINT) AS span_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |  CASE WHEN SUM(next_us - t_us) > 0
+        |       THEN CAST(SUM(vc * (next_us - t_us)) AS DOUBLE)
+        |            / CAST(SUM(next_us - t_us) AS BIGINT)
+        |       END AS twap_cents
+        |FROM g WHERE next_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "ev04_decimal_hour_profile" ->
       """SELECT event_type,
