@@ -625,6 +625,34 @@ object RelationalQueries {
         .orderBy($"c_mktsegment")
     },
 
+    // q38's companion: the NOT IN null trap, certified cross-engine.
+    // When the subquery's value set contains a NULL, `x NOT IN (set)` is
+    // never TRUE under three-valued logic — the filter silently returns
+    // ZERO rows — while the NOT EXISTS spelling (and the DataFrame
+    // left_anti join it compiles to) returns the intended complement.
+    // Emitting both counts side by side pins the divergence on both
+    // engines: n_not_in must be 0, n_not_exists must be the real
+    // complement. A semantics certificate, not a production template
+    // (the scalar subqueries scan per-count by design).
+    "q39_not_in_null_trap" -> { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("q39_orders")
+      s.sql("""
+        WITH blocked AS (SELECT CAST(NULL AS STRING) AS p
+                         UNION ALL SELECT '2-HIGH')
+        SELECT
+          CAST((SELECT COUNT(*) FROM q39_orders
+                WHERE o_orderpriority NOT IN (SELECT p FROM blocked))
+            AS BIGINT) AS n_not_in,
+          CAST((SELECT COUNT(*) FROM q39_orders o
+                WHERE NOT EXISTS (SELECT 1 FROM blocked b
+                                  WHERE b.p = o.o_orderpriority))
+            AS BIGINT) AS n_not_exists,
+          CAST((SELECT COUNT(*) FROM q39_orders) AS BIGINT) AS n_total,
+          CAST((SELECT COUNT(*) FROM q39_orders
+                WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS n_blocked
+      """)
+    },
+
     // NULL-semantics certification — the cross-engine traps every SQL
     // migration hits, pinned against DuckDB on one frame: NULL forms its
     // own GROUP BY group, count(col) skips NULLs while count(*) doesn't,
@@ -1004,6 +1032,23 @@ object RelationalQueries {
          |FROM e JOIN customer USING (c_custkey)
          |GROUP BY c_mktsegment
          |ORDER BY c_mktsegment""".stripMargin,
+
+    // identical standard-SQL text on both engines: both implement the
+    // three-valued NOT IN trap, so n_not_in pins to 0 on each
+    "q39_not_in_null_trap" ->
+      """WITH blocked AS (SELECT CAST(NULL AS VARCHAR) AS p
+        |                 UNION ALL SELECT '2-HIGH')
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM orders
+        |        WHERE o_orderpriority NOT IN (SELECT p FROM blocked))
+        |    AS BIGINT) AS n_not_in,
+        |  CAST((SELECT COUNT(*) FROM orders o
+        |        WHERE NOT EXISTS (SELECT 1 FROM blocked b
+        |                          WHERE b.p = o.o_orderpriority))
+        |    AS BIGINT) AS n_not_exists,
+        |  CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_total,
+        |  CAST((SELECT COUNT(*) FROM orders
+        |        WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS n_blocked""".stripMargin,
 
     // IS NOT DISTINCT FROM is DuckDB's spelling of Spark's <=>
     "q38_null_semantics" ->
