@@ -204,15 +204,21 @@ object TextQueries {
     // documents concatenated in doc_id order and cut into fixed
     // 512-token context windows, reported as per-window composition
     // (docs touching the window / docs starting in it). The global
-    // token offset is a distributed two-level prefix sum — per-bucket
-    // totals from ONE hash aggregate, bucket base offsets from a window
-    // over the BUCKET frame (cardinality = n_docs/64, three orders
-    // smaller than the data; a third level makes it arbitrarily small),
-    // broadcast back, then a per-bucket key-partitioned cumsum. No
-    // single-partition pass over the full corpus anywhere — the naive
-    // `sum() over (order by doc_id)` would serialize 100 TB through one
-    // task. Window spans fan out via bounded `sequence()` (span ≤
-    // ⌈n_tok/512⌉+1). TextOpsSpec pins the two-level offsets ≡ the
+    // token offset is a distributed THREE-level prefix sum with every
+    // level bounded: (1) per-bucket token totals from ONE hash
+    // aggregate (bucket = doc_id div 64); (2) buckets striped into
+    // ≤256 ORDERED stripes (stripe = bucket div width, width from a
+    // broadcast 1-row max — monotone in bucket, so stripe order ≡
+    // bucket order), stripe offsets from the tx24/q33 broadcast
+    // theta-join over the ≤256-row stripe frame, bucket bases from a
+    // window partitioned BY STRIPE (≤ n_buckets/256 rows per
+    // partition, never one global partition); (3) a per-bucket
+    // key-partitioned cumsum whose shuffle is REUSED by the
+    // bucket-keyed join. No single-partition pass and no
+    // corpus-growing broadcast anywhere — the naive
+    // `sum() over (order by doc_id)` would serialize 100 TB through
+    // one task. Window spans fan out via bounded `sequence()` (span ≤
+    // ⌈n_tok/512⌉+1). TextOpsSpec pins the striped offsets ≡ the
     // naive global cumsum.
     "tx18_sequence_packing" -> { (s, dir) =>
       import s.implicits._
@@ -220,13 +226,22 @@ object TextQueries {
         .select($"doc_id", TextOps.estimatedBpeTokens($"text").as("n_tok"))
         .filter($"n_tok" > 0)
         .withColumn("bucket", expr("doc_id div 64"))
-      val bucketBase = perDoc.groupBy($"bucket")
-        .agg(sum($"n_tok").as("btok"))
-        .withColumn("base", coalesce(sum($"btok").over(
-          Window.orderBy($"bucket")
+      val bucketTok = perDoc.groupBy($"bucket").agg(sum($"n_tok").as("btok"))
+      // ≤256 ordered stripes; exact integer arithmetic, no overflow
+      val width = bucketTok.agg(expr("max(bucket) div 256 + 1").as("w"))
+      val striped = bucketTok.crossJoin(broadcast(width))
+        .withColumn("stripe", expr("bucket div w"))
+      val stripeTot = striped.groupBy($"stripe").agg(sum($"btok").as("stok"))
+      val stripeOff = stripeTot
+        .join(broadcast(stripeTot.select($"stripe".as("p_stripe"), $"stok".as("p_stok"))),
+          $"p_stripe" < $"stripe", "left")
+        .groupBy($"stripe").agg(coalesce(sum($"p_stok"), lit(0L)).as("soff"))
+      val bucketBase = striped.join(broadcast(stripeOff), "stripe")
+        .withColumn("base", $"soff" + coalesce(sum($"btok").over(
+          Window.partitionBy($"stripe").orderBy($"bucket")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select($"bucket", $"base")
-      val offsets = perDoc.join(broadcast(bucketBase), "bucket")
+      val offsets = perDoc.join(bucketBase, "bucket")
         .withColumn("start_tok", $"base" +
           coalesce(sum($"n_tok").over(
             Window.partitionBy($"bucket").orderBy($"doc_id")

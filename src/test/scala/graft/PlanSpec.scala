@@ -57,7 +57,11 @@ class PlanSpec extends SparkSuite {
     "dd10_embdup_recall", "dd11_semantic_keepers",
     "tx19_mixture_rebalance", "dd12_lsh_hotbucket_stress",
     "tx22_pii_redaction", "tx24_deterministic_shuffle",
-    "q38_null_semantics") // two 1-row match-count scalars, broadcast-attached
+    "q38_null_semantics", // two 1-row match-count scalars, broadcast-attached
+    // tx18: the 1-row stripe-width scalar crossJoined onto the bucket
+    // frame + the q33/tx24 theta-join over the ≤256-row stripe frame —
+    // both explicitly broadcast()-hinted bounded attaches
+    "tx18_sequence_packing")
 
   private def unwrap(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => a.executedPlan
@@ -80,6 +84,42 @@ class PlanSpec extends SparkSuite {
           s"$name plans a BroadcastNestedLoopJoin — non-equi fallback, " +
             s"O(n*m) work at scale:\n$plan")
     }
+  }
+
+  /** Entries allowed to plan a WindowExec with an EMPTY partition spec.
+    * An unpartitioned window funnels its whole input frame through ONE
+    * task, so it is only admissible when that frame is provably bounded
+    * (does not grow with the base tables). Each entry here is:
+    *  - ev20: cumulative uniques over the PER-DAY aggregate frame
+    *    (≤ calendar days covered by the fixture, not event count)
+    *  - q24: the dictionary-encode rank over the DISTINCT-value frame
+    *    (bounded dictionary cardinality by construction)
+    *  - ml03/ml05: the k-sweep elbow curve (≤ 20 rows, one per k)
+    * Anything else tripping this sweep is a scale-killer: fix it with the
+    * tx18/tx24/q33 striped prefix-sum pattern. */
+  private val unpartitionedWindowWhitelist: Set[String] = Set(
+    "ev20_cumulative_uniques", "q24_dict_encode",
+    "ml03_elbow_selection", "ml05_elbow_invoice")
+
+  test("catalog sweep: no unpartitioned WindowExec over an unbounded frame") {
+    val offenders = batchQueries.flatMap { case (name, fn) =>
+      if (unpartitionedWindowWhitelist(name)) Nil
+      else {
+        val root = planOf(fn(spark, sf))
+        val bad = root.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty) Seq(name -> bad.size) else Nil
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned WindowExec (single-task frame at scale) in: " +
+        s"${offenders.map { case (n, c) => s"$n($c)" }.mkString(", ")} — " +
+        "use the tx18/tx24/q33 striped prefix-sum pattern or whitelist " +
+        "with a boundedness proof")
   }
 
   test("q01/q06: predicates and projection reach the lineitem parquet scan") {

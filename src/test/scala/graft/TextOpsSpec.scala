@@ -100,7 +100,11 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
-  test("tx18: two-level distributed prefix sum equals the naive global cumsum") {
+  test("tx18: striped three-level prefix sum equals the naive global cumsum") {
+    // mirrors the tx18 query exactly: bucket totals → ≤256 ordered
+    // stripes (width from a 1-row max) → theta-join stripe offsets →
+    // stripe-partitioned bucket bases → bucket-partitioned doc cumsum.
+    // No unpartitioned window at any level.
     val s = spark
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
@@ -108,12 +112,21 @@ class TextOpsSpec extends SparkSuite {
     val docs = (0 until 500).map(i => (i.toLong * 7 % 1000, (i % 37) + 1L))
       .distinct.toDF("doc_id", "n_tok")
     val bucketed = docs.withColumn("bucket", expr("doc_id div 64"))
-    val base = bucketed.groupBy($"bucket").agg(sum($"n_tok").as("btok"))
-      .withColumn("base", coalesce(sum($"btok").over(
-        Window.orderBy($"bucket")
+    val bucketTok = bucketed.groupBy($"bucket").agg(sum($"n_tok").as("btok"))
+    // width forced to 3 so the test actually exercises multiple stripes
+    // with multiple buckets each (doc_id<1000 → buckets 0..15)
+    val striped = bucketTok.withColumn("stripe", expr("bucket div 3"))
+    val stripeTot = striped.groupBy($"stripe").agg(sum($"btok").as("stok"))
+    val stripeOff = stripeTot
+      .join(broadcast(stripeTot.select($"stripe".as("p_stripe"), $"stok".as("p_stok"))),
+        $"p_stripe" < $"stripe", "left")
+      .groupBy($"stripe").agg(coalesce(sum($"p_stok"), lit(0L)).as("soff"))
+    val base = striped.join(broadcast(stripeOff), "stripe")
+      .withColumn("base", $"soff" + coalesce(sum($"btok").over(
+        Window.partitionBy($"stripe").orderBy($"bucket")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select($"bucket", $"base")
-    val twoLevel = bucketed.join(broadcast(base), "bucket")
+    val threeLevel = bucketed.join(base, "bucket")
       .withColumn("start_tok", $"base" + coalesce(sum($"n_tok").over(
         Window.partitionBy($"bucket").orderBy($"doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -124,8 +137,8 @@ class TextOpsSpec extends SparkSuite {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select($"doc_id", $"start_tok")
       .orderBy($"doc_id").collect().toSeq
-    assert(twoLevel.nonEmpty && twoLevel == naive,
-      "two-level offsets diverge from the single-pass cumsum")
+    assert(threeLevel.nonEmpty && threeLevel == naive,
+      "striped offsets diverge from the single-pass cumsum")
   }
 
   test("intervalUnionLength: 200 random interval sets match brute-force " +
