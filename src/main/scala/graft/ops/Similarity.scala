@@ -126,6 +126,23 @@ object Similarity {
     * (see [[checkFreshness]]). */
   private val corpusFileFp = new ConcurrentHashMap[String, String]()
 
+  /** Bound on every memo map in this object (quantizers, fingerprints,
+    * cell counts, PQ codebooks, SQ ranges). A long-lived driver that
+    * serves many distinct corpora would otherwise grow them without
+    * limit — exactly the deployment the freshness guard targets. When any
+    * map crosses the cap, ALL of them are cleared together: artifacts and
+    * their fingerprints must drop as a unit (an artifact surviving its
+    * fingerprint would dodge the staleness check; a fingerprint surviving
+    * its artifact would fail a perfectly fresh refit). Clearing is safe —
+    * these are memos, and the next call refits from the current files. */
+  private val MemoCap = 256
+  private def boundMemos(): Unit =
+    if (Seq(quantizers, corpusFileFp, cellCounts, pqBooks, sqRanges)
+          .exists(_.size > MemoCap)) {
+      quantizers.clear(); corpusFileFp.clear(); cellCounts.clear()
+      pqBooks.clear(); sqRanges.clear()
+    }
+
   /** Fingerprint of every file-source leaf under `df`'s plan: sorted
     * (path, length, modificationTime) triples, hashed. Listings come from
     * the scan's own [[org.apache.spark.sql.execution.datasources.FileIndex]]
@@ -153,10 +170,22 @@ object Similarity {
     * the same logical corpus were rewritten mid-session, so every cached
     * quantizer/codebook/range for that key is stale. An explicit
     * `quantizerKey` opts out: the caller owns refresh (rotate the key
-    * when the data rotates). */
+    * when the data rotates).
+    *
+    * KNOWN BLIND SPOTS (document, don't pretend): (1) a corpus DataFrame
+    * CREATED BEFORE the files were overwritten keeps its cached
+    * `FileIndex` listing, so its fingerprint still matches the stale
+    * artifacts and the rewrite goes undetected — the guard sees file
+    * identity as of the DataFrame's OWN read, not the filesystem's
+    * present; re-`spark.read` after a rewrite (any fresh read trips the
+    * guard). (2) only `LogicalRelation`/`HadoopFsRelation` scans are
+    * fingerprinted; a DSv2 (`DataSourceV2Relation`) file scan yields an
+    * empty fingerprint and the guard is inert — acceptable today because
+    * every graft corpus reads through the v1 parquet path. */
   private def checkFreshness(key: String, corpus: DataFrame,
                              explicitKey: String): Unit = {
     if (explicitKey.nonEmpty) return
+    boundMemos()
     val fp = fileFingerprint(corpus)
     if (fp.isEmpty) return
     val prev = corpusFileFp.putIfAbsent(key, fp)

@@ -311,10 +311,22 @@ object PipelineQueries {
     // corpus is never shuffled (broadcast query set, as an01) and the
     // fixed i-then-j evaluation order makes the float sum identical to
     // DuckDB's left-associative replay.
+    //
+    // Dim contract: slices cover the first 4·⌊dim/4⌋ components — for a
+    // dim not divisible by 4 the trailing dim%4 components are ignored on
+    // BOTH engines (the oracle slices identically, so parity holds; the
+    // driver's 64-dim embeddings divide evenly). An empty corpus returns
+    // an empty frame instead of throwing on the eager dim probe.
     "an10_maxsim_topk" -> { (s, dir) =>
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val dim = emb.select(size($"embedding")).head().getInt(0)
+      val dimRow = emb.select(size($"embedding")).head(1)
+      if (dimRow.isEmpty)
+        // schema-stable empty result (same columns/types as the populated path)
+        Seq.empty[(Long, Long, Long, Double)]
+          .toDF("query_id", "rank", "neighbor_id", "maxsim")
+      else {
+      val dim = dimRow.head.getInt(0)
       val dsub = dim / 4
       def sub(v: org.apache.spark.sql.Column, i: Int) =
         slice(v, i * dsub + 1, dsub)
@@ -335,6 +347,7 @@ object PipelineQueries {
         .select($"query_id", $"rank", $"neighbor_id",
           round($"maxsim", 6).as("maxsim"))
         .orderBy($"query_id", $"rank")
+      }
     },
 
     // Filtered vector search (the RAG shape: top-k under a metadata

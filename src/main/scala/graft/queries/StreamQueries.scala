@@ -97,14 +97,30 @@ object StreamQueries {
 
   private val chunkDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Source-file identity (mtime + length) folded into every chunk-fixture
+    * memo key: the driver regenerates testdata IN PLACE between rounds, so
+    * a JVM-lifetime cache keyed by dir alone would replay stale chunk
+    * files against a fresh oracle — the exact failure mode
+    * `StreamSources.tsDivisor` keys around the same way. For the late/st21
+    * fixtures the stakes are higher still: batch identity is baked into
+    * the oracle's semantics, so a stale replay isn't just old data, it is
+    * a silently wrong watermark progression. */
+  private def sourceId(s: org.apache.spark.sql.SparkSession,
+                       dir: String, table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    s"${st.getModificationTime}|${st.getLen}"
+  }
+
   /** One-time fixture build for the chunked replay: rewrite the pruned
     * purchase columns as `nFiles` parquet files (rows of one invoice
-    * hash-spread across files). Memoized per (dir, nFiles) and exposed as
-    * `build_stream_chunks` so the bench attributes the write to build
-    * time, not to st07's streaming cost. */
+    * hash-spread across files). Memoized per (dir, nFiles, source
+    * identity) and exposed as `build_stream_chunks` so the bench
+    * attributes the write to build time, not to st07's streaming cost. */
   private[graft] def ensureStreamChunks(s: org.apache.spark.sql.SparkSession,
                                         dir: String, nFiles: Int): String =
-    chunkDirs.computeIfAbsent(s"$dir|$nFiles", _ => {
+    chunkDirs.computeIfAbsent(s"$dir|$nFiles|${sourceId(s, dir, "lineitem")}", _ => {
       val scratch = new java.io.File(
         s"target/stream-scratch/chunks_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$nFiles")
         .getAbsolutePath
@@ -139,7 +155,7 @@ object StreamQueries {
     * function of the data. */
   private[graft] def ensureLateChunks(s: org.apache.spark.sql.SparkSession,
                                       dir: String): String =
-    chunkDirs.computeIfAbsent(s"late|$dir", _ => {
+    chunkDirs.computeIfAbsent(s"late|$dir|${sourceId(s, dir, "events")}", _ => {
       val scratch = new java.io.File(
         s"target/stream-scratch/late_chunks_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
         .getAbsolutePath
@@ -360,12 +376,18 @@ object StreamQueries {
     * pattern a production `foreachBatch` job uses (re-read the dim per
     * batch; the version each batch saw is visible in its output). The
     * dim is re-derived deterministically per version (tier =
-    * (user_id + v) mod 3, version column carried through the join), the
-    * handler overwrites the dim path AFTER each batch, and the four-chunk
-    * replay ([[ensureLateChunks]], mtime-ordered) makes batch k see
-    * exactly version k — so the DuckDB oracle replays the whole
-    * progression from chunk membership alone. Output goes through the
-    * idempotent batch sink (at-least-once → exactly-once files). */
+    * (user_id + v) mod 3, version column carried through the join); each
+    * version is a SEPARATE snapshot path `dim/v<k>` and the handler reads
+    * the snapshot keyed by its OWN batchId — so "batch k sees version k"
+    * holds under foreachBatch's at-least-once contract too: a batch that
+    * fails after the sink write and re-runs re-reads the SAME snapshot
+    * (the earlier mutate-one-path-after-the-batch formulation broke the
+    * invariant on exactly that retry, despite the idempotent sink
+    * de-duplicating the files). The four-chunk replay
+    * ([[ensureLateChunks]], mtime-ordered) pins batch identity, so the
+    * DuckDB oracle replays the whole progression from chunk membership
+    * alone. Output goes through the idempotent batch sink
+    * (at-least-once → exactly-once files). */
   private[graft] def streamDimRefresh(s: org.apache.spark.sql.SparkSession,
                                       dir: String): DataFrame = {
     import s.implicits._
@@ -380,11 +402,13 @@ object StreamQueries {
     val dimPath = s"$base/dim"
     val outPath = s"$base/out"
     val users = Tables.events(s, dir).select($"user_id").distinct()
+    // every version the 4-chunk replay can see, written up front as
+    // immutable snapshots — a retried batch re-reads its own version
     def writeDim(v: Long): Unit = users
       .select($"user_id", pmod($"user_id" + v, lit(3L)).as("tier"),
         lit(v).as("dim_version"))
-      .write.mode("overwrite").parquet(dimPath)
-    writeDim(0L)
+      .write.mode("overwrite").parquet(s"$dimPath/v$v")
+    (0L until 4L).foreach(writeDim)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
     val q = s.readStream.schema(raw)
       .option("maxFilesPerTrigger", 1).parquet(scratch)
@@ -393,10 +417,11 @@ object StreamQueries {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val dim = s.read.parquet(dimPath) // fresh listing: the CURRENT version
+        // version keyed by the engine-supplied batchId: deterministic
+        // under replay, idempotent under retry
+        val dim = s.read.parquet(s"$dimPath/v$id")
         graft.apps.Pipeline.writeBatch(
           batch.join(broadcast(dim), "user_id"), outPath, id)
-        writeDim(id + 1) // refresh AFTER the batch: batch k sees version k
       }
       .start()
     q.awaitTermination()
@@ -1014,7 +1039,7 @@ object StreamQueries {
     * windows and the sketch merge is exercised, not vacuous. */
   private[graft] def ensureEventChunks(s: org.apache.spark.sql.SparkSession,
                                        dir: String, nFiles: Int): String =
-    chunkDirs.computeIfAbsent(s"events|$dir|$nFiles", _ => {
+    chunkDirs.computeIfAbsent(s"events|$dir|$nFiles|${sourceId(s, dir, "events")}", _ => {
       val scratch = new java.io.File(
         s"target/stream-scratch/event_chunks_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$nFiles")
         .getAbsolutePath
@@ -1066,7 +1091,14 @@ object StreamQueries {
     // replays the full late-drop mechanics: chunk membership (md5-prefix
     // quarters), the TWO-BATCH-LAGGED filter watermarks (chunk 2 cut at
     // max-ts(c0) − 1 h, chunk 3 at max-ts(c0∪c1) − 1 h; chunks 0–1
-    // unfiltered), and the drop rule window_end ≤ wm
+    // unfiltered), and the drop rule window_end ≤ wm.
+    // SEMANTICS PIN — measured on Spark 4.1.2: the two-batch filter lag
+    // (stateful operators filter batch k with the watermark from data
+    // through batch k−2 under back-to-back AvailableNow) is an ENGINE
+    // behavior this SQL hard-codes, not a property of the query. If a
+    // Spark upgrade changes watermark commit timing, THIS ORACLE (and
+    // st20's) flips while the query code stays correct — the StreamSpec
+    // "two-batch lag" probes fail alongside and point here.
     "st19_late_data_audit" ->
       """WITH e AS (
         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tsm,

@@ -552,6 +552,12 @@ class StreamSpec extends SparkSuite {
 
   test("st19 premise: under AvailableNow the late filter uses the watermark " +
     "from data through batch k-2 (one batch behind the committed watermark)") {
+    // MEASURED ON Spark 4.1.2 (and hard-coded into the st19/st20 DuckDB
+    // oracles — see the "SEMANTICS PIN" comment at the st19 oracle SQL).
+    // If this probe fails after a Spark upgrade, the ENGINE's watermark
+    // commit timing changed: re-measure the lag here, then update the
+    // wm1/wm2 derivation in both oracles to match — the query code
+    // itself is not the suspect.
     val s = spark
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("wmlag").toString
