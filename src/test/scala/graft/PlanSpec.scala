@@ -61,7 +61,10 @@ class PlanSpec extends SparkSuite {
     // tx18: the 1-row stripe-width scalar crossJoined onto the bucket
     // frame + the q33/tx24 theta-join over the ≤256-row stripe frame —
     // both explicitly broadcast()-hinted bounded attaches
-    "tx18_sequence_packing")
+    "tx18_sequence_packing",
+    // tx07: the 1-row fingerprint-integrity aggregate broadcast-attached
+    // to the per-doc stream (the tx12 O(n·1) scalar pattern)
+    "tx07_fingerprints")
 
   private def unwrap(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => a.executedPlan
