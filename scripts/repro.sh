@@ -28,5 +28,10 @@ python3 scripts/selfcheck.py "$SF_DIR" "$OUT"
 
 if [ "${SKIP_BENCH:-0}" != "1" ]; then
   echo "== 3/3 Bench @ ${BENCH_SF_DIR} =="
-  SPARK_GRAFT_SF_DIR="$BENCH_SF_DIR" sbt -batch "runMain graft.Bench"
+  # SPARK_GRAFT_BENCH_ARCHIVE writes the FULL per-query JSON (the
+  # driver's BENCH_r{N}.json keeps only a truncated stdout tail);
+  # commit it as BENCH_FULL_r{N}.json at round close.
+  SPARK_GRAFT_SF_DIR="$BENCH_SF_DIR" \
+    SPARK_GRAFT_BENCH_ARCHIVE="${SPARK_GRAFT_BENCH_ARCHIVE:-target/bench_archive.json}" \
+    sbt -batch "runMain graft.Bench"
 fi

@@ -112,6 +112,17 @@ object Bench {
     Option(out.getParentFile).foreach(_.mkdirs())
     val w = new java.io.PrintWriter(out, "UTF-8")
     try w.println(full) finally w.close()
+    // lossless per-round archive: the driver's BENCH_r{N}.json stores a
+    // TRUNCATED stdout tail (r10's judge had to regex-scrape it), so the
+    // full per-query map is additionally written wherever
+    // SPARK_GRAFT_BENCH_ARCHIVE points (committed as BENCH_FULL_r{N}.json
+    // at round close)
+    sys.env.get("SPARK_GRAFT_BENCH_ARCHIVE").foreach { p =>
+      val a = new java.io.File(p)
+      Option(a.getParentFile).foreach(_.mkdirs())
+      val aw = new java.io.PrintWriter(a, "UTF-8")
+      try aw.println(full) finally aw.close()
+    }
     println(s"""{"metric":"total","value":${queryTotal + buildTotal},"unit":"sec"""" +
       s""","query_total":$queryTotal,"build_total":$buildTotal""" +
       s""","st_repeat":$stRepeat,"errors":$errs,"sf":"$sfDir","full":"target/bench.json"}""")
