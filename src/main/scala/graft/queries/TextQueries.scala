@@ -576,6 +576,53 @@ object TextQueries {
         .withColumn("pos", $"off" + row_number().over(wr))
         .select($"pos", (($"pos" - 1L) % 8L).as("shard"), $"doc_id")
         .orderBy($"pos")
+    },
+
+    // Perplexity-style LM quality filter (the CCNet/RedPajama curation
+    // shape): an add-one-smoothed trigram model trained on the corpus
+    // ITSELF scores every document, and documents whose mean inverse
+    // trigram probability exceeds 1.1× the corpus mean are flagged.
+    // Formulated entirely in exact integer arithmetic so the oracle is
+    // bit-exact: the smoothed inverse probability
+    // (c_bigram + V) div (c_trigram + 1) stands in for −log p (same
+    // ordering signal, no transcendental), because a per-doc float
+    // log-sum would be accumulation-order-dependent across engines; the
+    // flag compares FLOOR averages by cross-multiplication, and the bar
+    // is data-derived (corpus mean), so it transfers across scale
+    // factors where a fixed constant would not (V grows with the
+    // corpus). Scale shape: one trigram explode (rows = corpus tokens),
+    // trigram/bigram counts as two hash aggregates keyed by md5 digests
+    // (raw text never crosses an exchange), vocab and corpus totals as
+    // broadcast 1-row aggregates; docs with <3 tokens have no trigrams
+    // and are excluded on both engines.
+    "tx25_lm_quality_filter" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val tri = docs
+        .select($"doc_id", TextOps.tokens($"text").as("w"))
+        .filter(size($"w") >= 3)
+        .select($"doc_id", explode(transform(
+          sequence(lit(1), size($"w") - 2),
+          i => struct(
+            md5(concat_ws(" ", slice($"w", i, lit(3))).cast("binary")).as("tg"),
+            md5(concat_ws(" ", slice($"w", i, lit(2))).cast("binary")).as("bg")))).as("g"))
+        .select($"doc_id", $"g.tg".as("tg"), $"g.bg".as("bg"))
+      val c3 = tri.groupBy($"tg").agg(count(lit(1)).as("c3"))
+      val c2 = tri.groupBy($"bg").agg(count(lit(1)).as("c2"))
+      val vocab = docs.select(explode(TextOps.tokens($"text")).as("tok"))
+        .agg(countDistinct($"tok").as("v"))
+      val per = tri.join(c3, "tg").join(c2, "bg")
+        .crossJoin(broadcast(vocab))
+        .select($"doc_id", expr("(c2 + v) div (c3 + 1)").as("inv_p"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_trigrams"), sum($"inv_p").as("sum_inv_p"))
+      val tot = per.agg(
+        expr("sum(sum_inv_p) div sum(n_trigrams)").as("corpus_floor_avg"))
+      per.crossJoin(broadcast(tot))
+        .select($"doc_id", $"n_trigrams", $"sum_inv_p",
+          when(expr("(sum_inv_p div n_trigrams) * 10") > $"corpus_floor_avg" * 11,
+            1L).otherwise(0L).as("low_quality"))
+        .orderBy($"doc_id")
     })
 
   // ---- tx22 PII fixture + regexes (shared with the DuckDB oracle) ----
@@ -989,5 +1036,31 @@ object TextQueries {
         |  FROM documents)
         |SELECT CAST(pos AS BIGINT) AS pos,
         |       CAST((pos - 1) % 8 AS BIGINT) AS shard, doc_id
-        |FROM r ORDER BY pos""".stripMargin)
+        |FROM r ORDER BY pos""".stripMargin,
+
+    // Full independent replay of the trigram LM: same tokenization
+    // (space split), same md5 trigram/bigram keys, same add-one
+    // smoothing, same integer divisions — every column is exact integer
+    // arithmetic, so the hash compare is bit-exact with no float
+    // anywhere.
+    "tx25_lm_quality_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tri AS (
+        |  SELECT doc_id, md5(array_to_string(w[i:i+2], ' ')) AS tg,
+        |         md5(array_to_string(w[i:i+1], ' ')) AS bg
+        |  FROM t, UNNEST(generate_series(1, len(w) - 2)) AS u(i)
+        |  WHERE len(w) >= 3),
+        |c3 AS (SELECT tg, COUNT(*) AS c3 FROM tri GROUP BY tg),
+        |c2 AS (SELECT bg, COUNT(*) AS c2 FROM tri GROUP BY bg),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v FROM t, UNNEST(w) AS s(tok)),
+        |per AS (
+        |  SELECT tri.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |         CAST(SUM((c2.c2 + v.v) // (c3.c3 + 1)) AS BIGINT) AS sum_inv_p
+        |  FROM tri JOIN c3 USING (tg) JOIN c2 USING (bg), v
+        |  GROUP BY tri.doc_id),
+        |tot AS (SELECT SUM(sum_inv_p) // SUM(n_trigrams) AS cfa FROM per)
+        |SELECT doc_id, n_trigrams, sum_inv_p,
+        |       CAST(CASE WHEN (sum_inv_p // n_trigrams) * 10 > tot.cfa * 11
+        |            THEN 1 ELSE 0 END AS BIGINT) AS low_quality
+        |FROM per, tot ORDER BY doc_id""".stripMargin)
 }

@@ -64,7 +64,11 @@ class PlanSpec extends SparkSuite {
     "tx18_sequence_packing",
     // tx07: the 1-row fingerprint-integrity aggregate broadcast-attached
     // to the per-doc stream (the tx12 O(n·1) scalar pattern)
-    "tx07_fingerprints")
+    "tx07_fingerprints",
+    // tx25: two 1-row scalar attaches (vocab size onto the trigram
+    // stream, corpus floor-average onto the per-doc frame) — both
+    // explicitly broadcast()-hinted, the tx12 pattern
+    "tx25_lm_quality_filter")
 
   private def unwrap(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => a.executedPlan
