@@ -15,6 +15,18 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_STATE_PROVIDER=rocksdb (or a full provider class name)
+    // switches the streaming state-store provider for the whole run — the
+    // SCALE.md 16× protocol measures the st* family under both the
+    // HDFS-backed default and RocksDB (providerClass is a runtime SQL
+    // conf; the RocksDbStateStoreSpec parity matrix pins output equality)
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach { p =>
+      val cls = if (p == "rocksdb")
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      else p
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+      System.err.println(s"[bench] state-store provider: $cls")
+    }
     var failed = Set.empty[String]
     // Session state accumulated by earlier queries taxes later ones (the
     // round-4 full run inflated late streaming queries 2-4x over their

@@ -16,13 +16,15 @@ import graft.ops.{Dedup, TextOps}
   *  2. near-dup dedup — MinHash+LSH pairs → connected components →
   *     keep each cluster's min-id representative;
   *  3. quality + language floor (stopword-density score, n-gram langID);
+  *  3b. per-domain document caps (synthetic registered-domain column,
+  *     content-hash-smallest election — the tx27 operator);
   *  4. content-hash train/val split (duplicates can never straddle it);
   *  5. decontamination — drop TRAIN docs sharing any 8-gram with the
   *     val split (digest-level join, 32 B per shingle on the wire);
   *  6. write the curated corpus as parquet partitioned by split.
   *
   * Every stage is one of the catalog's oracle-certified operators
-  * (tx03/dd01/dd05/tx02/tx06/tx08/dd07) — this app adds orchestration,
+  * (tx03/dd01/dd05/tx02/tx06/tx08/dd07/tx27) — this app adds orchestration,
   * not new semantics. All decisions are content-hash deterministic: a
   * re-run (or a 1000-executor run with different partitioning) produces
   * the byte-identical corpus.
@@ -58,7 +60,7 @@ object Curate {
   /** Runs the curation DAG; writes `outDir/corpus` (parquet, partitioned
     * by split) and returns the per-stage survivor report. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-          qualityFloor: Double = 0.1): DataFrame = {
+          qualityFloor: Double = 0.1, domainCap: Int = 64): DataFrame = {
     import spark.implicits._
     val stopwords = Seq("the", "a")
     val docs = Tables.documents(spark, sfDir)
@@ -90,9 +92,26 @@ object Curate {
     val clean = scored.filter($"quality_score" >= qualityFloor &&
       $"predicted_lang" === "en").persist()
 
+    // 3b. domain-aware caps (the tx27 operator — RefinedWeb/CCNet-style):
+    //    a synthetic registered-domain column (hash of source + a 32-doc
+    //    neighborhood, standing in for the URL host a web corpus
+    //    carries), then at most `domainCap` survivors per domain, elected
+    //    content-hash-smallest (the tx20 rule — no RNG, replay-stable).
+    //    Domain-level exact dedup is subsumed by stage 1's global exact
+    //    dedup. Only (domain, digest, id) cross the window exchange.
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy($"domain").orderBy(md5($"text".cast("binary")), $"doc_id")
+    val capped = clean
+      .withColumn("domain", concat(lit("d"), substring(md5(
+        concat($"source", lit(":"), expr("doc_id div 32").cast("string"))
+          .cast("binary")), 1, 2)))
+      .withColumn("domain_rank", row_number().over(wCap))
+      .filter($"domain_rank" <= domainCap)
+      .drop("domain_rank").persist()
+
     // 4. content-hash split (duplicates are already gone; the hash rule
     //    would keep any residual pair on one side regardless)
-    val split = clean.withColumn("split", TextOps.contentSplit($"text", 0.9))
+    val split = capped.withColumn("split", TextOps.contentSplit($"text", 0.9))
 
     // 5. decontamination: drop train docs sharing any 8-gram with val
     val sh = split.select($"doc_id", $"split",
@@ -107,7 +126,7 @@ object Curate {
     // 6. write, partitioned by split (the layout a training run reads)
     curated
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars",
-        $"quality_score", $"predicted_lang", $"split")
+        $"quality_score", $"predicted_lang", $"domain", $"split")
       .write.mode("overwrite").partitionBy("split")
       .parquet(s"$outDir/corpus")
 
@@ -117,11 +136,12 @@ object Curate {
       ("1_exact_dedup", exact.count()),
       ("2_near_dedup", deduped.count()),
       ("3_quality_lang", clean.count()),
+      ("3b_domain_cap", capped.count()),
       ("4_decontaminated", out.count()),
       ("4a_train", out.filter($"split" === "train").count()),
       ("4b_val", out.filter($"split" === "val").count()))
       .toDF("stage", "n_docs")
-    Seq(exact, deduped, clean).foreach(_.unpersist())
+    Seq(exact, deduped, clean, capped).foreach(_.unpersist())
     report
   }
 }

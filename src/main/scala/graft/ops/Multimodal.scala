@@ -7,60 +7,218 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata structs.
   *
-  * The decode step itself (codec call) is the stubbed boundary — this
-  * container has no image/audio libraries, so [[decodeStub]] derives a
-  * deterministic fake from the bytes. Everything around it is real and
-  * what actually matters at scale: schema, per-partition batch iteration
-  * (the Scala analogue of `mapInPandas` — one decoder context per
-  * partition, not per row), partitioning control, and a narrow metadata
-  * projection so the binary payload is only materialized where needed.
+  * The decode boundary is a REAL codec pass since r12: payloads are
+  * genuine BMP (24-bit, bottom-up, row-padded) and binary PPM (P6)
+  * images, and [[decodeImage]] parses the actual bytes — magic sniff,
+  * header fields, pixel array walk (padding, scanline order, per-format
+  * channel order) — into dimensions plus exact integer pixel statistics.
+  * The statistics are chosen so the DuckDB oracle can replay them from
+  * the deterministic pixel generator alone: if the encoder or decoder
+  * mishandled channel order the per-channel sums split wrong, and if
+  * either mishandled scanline direction or row padding the positional
+  * moment (Σ (y·w+x)·r) breaks. A production deployment swaps
+  * [[decodeImage]]'s two format branches for its codec library (JNI,
+  * javax.imageio, …) — signature and per-partition batch shape are
+  * unchanged.
   */
 object Multimodal {
 
-  /** Typed metadata produced by the (stub) decoder. */
-  case class MediaMeta(width: Int, height: Int, channels: Int, format: String)
+  /** Typed metadata + exact pixel statistics produced by the decoder. */
+  case class MediaMeta(width: Int, height: Int, channels: Int, format: String,
+                       nPixels: Long, sumR: Long, sumG: Long, sumB: Long,
+                       momR: Long)
 
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false),
-    StructField("format", StringType, nullable = false)))
+    StructField("format", StringType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("mom_r", LongType, nullable = false)))
 
-  /** STUB decoder: deterministic fake header parse. A real deployment
-    * replaces only this function with the codec call (e.g. via JNI or an
-    * image library); signature and callers are unchanged. */
-  def decodeStub(payload: Array[Byte]): MediaMeta = {
-    val n = if (payload == null) 0 else payload.length
-    MediaMeta(
-      width = (n % 640) + 1,
-      height = ((n.toLong * 7) % 480).toInt + 1, // Int mul overflows >~306MB payloads
-      channels = (n % 3) + 1,
-      format = if (n % 2 == 0) "png" else "jpeg")
+  // ------------------------------------------------ deterministic fixture —
+
+  /** Image dimensions for a doc id — the same formulas the DuckDB oracle
+    * replays. Odd widths exercise BMP's 4-byte row padding. */
+  def widthOf(docId: Long): Int = (docId % 21).toInt + 4
+  def heightOf(docId: Long): Int = (docId % 13).toInt + 3
+
+  /** Deterministic RGB pixel pattern at (x, y), 0-based, top-down — pure
+    * integer math, replayable in SQL. Distinct coefficients per channel
+    * make a channel-order swap (BGR↔RGB) split the sums visibly. */
+  def pixelR(docId: Long, x: Int, y: Int): Int = ((docId * 7 + 11L * y + 13L * x) % 256).toInt
+  def pixelG(docId: Long, x: Int, y: Int): Int = ((docId * 5 + 3L * y + 17L * x) % 256).toInt
+  def pixelB(docId: Long, x: Int, y: Int): Int = ((docId * 3 + 19L * y + 5L * x) % 256).toInt
+
+  /** Encode the deterministic pattern for `docId` as real image bytes:
+    * even ids → 24-bit BMP, odd ids → binary PPM (P6). */
+  def encodeImage(docId: Long): Array[Byte] = {
+    val w = widthOf(docId); val h = heightOf(docId)
+    if (docId % 2 == 0) encodeBmp(docId, w, h) else encodePpm(docId, w, h)
   }
 
-  /** Attach an opaque binary payload column (here synthesized from text;
-    * in production this is the raw media bytes column of the lakehouse
-    * table). */
-  def withPayload(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.withColumn("payload", col(textCol).cast("binary"))
+  /** 24-bit uncompressed BMP: 14-byte file header + 40-byte
+    * BITMAPINFOHEADER, pixel rows BOTTOM-UP, BGR byte order, each row
+    * padded to a 4-byte boundary — the actual on-disk format, not a
+    * stand-in. */
+  private def encodeBmp(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val dataSize = rowSize * h
+    val fileSize = 54 + dataSize
+    val b = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var row = h - 1 // bottom-up: last image row is written first
+    while (row >= 0) {
+      var x = 0
+      while (x < w) {
+        b.put(pixelB(docId, x, row).toByte)
+        b.put(pixelG(docId, x, row).toByte)
+        b.put(pixelR(docId, x, row).toByte)
+        x += 1
+      }
+      var pad = rowSize - 3 * w
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      row -= 1
+    }
+    b.array()
+  }
 
-  /** Decode payloads to metadata via per-partition batch iteration —
-    * the decoder context is created once per partition (the point of
-    * `mapInPandas`-style batching: amortize decoder init, keep columnar
-    * batches together). Output: (doc_id, n_bytes, width, height,
-    * channels, format). */
+  /** Binary PPM (P6): ASCII header, then RGB bytes top-down. */
+  private def encodePpm(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + 3 * w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = header.length
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(i) = pixelR(docId, x, y).toByte
+        out(i + 1) = pixelG(docId, x, y).toByte
+        out(i + 2) = pixelB(docId, x, y).toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  // ---------------------------------------------------------- real decode —
+
+  /** Decode real image bytes: sniff the magic, parse the header, walk the
+    * pixel array. Unsigned-byte reads throughout; the positional moment
+    * uses the TOP-DOWN logical pixel index (y·w+x), so a BMP decoded
+    * without flipping its bottom-up rows gets a wrong moment even though
+    * the plain sums would still match. */
+  def decodeImage(payload: Array[Byte]): MediaMeta = {
+    require(payload != null && payload.length >= 2, "empty image payload")
+    if (payload(0) == 'B'.toByte && payload(1) == 'M'.toByte) decodeBmp(payload)
+    else if (payload(0) == 'P'.toByte && payload(1) == '6'.toByte) decodePpm(payload)
+    else throw new IllegalArgumentException(
+      s"unknown image magic 0x${"%02x%02x".format(payload(0), payload(1))}")
+  }
+
+  private def u8(b: Byte): Int = b & 0xff
+
+  private def decodeBmp(p: Array[Byte]): MediaMeta = {
+    val b = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataOffset = b.getInt(10)
+    val w = b.getInt(18)
+    val h = b.getInt(22)
+    val bpp = b.getShort(28).toInt
+    val compression = b.getInt(30)
+    require(bpp == 24 && compression == 0, s"unsupported BMP bpp=$bpp compression=$compression")
+    require(w > 0 && h > 0, s"unsupported BMP orientation $w x $h")
+    val rowSize = ((3 * w + 3) / 4) * 4
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var momR = 0L
+    var y = 0
+    while (y < h) {
+      // row y (top-down) lives at stored row (h-1-y) — bottom-up layout
+      val base = dataOffset + (h - 1 - y) * rowSize
+      var x = 0
+      while (x < w) {
+        val blue = u8(p(base + 3 * x))
+        val green = u8(p(base + 3 * x + 1))
+        val red = u8(p(base + 3 * x + 2))
+        sumB += blue; sumG += green; sumR += red
+        momR += (y.toLong * w + x) * red
+        x += 1
+      }
+      y += 1
+    }
+    MediaMeta(w, h, 3, "bmp", w.toLong * h, sumR, sumG, sumB, momR)
+  }
+
+  private def decodePpm(p: Array[Byte]): MediaMeta = {
+    // header: "P6" ws w ws h ws maxval ws, then raw RGB; parse the three
+    // ASCII ints (no comment support — the canonical writer emits none)
+    var i = 2
+    def skipWs(): Unit = { while (i < p.length && (p(i) == ' ' || p(i) == '\n' || p(i) == '\r' || p(i) == '\t')) i += 1 }
+    def readInt(): Int = {
+      skipWs(); var v = 0
+      require(i < p.length && p(i) >= '0' && p(i) <= '9', s"bad PPM header at byte $i")
+      while (i < p.length && p(i) >= '0' && p(i) <= '9') { v = v * 10 + (p(i) - '0'); i += 1 }
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxVal = readInt()
+    require(maxVal == 255, s"unsupported PPM maxval $maxVal")
+    i += 1 // exactly one whitespace byte separates header from raster
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var momR = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val red = u8(p(i)); val green = u8(p(i + 1)); val blue = u8(p(i + 2))
+        sumR += red; sumG += green; sumB += blue
+        momR += (y.toLong * w + x) * red
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    MediaMeta(w, h, 3, "ppm", w.toLong * h, sumR, sumG, sumB, momR)
+  }
+
+  // ------------------------------------------------------ Spark plumbing —
+
+  /** Attach a real binary image payload per document (in production this
+    * is the raw media bytes column of the lakehouse table; here the
+    * deterministic fixture encoder stands in for the upstream writer).
+    * Encoding runs per-partition — one encoder context per partition, the
+    * `mapInPandas` batch shape. */
+  def withPayload(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"))
+      .as[Long]
+      .mapPartitions(it => it.map(id => (id, encodeImage(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Decode payloads to metadata + pixel stats via per-partition batch
+    * iteration — the decoder context is created once per partition (the
+    * point of `mapInPandas`-style batching: amortize decoder init, keep
+    * batches together). The binary payload is materialized only inside
+    * this boundary; downstream sees narrow typed columns. */
   def decodeMeta(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = withPayload.sparkSession
     val rows: Dataset[Row] = withPayload.select(col(idCol).as("id"), col("payload"))
     import spark.implicits._
     rows.as[(Long, Array[Byte])].mapPartitions { it =>
-      // one decoder context per partition (stub: nothing to init)
       it.map { case (id, payload) =>
-        val m = decodeStub(payload)
+        val m = decodeImage(payload)
         val n = if (payload == null) 0L else payload.length.toLong
-        (id, n, m.width, m.height, m.channels, m.format)
+        (id, n, m.width, m.height, m.channels, m.format,
+          m.nPixels, m.sumR, m.sumG, m.sumB, m.momR)
       }
-    }.toDF("doc_id", "n_bytes", "width", "height", "channels", "format")
+    }.toDF("doc_id", "n_bytes", "width", "height", "channels", "format",
+      "n_pixels", "sum_r", "sum_g", "sum_b", "mom_r")
   }
 
   /** Deterministic frame sampling plan for a (fake) video payload: every

@@ -127,21 +127,45 @@ object Similarity {
   private val corpusFileFp = new ConcurrentHashMap[String, String]()
 
   /** Bound on every memo map in this object (quantizers, fingerprints,
-    * cell counts, PQ codebooks, SQ ranges). A long-lived driver that
-    * serves many distinct corpora would otherwise grow them without
-    * limit — exactly the deployment the freshness guard targets. When any
-    * map crosses the cap, ALL of them are cleared together: artifacts and
-    * their fingerprints must drop as a unit (an artifact surviving its
-    * fingerprint would dodge the staleness check; a fingerprint surviving
-    * its artifact would fail a perfectly fresh refit). Clearing is safe —
-    * these are memos, and the next call refits from the current files. */
+    * cell counts, PQ codebooks, SQ ranges, OPQ artifacts). A long-lived
+    * driver that serves many distinct corpora would otherwise grow them
+    * without limit — exactly the deployment the freshness guard targets.
+    * When any map crosses the cap, ALL of them are cleared together:
+    * artifacts and their fingerprints must drop as a unit (an artifact
+    * surviving its fingerprint would dodge the staleness check; a
+    * fingerprint surviving its artifact would fail a perfectly fresh
+    * refit). Clearing is safe — these are memos, and the next call refits
+    * from the current files.
+    *
+    * Concurrency contract: every public entry point runs its
+    * fingerprint-record + artifact-fetch sequence under [[memoLock]]'s
+    * READ lock (shared — concurrent index fits still overlap), and the
+    * cap-triggered clear takes the WRITE lock, so a clear can never
+    * interleave between a fingerprint record and its artifact insert
+    * (which would leave an artifact without its fingerprint — the exact
+    * staleness dodge clearing-as-a-unit exists to prevent). The bound
+    * check runs at entry BEFORE the read lock is taken (on the explicit-
+    * key path too — explicit-key artifacts count against the cap like any
+    * other); nested entry points (ivfPqTopK → coarseQuantizer) skip the
+    * re-check rather than deadlock on a read→write upgrade. */
   private val MemoCap = 256
-  private def boundMemos(): Unit =
-    if (Seq(quantizers, corpusFileFp, cellCounts, pqBooks, sqRanges)
-          .exists(_.size > MemoCap)) {
-      quantizers.clear(); corpusFileFp.clear(); cellCounts.clear()
-      pqBooks.clear(); sqRanges.clear()
+  private val memoLock = new java.util.concurrent.locks.ReentrantReadWriteLock()
+  private def allMemos: Seq[ConcurrentHashMap[String, _]] =
+    Seq(quantizers, corpusFileFp, cellCounts, pqBooks, sqRanges, opqArts)
+  private def boundMemos(): Unit = {
+    if (memoLock.getReadHoldCount > 0) return // outer entry already bounded
+    if (allMemos.exists(_.size > MemoCap)) {
+      val w = memoLock.writeLock(); w.lock()
+      try if (allMemos.exists(_.size > MemoCap)) allMemos.foreach(_.clear())
+      finally w.unlock()
     }
+  }
+  /** Bound the memos, then run `f` under the shared artifact lock. */
+  private def withArtifacts[T](f: => T): T = {
+    boundMemos()
+    val l = memoLock.readLock(); l.lock()
+    try f finally l.unlock()
+  }
 
   /** Fingerprint of every file-source leaf under `df`'s plan: sorted
     * (path, length, modificationTime) triples, hashed. Listings come from
@@ -185,7 +209,6 @@ object Similarity {
   private def checkFreshness(key: String, corpus: DataFrame,
                              explicitKey: String): Unit = {
     if (explicitKey.nonEmpty) return
-    boundMemos()
     val fp = fileFingerprint(corpus)
     if (fp.isEmpty) return
     val prev = corpusFileFp.putIfAbsent(key, fp)
@@ -211,7 +234,7 @@ object Similarity {
   private val cellCounts = new ConcurrentHashMap[String, Int]()
 
   def autoCells(corpus: DataFrame, maxCell: Int = 256,
-                quantizerKey: String = ""): Int = {
+                quantizerKey: String = ""): Int = withArtifacts {
     // plain parquet scans expose no rowCount statistic without CBO, so
     // the fallback is a count() — memoize it per corpus key (the explicit
     // quantizerKey when given, else the plan fingerprint — same scheme as
@@ -239,7 +262,7 @@ object Similarity {
     * and replay, unlike `df.sample` — and hard-capped. */
   def coarseQuantizer(corpus: DataFrame, idCol: String, vecCol: String,
                       key: String, nCells: Int, seed: Long): Array[Array[Double]] =
-    quantizers.computeIfAbsent(s"$key|$nCells|$seed", _ => {
+    withArtifacts { quantizers.computeIfAbsent(s"$key|$nCells|$seed", _ => {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       // 1-in-N hash sample aiming at ~QuantizerSampleCap rows; the limit
@@ -257,7 +280,7 @@ object Similarity {
         .setInitMode("random")
         .setFeaturesCol("features").fit(sample)
       model.clusterCenters.map(_.toArray)
-    })
+    }) }
 
   /** Literal `(cell, centroid)` array — broadcast via the plan. Centroids
     * are L2-normalized on the driver: cosine ORDER against a fixed vector
@@ -287,7 +310,7 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L, quantizerKey: String = ""): DataFrame = {
+              seed: Long = 42L, quantizerKey: String = ""): DataFrame = withArtifacts {
     checkFreshness(defaultKey(corpus, quantizerKey), corpus, quantizerKey)
     val centers = coarseQuantizer(corpus, idCol, vecCol,
       defaultKey(corpus, quantizerKey), nCells, seed)
@@ -326,7 +349,7 @@ object Similarity {
     * before the cap so the fit is deterministic under any partitioning. */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String, key: String,
                   m: Int, ksub: Int, seed: Long): Array[Array[Array[Double]]] =
-    pqBooks.computeIfAbsent(s"$key|pq|$m|$ksub|$seed", _ => {
+    withArtifacts { pqBooks.computeIfAbsent(s"$key|pq|$m|$ksub|$seed", _ => {
       val n = corpus.queryExecution.optimizedPlan.stats.rowCount
       val everyNth = n.map(c => (c.toLong / QuantizerSampleCap).max(1L)).getOrElse(1L)
       val rows = corpus
@@ -346,7 +369,7 @@ object Similarity {
         val sub = unit.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
         lloyd(sub, ksub, seed + j, iters = 10)
       }
-    })
+    }) }
 
   /** Plain Lloyd's k-means on a driver-side sample (see [[pqCodebooks]]
     * for why this is not a distributed fit): seeded-shuffle init,
@@ -424,7 +447,7 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 16, ksub: Int = 16,
              shortlist: Int = 0, seed: Long = 42L,
-             quantizerKey: String = ""): DataFrame = {
+             quantizerKey: String = ""): DataFrame = withArtifacts {
     checkFreshness(defaultKey(corpus, quantizerKey), corpus, quantizerKey)
     val books = pqCodebooks(corpus, idCol, vecCol,
       defaultKey(corpus, quantizerKey), m, ksub, seed)
@@ -471,7 +494,7 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
                 m: Int = 16, ksub: Int = 16, shortlist: Int = 0,
-                seed: Long = 42L, quantizerKey: String = ""): DataFrame = {
+                seed: Long = 42L, quantizerKey: String = ""): DataFrame = withArtifacts {
     val key = defaultKey(corpus, quantizerKey)
     checkFreshness(key, corpus, quantizerKey)
     val centers = coarseQuantizer(corpus, idCol, vecCol, key, nCells, seed)
@@ -495,6 +518,226 @@ object Similarity {
     rankAdc(scored, k, shortlist)
   }
 
+  // ----------------------------------------------------------------- OPQ —
+
+  /** Memoized OPQ artifacts: the learned orthogonal rotation (row-major
+    * dim×dim; `rotated_j = Σ_i v_i·R(i)(j)`) plus the codebooks fit in
+    * the rotated space. Keyed like [[pqBooks]]. */
+  private val opqArts =
+    new ConcurrentHashMap[String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
+
+  /** Train OPQ (optimized product quantization, Ge et al. CVPR'13) on the
+    * same bounded sorted sample as [[pqCodebooks]]:
+    *
+    *  1. **OPQ-NP init** — eigendecompose the sample covariance, then
+    *     assign principal directions to the `m` subspaces by balanced
+    *     log-eigenvalue products (the paper's eigenvalue allocation):
+    *     every subspace carries ~equal variance, which minimizes the
+    *     distortion bound (Π of subspace variances is fixed at det Σ, so
+    *     balancing minimizes their Σ^(1/dsub) sum).
+    *  2. **OPQ-P refinement** — alternate codebook fit in the rotated
+    *     space with the orthogonal-Procrustes rotation update
+    *     (R ← U·Vᵀ from svd(XᵀX̂)), each step non-increasing in
+    *     ‖XR − X̂‖².
+    *
+    * Everything runs ON THE DRIVER over the ≤[[QuantizerSampleCap]]-row
+    * sample (like [[pqCodebooks]]: rotations are index artifacts; a
+    * 64×64 eig/svd per iteration is microseconds) and is fully
+    * deterministic: sorted sample, seeded Lloyd, LAPACK eig/svd on
+    * identical input. The ROTATION is the scale payoff: encoding a
+    * 100 TB corpus applies one dim×dim matrix per row — a per-row cost —
+    * while the quality gain (lower quantization distortion at identical
+    * m/ksub/ADC cost) is decided here at fit time. */
+  def opqArtifacts(corpus: DataFrame, idCol: String, vecCol: String,
+                   key: String, m: Int, ksub: Int, seed: Long,
+                   iters: Int = 6): (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    withArtifacts { opqArts.computeIfAbsent(s"$key|opq|$m|$ksub|$seed|$iters", _ => {
+      import breeze.linalg.{DenseMatrix, eigSym, svd}
+      val n = corpus.queryExecution.optimizedPlan.stats.rowCount
+      val everyNth = n.map(c => (c.toLong / QuantizerSampleCap).max(1L)).getOrElse(1L)
+      val unit = corpus
+        .filter(pmod(xxhash64(col(idCol)), lit(everyNth)) === 0)
+        .orderBy(xxhash64(col(idCol)), col(idCol))
+        .limit(QuantizerSampleCap)
+        .select(asDouble(col(vecCol)).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+        .map { v =>
+          val nm = math.sqrt(v.map(x => x * x).sum)
+          if (nm == 0) v else v.map(_ / nm)
+        }.filter(_.exists(_ != 0.0))
+      val dim = unit.head.length
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val dsub = dim / m
+      val rows = unit.length
+      val X = DenseMatrix.tabulate(rows, dim)((i, j) => unit(i)(j))
+      val mean = Array.tabulate(dim)(j => unit.map(_(j)).sum / rows)
+      val Xc = DenseMatrix.tabulate(rows, dim)((i, j) => unit(i)(j) - mean(j))
+      val cov = (Xc.t * Xc) / rows.toDouble
+      val es = eigSym(cov) // eigenvalues ascending
+      val order = (0 until dim).sortBy(d => -es.eigenvalues(d))
+      // eigenvalue allocation: greedy balanced log-products
+      val buckets = Array.fill(m)(List.empty[Int])
+      val logs = new Array[Double](m)
+      for (d <- order) {
+        val j = (0 until m).filter(buckets(_).size < dsub)
+          .minBy(j => (logs(j), j))
+        buckets(j) = buckets(j) :+ d
+        logs(j) += math.log(math.max(es.eigenvalues(d), 1e-12))
+      }
+      val perm = buckets.flatten
+      var r = DenseMatrix.tabulate(dim, dim)((i, j) => es.eigenvectors(i, perm(j)))
+      def fitBooks(v: DenseMatrix[Double]): Array[Array[Array[Double]]] =
+        Array.tabulate(m) { j =>
+          val sub = Array.tabulate(rows)(i =>
+            Array.tabulate(dsub)(d => v(i, j * dsub + d)))
+          lloyd(sub, ksub, seed + j, iters = 10)
+        }
+      def reconstruct(v: DenseMatrix[Double],
+                      books: Array[Array[Array[Double]]]): DenseMatrix[Double] = {
+        val out = DenseMatrix.zeros[Double](rows, dim)
+        for (i <- 0 until rows; j <- 0 until m) {
+          var best = 0; var bestD = Double.MaxValue
+          for (c <- books(j).indices) {
+            var dist = 0.0; var d = 0
+            while (d < dsub) {
+              val t = v(i, j * dsub + d) - books(j)(c)(d); dist += t * t; d += 1
+            }
+            if (dist < bestD) { bestD = dist; best = c }
+          }
+          var d = 0
+          while (d < dsub) { out(i, j * dsub + d) = books(j)(best)(d); d += 1 }
+        }
+        out
+      }
+      for (_ <- 0 until iters) {
+        val v = X * r
+        val recon = reconstruct(v, fitBooks(v))
+        val sv = svd(X.t * recon)
+        r = sv.U * sv.Vt
+      }
+      val books = fitBooks(X * r)
+      (Array.tabulate(dim, dim)((i, j) => r(i, j)), books)
+    }) }
+
+  /** Apply the learned rotation to a vector column: m·dim codegen dot
+    * products against literal rotation columns — a per-row cost that is
+    * part of ENCODING (at scale codes are computed once and stored; here
+    * they are derived in the scan like [[pqTopK]]'s). */
+  def rotate(r: Array[Array[Double]], vec: Column): Column = {
+    val dim = r.length
+    array((0 until dim).map { j =>
+      dot(vec, typedlit(Array.tabulate(dim)(i => r(i)(j)).toSeq))
+    }: _*)
+  }
+
+  /** Per-row PQ quantization distortion Σ_j min_c ‖x_j − c‖² — the
+    * objective OPQ minimizes, exposed as a column so certificates can
+    * compare rotated vs unrotated codebooks on the FULL corpus with one
+    * aggregate. */
+  def quantDistortion(books: Array[Array[Array[Double]]], unitVec: Column): Column = {
+    val dsub = books(0)(0).length
+    books.indices.map { j =>
+      val sub = slice(unitVec, j * dsub + 1, dsub)
+      val cands = array(books(j).map { cent =>
+        val sq = cent.map(x => x * x).sum
+        dot(sub, sub) - lit(2.0) * dot(sub, typedlit(cent.toSeq)) + lit(sq)
+      }: _*)
+      array_min(cands)
+    }.reduce(_ + _)
+  }
+
+  /** Codebook centroids lifted back to INPUT space through the rotation:
+    * entry (j)(c) is the dim-length vector R_j·c (R_j = the rotation's
+    * j-th column block). ⟨x·R restricted to subspace j, c⟩ = ⟨x, R_j·c⟩,
+    * so corpus-side code assignment and distortion need NO per-row
+    * rotation — the rotation folds into the index artifact (the naive
+    * rotate-every-row formulation additionally replicated the dim²
+    * rotation subtree into all m·ksub candidate expressions: a 28 MB
+    * task binary at dim 64). */
+  private def liftBooks(r: Array[Array[Double]],
+                        books: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] = {
+    val dim = r.length
+    val dsub = books(0)(0).length
+    Array.tabulate(books.length) { j =>
+      Array.tabulate(books(j).length) { c =>
+        val cent = books(j)(c)
+        Array.tabulate(dim) { i =>
+          var s = 0.0; var d = 0
+          while (d < dsub) { s += r(i)(j * dsub + d) * cent(d); d += 1 }
+          s
+        }
+      }
+    }
+  }
+
+  /** PQ codes in the ROTATED space computed from the unrotated unit
+    * vector via lifted centroids: argmin_c ½‖c‖² − ⟨u, R_j·c⟩ — the same
+    * cascade as [[pqCodes]] (the dropped ‖v_j‖² term is constant per
+    * subspace), with ‖c‖ taken from the rotated-space centroid (R_j has
+    * orthonormal columns, so norms agree). */
+  private def pqCodesLifted(lifted: Array[Array[Array[Double]]],
+                            books: Array[Array[Array[Double]]],
+                            unitVec: Column): Column =
+    array(lifted.indices.map { j =>
+      val cands = array(lifted(j).indices.map { c =>
+        val halfSq = 0.5 * books(j)(c).map(x => x * x).sum
+        struct((lit(halfSq) - dot(unitVec, typedlit(lifted(j)(c).toSeq))).as("d"),
+          lit(c).as("idx"))
+      }: _*)
+      array_min(cands).getField("idx")
+    }: _*)
+
+  /** Corpus-wide OPQ distortion from the unrotated unit vector:
+    * Σ_j min_c ‖v_j − c‖² = Σ_j ‖v_j‖² + Σ_j min_c (‖c‖² − 2⟨u, R_j·c⟩)
+    * and Σ_j ‖v_j‖² = ‖u‖² = 1 exactly (orthogonal R, unit input). */
+  def opqDistortion(r: Array[Array[Double]], books: Array[Array[Array[Double]]],
+                    unitVec: Column): Column = {
+    val lifted = liftBooks(r, books)
+    lifted.indices.map { j =>
+      val cands = array(lifted(j).indices.map { c =>
+        val sq = books(j)(c).map(x => x * x).sum
+        lit(sq) - lit(2.0) * dot(unitVec, typedlit(lifted(j)(c).toSeq))
+      }: _*)
+      array_min(cands)
+    }.reduce(_ + _) + lit(1.0)
+  }
+
+  /** OPQ ANN: [[pqTopK]] with the learned rotation applied FAISS-style —
+    * corpus codes assigned through lifted centroids (no per-row
+    * rotation), the query rotated ONCE on the broadcast side, and ADC
+    * scored in rotated space with the original [[adcScore]]: per-pair
+    * cost identical to plain PQ at equal m/ksub. Exact re-rank scores
+    * are unchanged (inner products and norms are rotation-invariant). */
+  def opqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, m: Int = 16, ksub: Int = 16,
+              shortlist: Int = 0, seed: Long = 42L,
+              quantizerKey: String = ""): DataFrame = withArtifacts {
+    checkFreshness(defaultKey(corpus, quantizerKey), corpus, quantizerKey)
+    val (r, books) = opqArtifacts(corpus, idCol, vecCol,
+      defaultKey(corpus, quantizerKey), m, ksub, seed)
+    val lifted = liftBooks(r, books)
+    val c = nonZeroNorm(corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cvec"))
+      .withColumn("cnorm", norm(col("cvec"))), "cnorm")
+      .withColumn("codes", pqCodesLifted(lifted, books,
+        transform(col("cvec"), x => x / col("cnorm"))))
+    val q = nonZeroNorm(queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qvec"))
+      .withColumn("qnorm", norm(col("qvec"))), "qnorm")
+      .withColumn("qrot", rotate(r, col("qvec")))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cvec"), col("cnorm"),
+        col("qvec"), col("qnorm"),
+        (adcScore(books, col("qrot"), col("codes")) / col("qnorm")).as("adc"))
+    rankAdc(scored, k, shortlist)
+  }
+
+  /** The rotation matrix of [[opqArtifacts]] for spec-level orthogonality
+    * checks. */
+  def opqRotation(corpus: DataFrame, idCol: String, vecCol: String,
+                  key: String, m: Int, ksub: Int, seed: Long): Array[Array[Double]] =
+    opqArtifacts(corpus, idCol, vecCol, key, m, ksub, seed)._1
+
   // ------------------------------------------------- scalar quantization —
 
   /** Memoized per-dimension (min, max) ranges for scalar quantization —
@@ -505,14 +748,14 @@ object Similarity {
 
   def sqRange(corpus: DataFrame, vecCol: String,
               key: String): (Array[Double], Array[Double]) =
-    sqRanges.computeIfAbsent(key, _ => {
+    withArtifacts { sqRanges.computeIfAbsent(key, _ => {
       val rows = corpus
         .select(posexplode(asDouble(col(vecCol))).as(Seq("pos", "x")))
         .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
         .orderBy(col("pos"))
         .collect()
       (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
-    })
+    }) }
 
   /** Asymmetric top-k under int8 scalar quantization: each corpus
     * dimension is affinely coded to 0..255 against the per-dimension
@@ -530,7 +773,7 @@ object Similarity {
     * index would store `codes` (tinyint arrays) and decode at scan. */
   def sqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, shortlist: Int = 0,
-             quantizerKey: String = ""): DataFrame = {
+             quantizerKey: String = ""): DataFrame = withArtifacts {
     checkFreshness(defaultKey(corpus, quantizerKey), corpus, quantizerKey)
     val key = s"sq-${defaultKey(corpus, quantizerKey)}"
     val (mins, maxs) = sqRange(corpus, vecCol, key)
@@ -585,7 +828,7 @@ object Similarity {
   def embeddingDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95, nCells: Int = 0,
                         nProbe: Int = 2, maxCell: Int = 256,
-                        seed: Long = 42L, quantizerKey: String = ""): DataFrame = {
+                        seed: Long = 42L, quantizerKey: String = ""): DataFrame = withArtifacts {
     checkFreshness(defaultKey(corpus, quantizerKey), corpus, quantizerKey)
     val cells = if (nCells > 0) nCells else autoCells(corpus, maxCell, quantizerKey)
     val centers = coarseQuantizer(corpus, idCol, vecCol,

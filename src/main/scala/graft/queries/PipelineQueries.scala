@@ -13,11 +13,12 @@ import QueryUtil._
   * Oracle-checked wherever the result is SQL-reachable — exactly (an01,
   * dd03, mm01, and since r11 tx07 via its inline integrity bits) or as
   * an exact-recall pin (dd01, dd04; see [[oracles]]) — rows-only ONLY
-  * where the output IS the signature-bound artifact (dd02, an02, dd04:
-  * IVF top-k neighbor ids, Hamming-band pairs, IVF candidate pairs —
-  * each with an oracle-green certificate twin; see the terminal note at
-  * [[oracles]]). Everything is deterministic by construction (seeded
-  * models, hash permutations) and pinned by scalatest specs besides.
+  * where the output IS the signature-bound artifact (dd02, an02, dd04,
+  * tx28: IVF top-k neighbor ids, Hamming-band pairs, IVF candidate
+  * pairs, raw 64-bit fingerprints — each with an oracle-green
+  * certificate twin; see the terminal note at [[oracles]]). Everything
+  * is deterministic by construction (seeded models, hash permutations)
+  * and pinned by scalatest specs besides.
   */
 object PipelineQueries {
 
@@ -479,6 +480,57 @@ object PipelineQueries {
       point(0, 0.85).unionByName(point(50, 0.95)).orderBy(col("shortlist"))
     },
 
+    // OPQ vs plain PQ at IDENTICAL cost (an11): the learned orthogonal
+    // rotation (Ge et al. CVPR'13 — PCA + eigenvalue-allocation init,
+    // Procrustes alternation; see Similarity.opqArtifacts) certified
+    // against an04's plain PQ at the same m/ksub/seed/pure-ADC
+    // settings. Certification runs on a deterministic ANISOTROPIC view
+    // of the embeddings ([[anisoEmbeddings]]): the driver corpus is
+    // near-isotropic by construction (dd04's note) — per-dim variances
+    // within ±15%, ~zero cross-dim correlation — a geometry where NO
+    // rotation can beat identity (measured: permutation and Procrustes
+    // uplifts are ±0.02 recall noise there). The view manufactures the
+    // correlated, scale-skewed, clustered geometry real embedding
+    // corpora have, which is what OPQ's rotation exploits. Two bits,
+    // both deterministic (sorted bounded sample, seeded Lloyd, LAPACK
+    // eig/svd):
+    //  - dist_uplift_ok: corpus-wide quantization distortion (the
+    //    objective OPQ minimizes) at least 3% below plain PQ's
+    //    (measured ~25-35% below across local SFs);
+    //  - recall_uplift_ok: pure-ADC recall@5 at least plain PQ's at
+    //    identical ADC cost.
+    "an11_opq_recall" -> { (s, dir) =>
+      val emb = anisoEmbeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val key = s"emb-aniso-$dir"
+      val m = 16; val ksub = 16
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+      def recallOf(approx: org.apache.spark.sql.DataFrame, as: String) =
+        exact.join(
+            approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+            col("qid") === col("query_id") && col("nid") === col("neighbor_id"), "left")
+          .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)))
+            .as(as))
+      val rPq = recallOf(Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        k = 5, m = m, ksub = ksub, shortlist = 0, quantizerKey = key), "r_pq")
+      val rOpq = recallOf(Similarity.opqTopK(emb, queries, "vec_id", "embedding",
+        k = 5, m = m, ksub = ksub, shortlist = 0, quantizerKey = key), "r_opq")
+      val books = Similarity.pqCodebooks(emb, "vec_id", "embedding", key, m, ksub, 42L)
+      val (rot, obooks) = Similarity.opqArtifacts(emb, "vec_id", "embedding", key, m, ksub, 42L)
+      val dist = emb.select(col("embedding").as("v"))
+        .withColumn("vn", Similarity.norm(col("v"))).filter(col("vn") > 0)
+        .withColumn("u", transform(col("v"), x => x / col("vn")))
+        .agg(avg(Similarity.quantDistortion(books, col("u"))).as("d_pq"),
+          avg(Similarity.opqDistortion(rot, obooks, col("u"))).as("d_opq"))
+      rPq.crossJoin(broadcast(rOpq)).crossJoin(broadcast(dist))
+        .select(lit(m.toLong).as("m"), lit(ksub.toLong).as("ksub"),
+          when(col("d_opq") <= col("d_pq") * 0.97, 1L).otherwise(0L)
+            .as("dist_uplift_ok"),
+          when(col("r_opq") >= col("r_pq"), 1L).otherwise(0L)
+            .as("recall_uplift_ok"))
+    },
+
     // Text-similarity search baseline: exact Jaccard top-3 neighbors for
     // the first 5 documents, via an inverted shingle index — candidates
     // are (query, doc) pairs sharing at least one 3-shingle, intersection
@@ -572,6 +624,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The RAW per-doc fingerprint values — the user-facing shape of the
+    // fingerprint operator (tx07 certifies the integrity bits oracle-side
+    // but no longer emits the 64-bit value itself). Rows-only BY NATURE:
+    // the xxhash64-based rolling hash is not reproducible in DuckDB —
+    // same signature-bound class as an02/dd02/dd04, with tx07/tx11 as
+    // the oracle-green certificate twins and the value itself pinned
+    // bit-for-bit in TextOpsSpec/CodegenSpec.
+    "tx28_fingerprint_values" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    },
+
     // Self-certifying fingerprint integrity (upgrades tx07's rows-only
     // story the way an03 upgrades an02's): a fingerprint is useful iff it
     // is (a) a pure function of the text — every distinct text maps to
@@ -599,9 +664,22 @@ object PipelineQueries {
             .as("fp_is_function_of_text"))
     },
 
-    // Multimodal: binary payload → per-partition (stub) decode → metadata.
+    // Multimodal: real binary image payload (24-bit BMP / binary PPM,
+    // deterministic pixel pattern) → per-partition REAL decode (header
+    // parse + pixel-array walk) → metadata + exact integer pixel stats.
+    // The DuckDB oracle replays the pixel GENERATOR, not the codec: the
+    // hashes only match if encode→decode round-trips bit-exactly —
+    // channel sums pin BGR/RGB order, the top-down positional moment
+    // pins BMP's bottom-up scanline flip and row padding, n_bytes pins
+    // the canonical encoded size of both formats.
     "mm01_media_metadata" -> { (s, dir) =>
       Multimodal.decodeMeta(Multimodal.withPayload(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("n_bytes"), col("n_pixels"),
+          col("sum_r"), col("sum_g"), col("sum_b"), col("mom_r"))
         .orderBy(col("doc_id"))
     },
 
@@ -814,7 +892,49 @@ object PipelineQueries {
       Similarity.coarseQuantizer(emb, "vec_id", "embedding",
         s"emb-dup-$dir", Similarity.autoCells(emb, quantizerKey = s"emb-dup-$dir"),
         seed = 42L); ()
+    },
+    "build_opq_artifacts" -> { (s, dir) =>
+      // an11's index artifacts on the anisotropic view: the plain-PQ
+      // codebooks it compares against AND the OPQ rotation+codebooks
+      val emb = anisoEmbeddings(s, dir)
+      Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        s"emb-aniso-$dir", m = 16, ksub = 16, seed = 42L)
+      Similarity.opqArtifacts(emb, "vec_id", "embedding",
+        s"emb-aniso-$dir", m = 16, ksub = 16, seed = 42L); ()
     })
+
+  /** Deterministic ANISOTROPIC certification view of the embeddings
+    * table for an11 (dim 64): per-row cluster offset (8 hash-sign
+    * centroid patterns, ±0.6 per dim, keyed by vec_id mod 8), cross-dim
+    * mixing (x + 0.9·roll(x, 32) — strong correlation across the
+    * subspace boundary PQ splits on), and exponential per-dim scaling
+    * (1.1^d — a decaying-spectrum stand-in). Pure column math over the
+    * scan: deterministic at every SF, never materialized. */
+  private[graft] def anisoEmbeddings(s: org.apache.spark.sql.SparkSession,
+                                     dir: String): org.apache.spark.sql.DataFrame = {
+    val dim = 64; val nClust = 8
+    val muLit = typedlit(Array.tabulate(nClust, dim)(hashSign).map(_.toSeq).toSeq)
+    val scaleLit = typedlit((0 until dim).map(d => math.pow(1.1, d)))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        zip_with(col("embedding").cast("array<double>"),
+          element_at(muLit, pmod(col("vec_id"), lit(nClust)).cast("int") + 1),
+          (x, mu) => x + lit(0.6) * mu).as("va"))
+      .select(col("vec_id"),
+        zip_with(
+          zip_with(col("va"),
+            concat(slice(col("va"), dim / 2 + 1, dim / 2), slice(col("va"), 1, dim / 2)),
+            (a, b) => a + lit(0.9) * b),
+          scaleLit, (x, sc) => x * sc).as("embedding"))
+  }
+
+  /** Deterministic ±1 pattern for the 8 synthetic cluster centroids
+    * (integer avalanche hash — no RNG, identical on replay). */
+  private def hashSign(c: Int, d: Int): Double = {
+    var h = (c * 1315423911L + d * 2654435761L) & 0xffffffffL
+    h ^= h >>> 16; h = (h * 0x45d9f3bL) & 0xffffffffL; h ^= h >>> 16
+    if ((h & 1L) == 1L) 1.0 else -1.0
+  }
 
   /** Two oracle families here:
     *
@@ -959,6 +1079,14 @@ object PipelineQueries {
         |UNION ALL
         |SELECT CAST(50 AS BIGINT), 0.95, CAST(1 AS BIGINT)
         |ORDER BY shortlist""".stripMargin,
+
+    // Constant oracle, same contract as an03/an04: OPQ must strictly
+    // improve quantization distortion (≥3%) and not lose recall vs
+    // plain PQ at identical m/ksub/ADC cost (see the an11 entry).
+    "an11_opq_recall" ->
+      """SELECT CAST(16 AS BIGINT) AS m, CAST(16 AS BIGINT) AS ksub,
+        |       CAST(1 AS BIGINT) AS dist_uplift_ok,
+        |       CAST(1 AS BIGINT) AS recall_uplift_ok""".stripMargin,
 
     // Independent recompute via list_intersect over string shingle sets —
     // same candidate rule (≥1 shared shingle), same exact-int division.
@@ -1179,17 +1307,37 @@ object PipelineQueries {
         |       CAST(1 AS BIGINT) AS hot_bucket_seen
         |FROM pairs""".stripMargin,
 
-    // The mapPartitions decode path is stubbed deterministically from the
-    // payload byte length, so the whole per-partition pipeline — binary
-    // cast, batch iteration, metadata struct — is hash-checkable.
+    // Replays the deterministic pixel GENERATOR (never the codec): the
+    // Spark side encodes real BMP/PPM bytes and decodes them back by
+    // parsing headers and walking the pixel array, so this hash only
+    // matches if the round-trip is bit-exact — per-channel sums catch a
+    // BGR/RGB swap, the top-down moment Σ(y·w+x)·r catches an unflipped
+    // bottom-up BMP or mis-padded row, n_bytes pins canonical sizes.
     "mm01_media_metadata" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
-        |  CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height,
-        |  CAST(octet_length(encode(text)) % 3 + 1 AS BIGINT) AS channels,
-        |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, (doc_id % 21) + 4 AS w, (doc_id % 13) + 3 AS h
+        |           FROM documents),
+        |ys AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM d),
+        |xs AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM ys),
+        |agg AS (SELECT doc_id,
+        |          sum((doc_id*7 + 11*y + 13*x) % 256) AS sum_r,
+        |          sum((doc_id*5 + 3*y + 17*x) % 256) AS sum_g,
+        |          sum((doc_id*3 + 19*y + 5*x) % 256) AS sum_b,
+        |          sum((y*w + x) * ((doc_id*7 + 11*y + 13*x) % 256)) AS mom_r
+        |        FROM xs GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+        |  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CAST(CASE WHEN d.doc_id % 2 = 0
+        |       THEN 54 + ((3*d.w + 3) // 4) * 4 * d.h
+        |       ELSE 9 + length(CAST(d.w AS VARCHAR)) + length(CAST(d.h AS VARCHAR))
+        |            + 3*d.w*d.h END AS BIGINT) AS n_bytes,
+        |  CAST(d.w * d.h AS BIGINT) AS n_pixels,
+        |  CAST(agg.sum_r AS BIGINT) AS sum_r,
+        |  CAST(agg.sum_g AS BIGINT) AS sum_g,
+        |  CAST(agg.sum_b AS BIGINT) AS sum_b,
+        |  CAST(agg.mom_r AS BIGINT) AS mom_r
+        |FROM d JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "dd03_ngram_jaccard_pairs" ->
       s"""WITH $NgramPipelineSql

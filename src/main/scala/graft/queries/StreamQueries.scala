@@ -107,10 +107,23 @@ object StreamQueries {
     * a silently wrong watermark progression. */
   private def sourceId(s: org.apache.spark.sql.SparkSession,
                        dir: String, table: String): String = {
+    // fingerprint the sorted CHILD-FILE listing (path, length, mtime), not
+    // the directory status: dir length is filesystem-dependent (often 0)
+    // and dir mtime only moves when entries are added/removed, so an
+    // in-place rewrite of same-named part files would not rotate the key
+    // (the exact stale-replay this memo key exists to prevent) — same
+    // posture as Similarity.fileFingerprint
     val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(p)
-    s"${st.getModificationTime}|${st.getLen}"
+    def walk(path: org.apache.hadoop.fs.Path): Seq[String] = {
+      val st = fs.getFileStatus(path)
+      if (st.isDirectory)
+        fs.listStatus(path).toSeq.sortBy(_.getPath.toString).flatMap(c => walk(c.getPath))
+      else Seq(s"${st.getPath}|${st.getLen}|${st.getModificationTime}")
+    }
+    val entries = walk(p).sorted
+    java.lang.Long.toHexString(
+      entries.foldLeft(17L)((h, e) => h * 31 + e.hashCode))
   }
 
   /** One-time fixture build for the chunked replay: rewrite the pruned
@@ -402,13 +415,21 @@ object StreamQueries {
     val dimPath = s"$base/dim"
     val outPath = s"$base/out"
     val users = Tables.events(s, dir).select($"user_id").distinct()
-    // every version the 4-chunk replay can see, written up front as
-    // immutable snapshots — a retried batch re-reads its own version
+    // every version the replay can see, written up front as immutable
+    // snapshots — a retried batch re-reads its own version. The snapshot
+    // count is DERIVED from the actual chunk-file count of the scratch
+    // dir (with maxFilesPerTrigger=1, batches == files), so a fixture
+    // change can't strand a batch id without its snapshot; the handler
+    // additionally guards the id so an engine batching change fails with
+    // a descriptive error instead of a bare path-not-found.
+    val nVersions = Option(new java.io.File(scratch).listFiles()).getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".parquet")).toLong
+    require(nVersions > 0, s"no chunk files under $scratch")
     def writeDim(v: Long): Unit = users
       .select($"user_id", pmod($"user_id" + v, lit(3L)).as("tier"),
         lit(v).as("dim_version"))
       .write.mode("overwrite").parquet(s"$dimPath/v$v")
-    (0L until 4L).foreach(writeDim)
+    (0L until nVersions).foreach(writeDim)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
     val q = s.readStream.schema(raw)
       .option("maxFilesPerTrigger", 1).parquet(scratch)
@@ -419,6 +440,10 @@ object StreamQueries {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         // version keyed by the engine-supplied batchId: deterministic
         // under replay, idempotent under retry
+        require(id < nVersions,
+          s"batch id $id has no dim snapshot (expected < $nVersions — one " +
+            "batch per chunk file under maxFilesPerTrigger=1; did the " +
+            "engine's file batching change?)")
         val dim = s.read.parquet(s"$dimPath/v$id")
         graft.apps.Pipeline.writeBatch(
           batch.join(broadcast(dim), "user_id"), outPath, id)

@@ -15,6 +15,11 @@ import QueryUtil._
   */
 object TextQueries {
 
+  /** Merge rounds for tx26 — fixed so the unrolled oracle and the Spark
+    * loop agree by construction. */
+  private[graft] val BpeRounds = 8
+
+
   private val Stopwords = Seq("the", "a")
 
   val queries: Map[String, Q] = Map(
@@ -64,8 +69,9 @@ object TextQueries {
     },
 
     // Multimodal plumbing: opaque binary payload column + typed metadata
-    // derived without decoding (the decode itself is the stubbed boundary
-    // in MultimodalOps; schema/partitioning shape is what's exercised).
+    // derived WITHOUT decoding — the cheap planning columns a catalog
+    // keeps alongside the payload (real decode is mm01's codec boundary
+    // in ops.Multimodal; this entry exercises the no-decode schema path).
     "tx05_binary_metadata" -> { (s, dir) =>
       import s.implicits._
       val nBytes = length($"text".cast("binary")).cast("long")
@@ -436,20 +442,24 @@ object TextQueries {
         .orderBy($"doc_id", $"frame_idx")
     },
 
-    // Multimodal: ViT-style patch tiling from decoded image metadata —
-    // 16×16 patch grid (ceil division), vision-token estimate capped at
-    // a 196-token budget. The decode is mm01's per-partition boundary;
-    // everything after is exact integer column math, the planning pass
-    // a vision-training pipeline runs to budget sequence lengths before
-    // touching pixels.
+    // Multimodal: ViT-style preprocessing plan from REAL decoded image
+    // metadata (mm01's per-partition codec boundary): aspect-preserving
+    // resize of the longest side to 224 (integer floor division — the
+    // deterministic resize plan, no resampling), then a 16×16 patch
+    // grid (ceil division) with the vision-token estimate capped at a
+    // 196-token budget. Everything after the decode is exact integer
+    // column math — the planning pass a vision-training pipeline runs
+    // to budget sequence lengths before touching pixels.
     "mm03_patch_grid" -> { (s, dir) =>
       import s.implicits._
       graft.ops.Multimodal.decodeMeta(
           graft.ops.Multimodal.withPayload(Tables.documents(s, dir)))
         .select($"doc_id", $"width".cast("long").as("width"),
           $"height".cast("long").as("height"))
-        .withColumn("patches_x", expr("(width + 15) div 16"))
-        .withColumn("patches_y", expr("(height + 15) div 16"))
+        .withColumn("rs_w", expr("(width * 224) div greatest(width, height)"))
+        .withColumn("rs_h", expr("(height * 224) div greatest(width, height)"))
+        .withColumn("patches_x", expr("(rs_w + 15) div 16"))
+        .withColumn("patches_y", expr("(rs_h + 15) div 16"))
         .withColumn("n_patches", $"patches_x" * $"patches_y")
         .withColumn("n_tokens", least($"n_patches", lit(196L)))
         .orderBy($"doc_id")
@@ -623,6 +633,98 @@ object TextQueries {
           when(expr("(sum_inv_p div n_trigrams) * 10") > $"corpus_floor_avg" * 11,
             1L).otherwise(0L).as("low_quality"))
         .orderBy($"doc_id")
+    },
+
+    // ITERATIVE BPE TOKENIZER TRAINING — tx21's single merge iteration
+    // extended to the full driver-coordinated training loop real BPE
+    // trainers run (the pageRank loop pattern: per-round Spark job,
+    // 1-row driver pull, lineage truncated each round). State is the
+    // word-frequency DICTIONARY (vocab-bounded regardless of corpus
+    // size) with each word's current symbol sequence encoded as a
+    // delimiter-wrapped string (""-wrapped symbols, so one
+    // `replace` call applies a merge with exact greedy left-to-right
+    // non-overlap semantics — identical in Spark and DuckDB). Per
+    // round: adjacent-pair counts from ONE hash aggregate over the
+    // vocabulary (weighted by word frequency), global best pair from a
+    // TakeOrderedAndProject (count desc, pair asc — no full sort), then
+    // one per-row `replace` applies the merge everywhere. The oracle is
+    // a full UNROLLED replay: 8 chained CTE rounds recomputing the
+    // identical pair counts, argmax, and merge — bit-exact or red.
+    "tx26_bpe_train" -> { (s, dir) =>
+      import s.implicits._
+      val sep = ""
+      val sep2 = sep + sep
+      // each char wrapped in the delimiter: "␟h␟␟e␟␟y␟" — exclusive
+      // per-symbol delimiters make consecutive merges of the same pair
+      // non-overlapping under plain string replace (shared single
+      // separators would eat the next match's left context)
+      var vocab = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens($"text")).as("w"))
+        .filter(length($"w") >= 1)
+        .groupBy($"w").agg(count(lit(1)).as("wc"))
+        .select($"wc", expr(
+          "substring(concat('', regexp_replace(w, '(?s)(.)', '$1')), " +
+            "1, length(w) * 3)").as("ws"))
+        .localCheckpoint()
+      val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+      var r = 1
+      var done = false
+      while (r <= BpeRounds && !done) {
+        val best = vocab
+          .select($"wc",
+            split(expr("substring(ws, 2, length(ws) - 2)"), sep2).as("sy"))
+          .filter(size($"sy") >= 2)
+          .select($"wc", explode(transform(
+            sequence(lit(1), size($"sy") - 1),
+            i => concat(element_at($"sy", i), lit(sep), element_at($"sy", i + 1))))
+            .as("pair"))
+          .groupBy($"pair").agg(sum($"wc").as("n"))
+          .orderBy($"n".desc, $"pair")
+          .limit(1).collect()
+        if (best.isEmpty) done = true
+        else {
+          val pair = best(0).getString(0); val n = best(0).getLong(1)
+          val Array(l, rr) = pair.split(sep)
+          merges += ((r.toLong, l, rr, l + rr, n))
+          vocab = vocab.select($"wc",
+            replace($"ws", lit(sep + l + sep2 + rr + sep), lit(sep + l + rr + sep))
+              .as("ws"))
+            .localCheckpoint()
+          r += 1
+        }
+      }
+      merges.result().toDF("round", "lhs", "rhs", "merged", "n_occurrences")
+        .orderBy($"round")
+    },
+
+    // DOMAIN-AWARE CURATION — RefinedWeb/CCNet-style per-source-domain
+    // caps: a synthetic registered-domain column (hash-derived from doc
+    // metadata — source + a 32-doc neighborhood, standing in for the
+    // URL host a web corpus carries), domain-level exact dedup (min
+    // doc_id per (domain, content digest)), then a per-domain document
+    // cap electing the k content-hash-smallest survivors (the tx20
+    // rule: no RNG, replay-stable, duplicates elect identically).
+    // Scale shape: text is dropped at the scan — only (domain, 16 B
+    // digest, ids) cross the two key-partitioned window exchanges; the
+    // cap is a constant, so output is ≤ n_domains·k rows.
+    "tx27_domain_caps" -> { (s, dir) =>
+      import s.implicits._
+      val wDedup = org.apache.spark.sql.expressions.Window
+        .partitionBy($"domain", $"h").orderBy($"doc_id")
+      val wCap = org.apache.spark.sql.expressions.Window
+        .partitionBy($"domain").orderBy($"h", $"doc_id")
+      Tables.documents(s, dir)
+        .select($"doc_id", $"n_chars",
+          concat(lit("d"), substring(md5(
+            concat($"source", lit(":"), expr("doc_id div 32").cast("string"))
+              .cast("binary")), 1, 2)).as("domain"),
+          md5($"text".cast("binary")).as("h"))
+        .withColumn("rn", row_number().over(wDedup))
+        .filter($"rn" === 1)
+        .withColumn("rank", row_number().over(wCap).cast("long"))
+        .filter($"rank" <= 8)
+        .select($"domain", $"rank", $"doc_id", $"n_chars")
+        .orderBy($"domain", $"rank")
     })
 
   // ---- tx22 PII fixture + regexes (shared with the DuckDB oracle) ----
@@ -944,19 +1046,26 @@ object TextQueries {
         |WHERE n_chars % 1000 > 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
-    // the same stub decode math as mm01, then exact ceil-division tiling
+    // the same real image dims as mm01 (the generator formulas — the
+    // Spark side gets them by decoding actual bytes), then the integer
+    // resize-to-224 plan and exact ceil-division tiling
     "mm03_patch_grid" ->
       """WITH m AS (SELECT doc_id,
-        |    octet_length(encode(text)) % 640 + 1 AS w,
-        |    (octet_length(encode(text)) * 7) % 480 + 1 AS h
-        |  FROM documents)
+        |    (doc_id % 21) + 4 AS w,
+        |    (doc_id % 13) + 3 AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, w, h,
+        |    (w * 224) // greatest(w, h) AS rw,
+        |    (h * 224) // greatest(w, h) AS rh
+        |  FROM m)
         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-        |  CAST((w + 15) // 16 AS BIGINT) AS patches_x,
-        |  CAST((h + 15) // 16 AS BIGINT) AS patches_y,
-        |  CAST(((w + 15) // 16) * ((h + 15) // 16) AS BIGINT) AS n_patches,
-        |  CAST(LEAST(((w + 15) // 16) * ((h + 15) // 16), 196) AS BIGINT)
+        |  CAST(rw AS BIGINT) AS rs_w, CAST(rh AS BIGINT) AS rs_h,
+        |  CAST((rw + 15) // 16 AS BIGINT) AS patches_x,
+        |  CAST((rh + 15) // 16 AS BIGINT) AS patches_y,
+        |  CAST(((rw + 15) // 16) * ((rh + 15) // 16) AS BIGINT) AS n_patches,
+        |  CAST(LEAST(((rw + 15) // 16) * ((rh + 15) // 16), 196) AS BIGINT)
         |    AS n_tokens
-        |FROM m ORDER BY doc_id""".stripMargin,
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // same injected fixture, regexes, and replacement order as the Spark
     // entry; DuckDB regexp_replace needs the explicit 'g' flag to match
@@ -1062,5 +1171,67 @@ object TextQueries {
         |SELECT doc_id, n_trigrams, sum_inv_p,
         |       CAST(CASE WHEN (sum_inv_p // n_trigrams) * 10 > tot.cfa * 11
         |            THEN 1 ELSE 0 END AS BIGINT) AS low_quality
-        |FROM per, tot ORDER BY doc_id""".stripMargin)
+        |FROM per, tot ORDER BY doc_id""".stripMargin,
+
+    "tx26_bpe_train" -> bpeOracleSql(BpeRounds),
+
+    // same domain derivation, dedup election, and cap rule — two window
+    // passes over the narrow (domain, digest, id) projection
+    "tx27_domain_caps" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    'd' || substr(md5(source || ':' || CAST(doc_id // 32 AS VARCHAR)), 1, 2)
+        |      AS domain,
+        |    md5(text) AS h
+        |  FROM documents),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY domain, h ORDER BY doc_id)
+        |        AS rn FROM d),
+        |c AS (SELECT domain, doc_id, n_chars, h,
+        |        row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rank
+        |      FROM k WHERE rn = 1)
+        |SELECT domain, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
+        |FROM c WHERE rank <= 8 ORDER BY domain, rank""".stripMargin)
+
+  /** The tx26 oracle: a fully UNROLLED DuckDB replay of the BPE training
+    * loop — `rounds` chained CTE blocks, each recomputing pair counts
+    * over the evolving symbol dictionary, electing the (count desc, pair
+    * asc) argmax, and applying the merge with the same delimiter-wrapped
+    * `replace` the Spark side uses (chr(31)-wrapped symbols; identical
+    * greedy left-to-right non-overlap semantics in both engines). */
+  private def bpeOracleSql(rounds: Int): String = {
+    val S = "chr(31)"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |v0 AS (SELECT w, count(*) AS wc FROM toks WHERE length(w) >= 1 GROUP BY w),
+         |s0 AS (SELECT wc, $S || array_to_string(
+         |    list_transform(generate_series(1, length(w)), i -> w[i]),
+         |    $S || $S) || $S AS ws FROM v0),
+         |""".stripMargin)
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb.append(
+        s"""p$r AS (SELECT pr, sum(wc) AS n FROM (
+           |  SELECT wc, unnest(list_transform(generate_series(1, len(cl) - 1),
+           |    i -> cl[i] || $S || cl[i + 1])) AS pr
+           |  FROM (SELECT wc, string_split(substr(ws, 2, length(ws) - 2),
+           |                                $S || $S) AS cl FROM s$p)
+           |  WHERE len(cl) >= 2) GROUP BY pr),
+           |b$r AS (SELECT pr, n FROM p$r ORDER BY n DESC, pr LIMIT 1),
+           |s$r AS (SELECT wc, replace(ws,
+           |    $S || string_split(pr, $S)[1] || $S || $S || string_split(pr, $S)[2] || $S,
+           |    $S || replace(pr, $S, '') || $S) AS ws
+           |  FROM s$p CROSS JOIN b$r),
+           |""".stripMargin)
+    }
+    sb.setLength(sb.length - 2) // drop the final CTE's trailing ",\n"
+    sb.append("\n")
+    sb.append((1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  string_split(pr, $S)[1] AS lhs,
+         |  string_split(pr, $S)[2] AS rhs,
+         |  replace(pr, $S, '') AS merged,
+         |  CAST(n AS BIGINT) AS n_occurrences FROM b$r""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY round"))
+    sb.toString
+  }
 }

@@ -49,10 +49,18 @@ class AppsSpec extends SparkSuite {
     assert(report("0_input") >= report("1_exact_dedup"))
     assert(report("1_exact_dedup") >= report("2_near_dedup"))
     assert(report("2_near_dedup") >= report("3_quality_lang"))
-    assert(report("3_quality_lang") >= report("4_decontaminated"))
+    assert(report("3_quality_lang") >= report("3b_domain_cap"))
+    assert(report("3b_domain_cap") >= report("4_decontaminated"))
     assert(report("4_decontaminated") > 0, "curation emptied the corpus")
     assert(report("4a_train") + report("4b_val") == report("4_decontaminated"))
     val out = s.read.parquet(s"$base/run1/corpus")
+    // gate 3b: the per-domain cap actually bounds every domain, and the
+    // domain column matches its deterministic derivation
+    assert(out.groupBy($"domain").count().filter($"count" > 64).isEmpty,
+      "a domain exceeds the configured cap")
+    assert(out.filter($"domain" =!= concat(lit("d"), substring(md5(
+      concat($"source", lit(":"), expr("doc_id div 32").cast("string"))
+        .cast("binary")), 1, 2))).isEmpty, "domain column drifted from its derivation")
     // gate 1+2: no two surviving docs share a content digest
     assert(out.groupBy(md5($"text".cast("binary"))).count()
       .filter($"count" > 1).isEmpty, "duplicate content survived dedup")

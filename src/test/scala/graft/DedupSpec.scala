@@ -178,6 +178,45 @@ class DedupSpec extends SparkSuite {
     assert(reranked >= adcOnly, "exact re-rank must not lose recall vs pure ADC")
   }
 
+  test("OPQ: learned rotation is orthogonal and beats plain PQ distortion " +
+    "at identical settings on the anisotropic view") {
+    val emb = graft.queries.PipelineQueries.anisoEmbeddings(spark, sf)
+    val key = "opq-spec"
+    val (rot, obooks) = Similarity.opqArtifacts(emb, "vec_id", "embedding",
+      key, m = 16, ksub = 16, seed = 42L)
+    val dim = rot.length
+    // RᵀR = I to float tolerance — the Procrustes update must stay on
+    // the orthogonal manifold
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val v = (0 until dim).map(k => rot(k)(i) * rot(k)(j)).sum
+      assert(math.abs(v - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"RtR[$i][$j] = $v drifted off orthogonality")
+    }
+    // corpus-wide quantization distortion strictly below plain PQ's —
+    // the objective OPQ minimizes (measured ~25-35% below)
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      key, m = 16, ksub = 16, seed = 42L)
+    val u = emb.select(col("embedding").as("v"))
+      .withColumn("vn", Similarity.norm(col("v"))).filter(col("vn") > 0)
+      .withColumn("u", org.apache.spark.sql.functions.transform(
+        col("v"), x => x / col("vn")))
+    val row = u.agg(
+      org.apache.spark.sql.functions.avg(
+        Similarity.quantDistortion(books, col("u"))).as("d_pq"),
+      org.apache.spark.sql.functions.avg(
+        Similarity.opqDistortion(rot, obooks, col("u"))).as("d_opq")).head()
+    val (dPq, dOpq) = (row.getDouble(0), row.getDouble(1))
+    info(f"quantization distortion: pq = $dPq%.5f, opq = $dOpq%.5f")
+    assert(dOpq < dPq * 0.97,
+      s"OPQ distortion $dOpq not >=3% below plain PQ's $dPq")
+    // the query path produces well-formed deterministic top-k
+    val queries = emb.filter(col("vec_id") < 5)
+    val out = Similarity.opqTopK(emb, queries, "vec_id", "embedding",
+      k = 3, m = 16, ksub = 16, shortlist = 0, quantizerKey = key)
+      .collect()
+    assert(out.nonEmpty && out.forall(_.getAs[Long]("rank") <= 3))
+  }
+
   test("SQ8 ANN recall vs brute force: 8-bit codes rank, re-rank never loses") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 20)

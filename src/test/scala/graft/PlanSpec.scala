@@ -68,7 +68,11 @@ class PlanSpec extends SparkSuite {
     // tx25: two 1-row scalar attaches (vocab size onto the trigram
     // stream, corpus floor-average onto the per-doc frame) — both
     // explicitly broadcast()-hinted, the tx12 pattern
-    "tx25_lm_quality_filter")
+    "tx25_lm_quality_filter",
+    // an11: three 1-row certificate aggregates (pq recall, opq recall,
+    // distortion pair) attached via explicitly broadcast()-hinted
+    // crossJoins — O(1·1) scalar attaches, the an03/dd12 cert pattern
+    "an11_opq_recall")
 
   private def unwrap(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => a.executedPlan

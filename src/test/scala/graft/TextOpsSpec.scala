@@ -163,4 +163,29 @@ class TextOpsSpec extends SparkSuite {
     assert(got == expected,
       s"first divergence: ${expected.find(kv => got.get(kv._1) != Some(kv._2))}")
   }
+
+  test("tx26 BPE merge encoding: wrapped-replace has exact greedy " +
+    "left-to-right non-overlap semantics (and shared separators would not)") {
+    val sep = "\u001F"
+    def wrap(sym: String) = sep + sym + sep
+    def merge(ws: String, a: String, b: String): String =
+      ws.replace(wrap(a) + wrap(b), wrap(a + b))
+    def wrapWord(w: String) = w.map(c => wrap(c.toString)).mkString
+    // "aaaa" + merge(a,a): greedy left-to-right gives [aa][aa] — the
+    // java.lang.String/Spark/DuckDB replace all share this semantics
+    assert(merge(wrapWord("aaaa"), "a", "a") == wrap("aa") + wrap("aa"))
+    // odd run: [aa][a]
+    assert(merge(wrapWord("aaa"), "a", "a") == wrap("aa") + wrap("a"))
+    // merged symbols participate in later rounds: [aa][aa] + (aa,aa)
+    assert(merge(wrap("aa") + wrap("aa"), "aa", "aa") == wrap("aaaa"))
+    // a pair straddling an unrelated symbol does not fire
+    assert(merge(wrapWord("aba"), "a", "a") == wrapWord("aba"))
+    // the SHARED-separator encoding this design rejects: consecutive
+    // merges eat each other's boundary (documents why symbols are
+    // wrapped with exclusive delimiters on both engines)
+    val shared = sep + "a" + sep + "a" + sep + "a" + sep + "a" + sep
+    val sharedMerged = shared.replace(sep + "a" + sep + "a" + sep, sep + "aa" + sep)
+    assert(sharedMerged != sep + "aa" + sep + "aa" + sep,
+      "shared separators would have been fine after all?")
+  }
 }

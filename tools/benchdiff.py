@@ -25,7 +25,12 @@ def load(path):
         if line.startswith("[info]"):
             line = line[len("[info]"):].strip()
         if line.startswith("{"):
-            d = json.loads(line)
+            # a malformed '{'-prefixed line (truncated tail) must not end
+            # the scan — later lines may carry the full map
+            try:
+                d = json.loads(line)
+            except ValueError:
+                continue
             if "queries" in d:
                 return d
     raise SystemExit(f"{path}: no bench JSON line with a 'queries' map found")
@@ -52,13 +57,16 @@ def main():
         nsum = sum(n[k] for k in both)
         for k in sorted(both, key=lambda k: -(n[k] - o[k])):
             d = n[k] - o[k]
-            pct = (d / o[k] * 100) if o[k] > 0 else float("inf")
+            # a 0.0s baseline has no meaningful pct: report the absolute
+            # move only and flag solely on the >0.5s absolute test
+            pct = (d / o[k] * 100) if o[k] > 0 else None
             mark = ""
-            if abs(pct) > args.threshold_pct and abs(d) > 0.5:
+            if (pct is None or abs(pct) > args.threshold_pct) and abs(d) > 0.5:
                 mark = "  <-- outside band"
                 flagged.append((kind, k, o[k], n[k], pct))
+            pct_s = f"{pct:+6.1f}%" if pct is not None else "  n/a "
             print(f"  {k:45s} {o[k]:8.2f} -> {n[k]:8.2f}  "
-                  f"({d:+7.2f} s, {pct:+6.1f}%){mark}")
+                  f"({d:+7.2f} s, {pct_s}){mark}")
         print(f"  {'OVERLAP TOTAL':45s} {osum:8.2f} -> {nsum:8.2f}  "
               f"({nsum - osum:+7.2f} s)")
         for k in only_new:
@@ -73,7 +81,8 @@ def main():
               "with isolated runs (the r8-st10 / r11-st12 protocol) before "
               "calling regression or noise:")
         for kind, k, ov, nv, pct in flagged:
-            print(f"  {kind}/{k}: {ov:.2f} -> {nv:.2f} ({pct:+.1f}%)")
+            pct_s = f"{pct:+.1f}%" if pct is not None else "n/a (0s baseline)"
+            print(f"  {kind}/{k}: {ov:.2f} -> {nv:.2f} ({pct_s})")
         sys.exit(1)
 
 
