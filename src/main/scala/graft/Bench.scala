@@ -20,7 +20,7 @@ object Bench {
     // SCALE.md 16× protocol measures the st* family under both the
     // HDFS-backed default and RocksDB (providerClass is a runtime SQL
     // conf; the RocksDbStateStoreSpec parity matrix pins output equality)
-    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach { p =>
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").map(_.trim).filter(_.nonEmpty).foreach { p =>
       val cls = if (p == "rocksdb")
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
       else p
