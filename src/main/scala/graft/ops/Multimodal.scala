@@ -221,6 +221,113 @@ object Multimodal {
       "n_pixels", "sum_r", "sum_g", "sum_b", "mom_r")
   }
 
+  // --------------------------------------------------------- audio (WAV) —
+
+  /** Typed metadata + exact sample statistics produced by the WAV
+    * decoder. The positional moment Σ i·s_i pins sample ORDER and
+    * little-endian byte order (a byte-swap or reorder changes it even
+    * when the plain sum survives). */
+  case class AudioMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                       nSamples: Long, sumS: Long, sumAbs: Long, momS: Long)
+
+  /** Audio fixture formulas — replayed by the DuckDB oracle. */
+  def nSamplesOf(docId: Long): Int = (docId % 400).toInt + 100
+  def sampleRateOf(docId: Long): Int = 8000 + (docId % 3).toInt * 4000
+  def sampleAt(docId: Long, i: Int): Int =
+    ((docId * 13 + 7L * i) % 65536).toInt - 32768
+
+  /** Canonical 16-bit mono PCM WAV: RIFF header, `fmt ` chunk (PCM,
+    * rates/alignment derived, not hardcoded garbage), `data` chunk with
+    * little-endian samples. */
+  def encodeWav(docId: Long): Array[Byte] = {
+    val n = nSamplesOf(docId)
+    val rate = sampleRateOf(docId)
+    val dataSize = 2 * n
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)            // PCM
+      .putShort(1)            // mono
+      .putInt(rate)
+      .putInt(rate * 2)       // byte rate = rate · blockAlign
+      .putShort(2)            // blockAlign = channels · bits/8
+      .putShort(16)           // bits per sample
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) { b.putShort(sampleAt(docId, i).toShort); i += 1 }
+    b.array()
+  }
+
+  /** Real WAV decode: verify the RIFF/WAVE magic, then WALK the chunk
+    * list (skipping unknown chunks — the general parser, not a 44-byte
+    * offset assumption), read the `fmt ` fields, and fold the PCM
+    * samples into exact integer statistics. */
+  def decodeWav(p: Array[Byte]): AudioMeta = {
+    require(p != null && p.length >= 12, "truncated WAV payload")
+    val b = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(p, off, 4, "US-ASCII")
+    require(tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"not a RIFF/WAVE payload: ${tag(0)}/${tag(8)}")
+    var off = 12
+    var rate = -1; var channels = -1; var bits = -1
+    var sumS = 0L; var sumAbs = 0L; var momS = 0L; var nSamples = 0L
+    while (off + 8 <= p.length) {
+      val id = tag(off); val size = b.getInt(off + 4)
+      id match {
+        case "fmt " =>
+          val fmt = b.getShort(off + 8).toInt
+          require(fmt == 1, s"unsupported WAV format code $fmt (PCM only)")
+          channels = b.getShort(off + 10).toInt
+          rate = b.getInt(off + 12)
+          bits = b.getShort(off + 22).toInt
+          require(bits == 16 && channels == 1,
+            s"unsupported layout: $channels ch × $bits bit")
+        case "data" =>
+          require(rate > 0, "WAV data chunk before fmt chunk")
+          val n = size / 2
+          var i = 0
+          while (i < n) {
+            val s = b.getShort(off + 8 + 2 * i).toLong
+            sumS += s; sumAbs += math.abs(s); momS += i * s
+            i += 1
+          }
+          nSamples += n
+        case _ => // unknown chunk: skip (padded to even length per spec)
+      }
+      off += 8 + size + (size & 1)
+    }
+    require(nSamples > 0, "no data chunk found")
+    AudioMeta(rate, channels, bits, nSamples, sumS, sumAbs, momS)
+  }
+
+  /** Attach a real WAV payload per document (the audio sibling of
+    * [[withPayload]], same per-partition encoder batching). */
+  def withAudioPayload(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"))
+      .as[Long]
+      .mapPartitions(it => it.map(id => (id, encodeWav(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Decode WAV payloads at the per-partition batch boundary. */
+  def decodeAudioMeta(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rows: Dataset[Row] = withPayload.select(col(idCol).as("id"), col("payload"))
+    import spark.implicits._
+    rows.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, payload) =>
+        val m = decodeWav(payload)
+        (id, payload.length.toLong, m.sampleRate, m.channels, m.bitsPerSample,
+          m.nSamples, m.sumS, m.sumAbs, m.momS)
+      }
+    }.toDF("doc_id", "n_bytes", "sample_rate", "channels", "bits_per_sample",
+      "n_samples", "sum_s", "sum_abs", "mom_s")
+  }
+
   /** Deterministic frame sampling plan for a (fake) video payload: every
     * `stride`-th frame index under `maxFrames` — pure column math, no
     * decode. A zero-frame video samples nothing (the `greatest` clamp

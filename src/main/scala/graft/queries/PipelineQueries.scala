@@ -683,6 +683,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Multimodal AUDIO: real 16-bit mono PCM WAV payloads → per-partition
+    // REAL decode (RIFF chunk walk, fmt parse, sample fold) → exact
+    // integer sample stats. Same certification scheme as mm01: the
+    // oracle replays the deterministic sample GENERATOR, so the hash
+    // only matches if encode→decode round-trips bit-exactly — the
+    // positional moment Σ i·s_i pins sample order and LE byte order,
+    // n_bytes pins the canonical 44-byte-header encoding.
+    "mm04_audio_metadata" -> { (s, dir) =>
+      Multimodal.decodeAudioMeta(Multimodal.withAudioPayload(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("n_bytes"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("bits_per_sample").cast("long").as("bits_per_sample"),
+          col("n_samples"), col("sum_s"), col("sum_abs"), col("mom_s"))
+        .orderBy(col("doc_id"))
+    },
+
     // Trained KMeans over embeddings, upgraded from rows-only to a
     // SELF-CERTIFYING oracle row (the an03/dd06 pattern): the fit runs on
     // a bounded deterministic hash sample (single-partition, sorted — see
@@ -1337,6 +1354,30 @@ object PipelineQueries {
         |  CAST(agg.sum_g AS BIGINT) AS sum_g,
         |  CAST(agg.sum_b AS BIGINT) AS sum_b,
         |  CAST(agg.mom_r AS BIGINT) AS mom_r
+        |FROM d JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Replays the WAV sample GENERATOR (never the codec) — see mm01's
+    // contract; the moment column is what fails if the decoder misreads
+    // sample order or endianness.
+    "mm04_audio_metadata" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 400) + 100 AS n,
+        |             8000 + (doc_id % 3) * 4000 AS rate
+        |           FROM documents),
+        |xs AS (SELECT doc_id, unnest(range(0, n)) AS i FROM d),
+        |agg AS (SELECT doc_id,
+        |          sum((doc_id*13 + 7*i) % 65536 - 32768) AS sum_s,
+        |          sum(abs((doc_id*13 + 7*i) % 65536 - 32768)) AS sum_abs,
+        |          sum(i * ((doc_id*13 + 7*i) % 65536 - 32768)) AS mom_s
+        |        FROM xs GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(44 + 2 * d.n AS BIGINT) AS n_bytes,
+        |  CAST(d.rate AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(16 AS BIGINT) AS bits_per_sample,
+        |  CAST(d.n AS BIGINT) AS n_samples,
+        |  CAST(agg.sum_s AS BIGINT) AS sum_s,
+        |  CAST(agg.sum_abs AS BIGINT) AS sum_abs,
+        |  CAST(agg.mom_s AS BIGINT) AS mom_s
         |FROM d JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "dd03_ngram_jaccard_pairs" ->

@@ -15,9 +15,71 @@ import QueryUtil._
   */
 object TextQueries {
 
-  /** Merge rounds for tx26 — fixed so the unrolled oracle and the Spark
-    * loop agree by construction. */
+  /** Merge rounds for tx26/tx29 — fixed so the unrolled oracle and the
+    * Spark loop agree by construction. */
   private[graft] val BpeRounds = 8
+
+  /** Symbol delimiter for the BPE state encoding (unit separator — never
+    * appears in corpus tokens). */
+  private val BpeSep = ""
+
+  /** The shared iterative-BPE training loop (tx26/tx29): N
+    * driver-coordinated merge rounds over the word-frequency dictionary
+    * (the pageRank loop pattern: per-round Spark job, 1-row driver pull,
+    * lineage truncated each round via localCheckpoint). State is
+    * vocab-bounded regardless of corpus size; each word's symbol
+    * sequence is a delimiter-WRAPPED string (exclusive per-symbol
+    * delimiters), so one `replace` applies a merge with exact greedy
+    * left-to-right non-overlap semantics, identical in Spark and DuckDB
+    * (TextOpsSpec pins the semantics; shared separators would eat the
+    * next match's left context). Per round: adjacent-pair counts from
+    * ONE hash aggregate over the vocabulary (weighted by word
+    * frequency), the global best pair from a TakeOrderedAndProject
+    * (count desc, pair asc — no full sort), then one per-row `replace`.
+    *
+    * @return (merge table rows, final vocabulary (w, wc, ws)) */
+  private def bpeTrainLoop(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Seq[(Long, String, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    val sep = BpeSep
+    val sep2 = sep + sep
+    var vocab = Tables.documents(s, dir)
+      .select(explode(TextOps.tokens($"text")).as("w"))
+      .filter(length($"w") >= 1)
+      .groupBy($"w").agg(count(lit(1)).as("wc"))
+      .select($"w", $"wc", expr(
+        "substring(concat('', regexp_replace(w, '(?s)(.)', '$1')), " +
+          "1, length(w) * 3)").as("ws"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= BpeRounds && !done) {
+      val best = vocab
+        .select($"wc",
+          split(expr("substring(ws, 2, length(ws) - 2)"), sep2).as("sy"))
+        .filter(size($"sy") >= 2)
+        .select($"wc", explode(transform(
+          sequence(lit(1), size($"sy") - 1),
+          i => concat(element_at($"sy", i), lit(sep), element_at($"sy", i + 1))))
+          .as("pair"))
+        .groupBy($"pair").agg(sum($"wc").as("n"))
+        .orderBy($"n".desc, $"pair")
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val pair = best(0).getString(0); val n = best(0).getLong(1)
+        val Array(l, rr) = pair.split(sep)
+        merges += ((r.toLong, l, rr, l + rr, n))
+        vocab = vocab.select($"w", $"wc",
+          replace($"ws", lit(sep + l + sep2 + rr + sep), lit(sep + l + rr + sep))
+            .as("ws"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    (merges.result(), vocab)
+  }
 
 
   private val Stopwords = Seq("the", "a")
@@ -652,49 +714,35 @@ object TextQueries {
     // identical pair counts, argmax, and merge — bit-exact or red.
     "tx26_bpe_train" -> { (s, dir) =>
       import s.implicits._
-      val sep = ""
-      val sep2 = sep + sep
-      // each char wrapped in the delimiter: "␟h␟␟e␟␟y␟" — exclusive
-      // per-symbol delimiters make consecutive merges of the same pair
-      // non-overlapping under plain string replace (shared single
-      // separators would eat the next match's left context)
-      var vocab = Tables.documents(s, dir)
-        .select(explode(TextOps.tokens($"text")).as("w"))
-        .filter(length($"w") >= 1)
-        .groupBy($"w").agg(count(lit(1)).as("wc"))
-        .select($"wc", expr(
-          "substring(concat('', regexp_replace(w, '(?s)(.)', '$1')), " +
-            "1, length(w) * 3)").as("ws"))
-        .localCheckpoint()
-      val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-      var r = 1
-      var done = false
-      while (r <= BpeRounds && !done) {
-        val best = vocab
-          .select($"wc",
-            split(expr("substring(ws, 2, length(ws) - 2)"), sep2).as("sy"))
-          .filter(size($"sy") >= 2)
-          .select($"wc", explode(transform(
-            sequence(lit(1), size($"sy") - 1),
-            i => concat(element_at($"sy", i), lit(sep), element_at($"sy", i + 1))))
-            .as("pair"))
-          .groupBy($"pair").agg(sum($"wc").as("n"))
-          .orderBy($"n".desc, $"pair")
-          .limit(1).collect()
-        if (best.isEmpty) done = true
-        else {
-          val pair = best(0).getString(0); val n = best(0).getLong(1)
-          val Array(l, rr) = pair.split(sep)
-          merges += ((r.toLong, l, rr, l + rr, n))
-          vocab = vocab.select($"wc",
-            replace($"ws", lit(sep + l + sep2 + rr + sep), lit(sep + l + rr + sep))
-              .as("ws"))
-            .localCheckpoint()
-          r += 1
-        }
-      }
-      merges.result().toDF("round", "lhs", "rhs", "merged", "n_occurrences")
+      bpeTrainLoop(s, dir)._1
+        .toDF("round", "lhs", "rhs", "merged", "n_occurrences")
         .orderBy($"round")
+    },
+
+    // BPE ENCODING with the trained merges — tx26's train→APPLY pair,
+    // run the scale-correct way: the learned merge sequence is applied
+    // to the VOCABULARY (bounded — one replace per merge round over
+    // distinct words), and the corpus is encoded by a broadcast join of
+    // its token stream against the (word → symbol count) dictionary: no
+    // per-document merge scans, corpus cost is one explode + one
+    // broadcast hash join + one hash aggregate regardless of rounds.
+    // Output: per-doc BPE token counts under the learned vocab, with
+    // the whitespace-token count alongside (compression visible). The
+    // oracle replays the full train loop UNROLLED and the same
+    // dictionary join.
+    "tx29_bpe_encode" -> { (s, dir) =>
+      import s.implicits._
+      val vocab = bpeTrainLoop(s, dir)._2
+      val perWord = vocab.select($"w",
+        size(split(expr("substring(ws, 2, length(ws) - 2)"), BpeSep + BpeSep))
+          .cast("long").as("n_sym"))
+      Tables.documents(s, dir)
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("w"))
+        .filter(length($"w") >= 1)
+        .join(broadcast(perWord), "w")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"), sum($"n_sym").as("n_bpe_tokens"))
+        .orderBy($"doc_id")
     },
 
     // DOMAIN-AWARE CURATION — RefinedWeb/CCNet-style per-source-domain
@@ -1175,6 +1223,8 @@ object TextQueries {
 
     "tx26_bpe_train" -> bpeOracleSql(BpeRounds),
 
+    "tx29_bpe_encode" -> bpeEncodeOracleSql(BpeRounds),
+
     // same domain derivation, dedup election, and cap rule — two window
     // passes over the narrow (domain, digest, id) projection
     "tx27_domain_caps" ->
@@ -1191,19 +1241,22 @@ object TextQueries {
         |SELECT domain, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
         |FROM c WHERE rank <= 8 ORDER BY domain, rank""".stripMargin)
 
-  /** The tx26 oracle: a fully UNROLLED DuckDB replay of the BPE training
-    * loop — `rounds` chained CTE blocks, each recomputing pair counts
-    * over the evolving symbol dictionary, electing the (count desc, pair
-    * asc) argmax, and applying the merge with the same delimiter-wrapped
-    * `replace` the Spark side uses (chr(31)-wrapped symbols; identical
-    * greedy left-to-right non-overlap semantics in both engines). */
-  private def bpeOracleSql(rounds: Int): String = {
+  /** The tx26/tx29 oracle chain: a fully UNROLLED DuckDB replay of the
+    * BPE training loop — `rounds` chained CTE blocks, each recomputing
+    * pair counts over the evolving symbol dictionary, electing the
+    * (count desc, pair asc) argmax, and applying the merge with the same
+    * delimiter-wrapped `replace` the Spark side uses (chr(31)-wrapped
+    * symbols; identical greedy left-to-right non-overlap semantics in
+    * both engines). `keepW` carries the word column through the chain
+    * for the encode oracle's dictionary join. */
+  private def bpeChainSql(rounds: Int, keepW: Boolean): String = {
     val S = "chr(31)"
+    val w = if (keepW) "w, " else ""
     val sb = new StringBuilder
     sb.append(
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
          |v0 AS (SELECT w, count(*) AS wc FROM toks WHERE length(w) >= 1 GROUP BY w),
-         |s0 AS (SELECT wc, $S || array_to_string(
+         |s0 AS (SELECT ${w}wc, $S || array_to_string(
          |    list_transform(generate_series(1, length(w)), i -> w[i]),
          |    $S || $S) || $S AS ws FROM v0),
          |""".stripMargin)
@@ -1217,7 +1270,7 @@ object TextQueries {
            |                                $S || $S) AS cl FROM s$p)
            |  WHERE len(cl) >= 2) GROUP BY pr),
            |b$r AS (SELECT pr, n FROM p$r ORDER BY n DESC, pr LIMIT 1),
-           |s$r AS (SELECT wc, replace(ws,
+           |s$r AS (SELECT ${w}wc, replace(ws,
            |    $S || string_split(pr, $S)[1] || $S || $S || string_split(pr, $S)[2] || $S,
            |    $S || replace(pr, $S, '') || $S) AS ws
            |  FROM s$p CROSS JOIN b$r),
@@ -1225,13 +1278,35 @@ object TextQueries {
     }
     sb.setLength(sb.length - 2) // drop the final CTE's trailing ",\n"
     sb.append("\n")
-    sb.append((1 to rounds).map { r =>
+    sb.toString
+  }
+
+  /** tx26: the merge table from the unrolled chain. */
+  private def bpeOracleSql(rounds: Int): String = {
+    val S = "chr(31)"
+    bpeChainSql(rounds, keepW = false) + (1 to rounds).map { r =>
       s"""SELECT CAST($r AS BIGINT) AS round,
          |  string_split(pr, $S)[1] AS lhs,
          |  string_split(pr, $S)[2] AS rhs,
          |  replace(pr, $S, '') AS merged,
          |  CAST(n AS BIGINT) AS n_occurrences FROM b$r""".stripMargin
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY round"))
-    sb.toString
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY round")
+  }
+
+  /** tx29: the same unrolled chain carrying the word column, then the
+    * (word → symbol count) dictionary join over the corpus token
+    * stream — identical encode rule to the Spark broadcast join. */
+  private def bpeEncodeOracleSql(rounds: Int): String = {
+    val S = "chr(31)"
+    bpeChainSql(rounds, keepW = true) +
+      s"""SELECT d.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(v.n_sym) AS BIGINT) AS n_bpe_tokens
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |      FROM documents) d
+         |JOIN (SELECT w, len(string_split(substr(ws, 2, length(ws) - 2),
+         |                                 $S || $S)) AS n_sym
+         |      FROM s$rounds) v USING (w)
+         |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
   }
 }

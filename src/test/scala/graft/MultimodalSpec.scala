@@ -89,6 +89,44 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("WAV: canonical header, round-trip stats, chunk-walker skips unknown chunks") {
+    val docId = 5L
+    val n = Multimodal.nSamplesOf(docId)
+    val bytes = Multimodal.encodeWav(docId)
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(bytes.length == 44 + 2 * n)
+    var sum = 0L; var sabs = 0L; var mom = 0L
+    for (i <- 0 until n) {
+      val s = Multimodal.sampleAt(docId, i)
+      sum += s; sabs += math.abs(s); mom += i.toLong * s
+    }
+    val m = Multimodal.decodeWav(bytes)
+    assert(m.sampleRate == Multimodal.sampleRateOf(docId))
+    assert(m.channels == 1 && m.bitsPerSample == 16)
+    assert(m.nSamples == n && m.sumS == sum && m.sumAbs == sabs && m.momS == mom)
+    // a LIST chunk inserted between fmt and data must be skipped by the
+    // chunk walker (real WAVs carry metadata chunks; a 44-byte-offset
+    // assumption would misparse every one of them)
+    val extra = java.nio.ByteBuffer.allocate(8 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put("LIST".getBytes("US-ASCII")).putInt(6)
+      .put("INFOab".getBytes("US-ASCII"))
+    val withChunk = bytes.take(36) ++ extra.array() ++ bytes.drop(36)
+    val m2 = Multimodal.decodeWav(withChunk)
+    assert(m2 == m, "unknown chunk broke the decode")
+    // moment teeth: reversing the sample order keeps sum/sumAbs but
+    // must change the moment
+    val rev = bytes.clone()
+    for (i <- 0 until n) {
+      rev(44 + 2 * i) = bytes(44 + 2 * (n - 1 - i))
+      rev(44 + 2 * i + 1) = bytes(44 + 2 * (n - 1 - i) + 1)
+    }
+    val mr = Multimodal.decodeWav(rev)
+    assert(mr.sumS == m.sumS && mr.sumAbs == m.sumAbs)
+    assert(mr.momS != m.momS)
+  }
+
   test("decodeMeta runs the codec at the mapPartitions boundary") {
     import org.apache.spark.sql.functions._
     val docs = graft.model.Tables.documents(spark, sf).limit(8)
