@@ -683,6 +683,51 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // INCREMENTAL INGEST DEDUP — the shape a production curation run
+    // actually executes: a NEW batch (here the doc_id%4==3 quarter of
+    // the corpus — a deterministic stand-in for today's crawl) deduped
+    // against the EXISTING corpus (the other three quarters — in
+    // production a persisted digest/band index, not a rescan) plus
+    // within itself. Drop rules, all replay-deterministic:
+    //  - exact vs history: content digest already present;
+    //  - exact within batch: a smaller batch id shares the digest;
+    //  - near vs history: any verified LSH pair (dd01 params,
+    //    Jaccard ≥ 0.5) with a history partner — history always wins
+    //    regardless of id order;
+    //  - near within batch: a verified pair with a smaller batch id.
+    // Scale shape: digests + ids on every shuffle; pair generation is
+    // dd01's capped-bucket LSH (oracle-equal to exact Jaccard on this
+    // corpus — dd01's green hash row is the equivalence certificate).
+    "dd15_incremental_ingest_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val withSide = docs.select($"doc_id", $"n_chars",
+        md5($"text".cast("binary")).as("h"), ($"doc_id" % 4 === 3).as("is_new"))
+      val hist = withSide.filter(!$"is_new")
+      val batch = withSide.filter($"is_new")
+      val dropExactHist = batch
+        .join(hist.select($"h").distinct(), Seq("h"), "left_semi")
+        .select($"doc_id")
+      val wD = org.apache.spark.sql.expressions.Window
+        .partitionBy($"h").orderBy($"doc_id")
+      val dropExactBatch = batch.withColumn("rn", row_number().over(wD))
+        .filter($"rn" > 1).select($"doc_id")
+      val pairs = Dedup.minHashDupPairs(docs, "doc_id", "text",
+        shingleK = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+        .select($"id_a", $"id_b")
+      val undirected = pairs
+        .unionByName(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
+      val dropNear = undirected
+        .join(batch.select($"doc_id".as("id_b")), "id_b")
+        .join(withSide.select($"doc_id".as("id_a"), $"is_new".as("partner_new")), "id_a")
+        .filter(!$"partner_new" || $"id_a" < $"id_b")
+        .select($"id_b".as("doc_id")).distinct()
+      val dropped = dropExactHist.unionByName(dropExactBatch)
+        .unionByName(dropNear).distinct()
+      batch.join(dropped, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"n_chars").orderBy($"doc_id")
+    },
+
     // Multimodal AUDIO: real 16-bit mono PCM WAV payloads → per-partition
     // REAL decode (RIFF chunk walk, fmt parse, sample fold) → exact
     // integer sample stats. Same certification scheme as mm01: the
@@ -1294,6 +1339,54 @@ object PipelineQueries {
         |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
+
+    // Same exact-Jaccard pair pipeline as dd01's oracle, restricted to
+    // the batch side, plus the exact-digest drops — the LSH≡exact
+    // equivalence dd01's green row certifies makes the two pair sets
+    // interchangeable here.
+    "dd15_incremental_ingest_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(t) < 3
+        |           THEN [array_to_string(t, ' ')]
+        |           ELSE list_transform(generate_series(1, len(t) - 2),
+        |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |         END) AS shingles
+        |  FROM toks),
+        |post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |         FROM post l JOIN post r ON l.shingle = r.shingle
+        |                                AND l.doc_id < r.doc_id),
+        |pairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+        |  WHERE len(list_intersect(a.shingles, b.shingles))
+        |        / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
+        |und AS (SELECT id_a, id_b FROM pairs
+        |        UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs),
+        |d AS (SELECT doc_id, n_chars, md5(text) AS h, doc_id % 4 = 3 AS is_new
+        |      FROM documents),
+        |drop_exact_hist AS (
+        |  SELECT b.doc_id FROM d b
+        |  WHERE b.is_new AND EXISTS (
+        |    SELECT 1 FROM d h WHERE NOT h.is_new AND h.h = b.h)),
+        |drop_exact_batch AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        |    FROM d WHERE is_new) WHERE rn > 1),
+        |drop_near AS (
+        |  SELECT DISTINCT u.id_b AS doc_id
+        |  FROM und u
+        |  JOIN d b ON u.id_b = b.doc_id AND b.is_new
+        |  JOIN d p ON u.id_a = p.doc_id
+        |  WHERE (NOT p.is_new) OR u.id_a < u.id_b),
+        |dropped AS (SELECT doc_id FROM drop_exact_hist
+        |            UNION SELECT doc_id FROM drop_exact_batch
+        |            UNION SELECT doc_id FROM drop_near)
+        |SELECT doc_id, n_chars FROM d
+        |WHERE is_new AND doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
 
     // dd12's ground truth: the exact-Jaccard pair count of the ORIGINAL
     // corpus (same pipeline as dd01's oracle), plus the three certificate
