@@ -544,18 +544,38 @@ object PipelineQueries {
     // baseline it approximates (an01's role, for text).
     "an06_jaccard_topk" -> { (s, dir) =>
       import s.implicits._
+      // shingles as 64-bit xxhash values via the native one-pass codegen
+      // expression (the r11 shape built shingle STRINGS through three
+      // interpreted HOFs — the dominant cost of the whole entry — and
+      // carried them onto the wire). Hashed-set intersection counts
+      // equal string-set counts absent an xxhash64 collision; a
+      // collision would change a jaccard value and flip THIS entry's
+      // oracle compare red, so the assumption is self-checking (the
+      // dd07/tx03 digest posture). Docs under k tokens are excluded
+      // up front — the hash kernel's short-doc convention (whole-doc
+      // shingle) must not differ from the string kernel's empty array.
       val sh = Tables.documents(s, dir)
-        .select($"doc_id", array_distinct(TextOps.wordShingles($"text", 3)).as("s"))
+        .withColumn("_toks", TextOps.tokens($"text"))
+        .filter(size($"_toks") >= 3)
+        .select($"doc_id", Dedup.shingleHashes($"_toks", 3).as("s"))
         .filter(size($"s") > 0)
-      val ex = sh.select($"doc_id", explode($"s").as("sh"))
-      val qex = ex.filter($"doc_id" < 5).select($"doc_id".as("query_id"), $"sh")
-      val sizes = sh.select($"doc_id", size($"s").cast("long").as("n"))
-      val inter = qex.join(ex, "sh")
+      // set sizes ride the exploded rows (constant per doc — `first` in
+      // the pair aggregate recovers them), so the shingle subtree is
+      // evaluated once per side instead of four times (r11's shape
+      // re-joined two size frames, each re-running the shingling over
+      // the corpus). The query side is a CONSTANT number of docs —
+      // broadcast it so the corpus-wide shingle stream is probed in
+      // place instead of shuffled by shingle key. The only shuffle left
+      // is the pair-count aggregate.
+      val ex = sh.select($"doc_id", size($"s").cast("long").as("nd"),
+        explode($"s").as("sh"))
+      val qex = ex.filter($"doc_id" < 5)
+        .select($"doc_id".as("query_id"), $"nd".as("nq"), $"sh")
+      val inter = ex.join(broadcast(qex), "sh")
         .filter($"query_id" =!= $"doc_id")
-        .groupBy($"query_id", $"doc_id").agg(count(lit(1)).as("i"))
+        .groupBy($"query_id", $"doc_id")
+        .agg(count(lit(1)).as("i"), first($"nq").as("nq"), first($"nd").as("nd"))
       val scored = inter
-        .join(sizes.select($"doc_id".as("query_id"), $"n".as("nq")), "query_id")
-        .join(sizes.select($"doc_id", $"n".as("nd")), "doc_id")
         .select($"query_id", $"doc_id".as("neighbor_id"),
           ($"i".cast("double") / ($"nq" + $"nd" - $"i")).as("jaccard"))
       val w = org.apache.spark.sql.expressions.Window
