@@ -393,11 +393,20 @@ object TextQueries {
     // Dedup.shingleHashes (8 B). Output = contaminated train docs only.
     "dd07_decontamination" -> { (s, dir) =>
       import s.implicits._
+      // 8-grams as 64-bit xxhash values from the native one-pass codegen
+      // kernel (was: three interpreted HOFs building 8-word STRINGS,
+      // then md5 → 16 B keys). Join counts are digest-agnostic absent a
+      // collision, and a collision would change a per-doc count and
+      // flip the oracle compare red (the oracle recomputes the counts
+      // from md5-of-string shingles independently) — the self-checking
+      // digest posture. Docs under 8 tokens are excluded up front to
+      // match the string kernel's empty-array convention.
       val sh = Tables.documents(s, dir)
         .withColumn("split", TextOps.contentSplit($"text", 0.9))
+        .withColumn("_toks", TextOps.tokens($"text"))
+        .filter(size($"_toks") >= 8)
         .select($"doc_id", $"split",
-          explode(array_distinct(TextOps.wordShingles($"text", 8))).as("sh"))
-        .select($"doc_id", $"split", md5($"sh").as("h"))
+          explode(graft.ops.Dedup.shingleHashes($"_toks", 8)).as("h"))
       val trainSh = sh.filter($"split" === "train").select($"doc_id", $"h")
       val valSh = sh.filter($"split" === "val").select($"h").distinct()
       trainSh.join(valSh, "h")
