@@ -810,6 +810,81 @@ object PipelineQueries {
       trainedAnomalyCert(feats, m)
     },
 
+    // TRAINED QUALITY CLASSIFIER — the GPT-3/LLaMA/RefinedWeb curation
+    // step the heuristic filters (tx02/tx13/tx23/tx25) feed: per-doc
+    // linguistic features (quality score, log token count, type-token
+    // ratio, mean word length), a weak label from the tx02 quality gate
+    // (q ≥ 0.2 — the real pipelines' "looks like the curated corpus"
+    // stand-in), a 75/25 content-hash train/holdout split (no RNG —
+    // replay-stable, the tx08 rule), logistic regression trained on the
+    // train side, and the full corpus scored. Certified by a BINNED
+    // rank-sum AUC on the holdout: scores quantize to 256 bins, ONE
+    // hash aggregate yields the 256-row (pos, neg) histogram, and the
+    // driver computes Mann-Whitney AUC from it (ties counted ½) — no
+    // global sort, no unpartitioned window, scale-independent. The
+    // oracle hash-checks every split/label count (both engines compute
+    // identical quality doubles — tx02's green row is the proof) and
+    // pins auc_ok against a 0.85 bar with wide margin over the measured
+    // 0.997-1.000 (all three local SFs) (L-BFGS partial-aggregation order can wiggle
+    // coefficients in the last ulps across partitionings; the binned
+    // cert absorbs it).
+    "ml06_quality_classifier" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.ml.classification.LogisticRegression
+      import org.apache.spark.ml.functions.array_to_vector
+      val stop = Seq("the", "a")
+      val base = Tables.documents(s, dir).select($"doc_id",
+          md5($"text".cast("binary")).as("h"),
+          TextOps.qualityScore($"text", stop).as("q"),
+          size(TextOps.tokens($"text")).cast("double").as("ntok"),
+          (size(array_distinct(TextOps.tokens($"text"))).cast("double") /
+            size(TextOps.tokens($"text"))).as("ttr"),
+          ($"n_chars".cast("double") / size(TextOps.tokens($"text"))).as("mwl"))
+        .withColumn("label", when($"q" >= 0.2, 1.0).otherwise(0.0))
+        .withColumn("features",
+          array_to_vector(array($"q", log1p($"ntok"), $"ttr", $"mwl")))
+        .withColumn("is_train", substring($"h", 1, 1) < "c")
+      val model = new LogisticRegression().setMaxIter(20).setRegParam(0.01)
+        .setFeaturesCol("features").setLabelCol("label")
+        .fit(base.filter($"is_train"))
+      // scoring as PURE codegen column math from the fitted coefficients
+      // (the model is a driver-side index artifact, 5 doubles): stays in
+      // WholeStageCodegen — no prediction UDF in the scan, and no
+      // closure capturing the model (whose training summary drags the
+      // whole SparkSession into the task, a serialization trap)
+      val coef = model.coefficients.toArray
+      val margin = $"q" * coef(0) + log1p($"ntok") * coef(1) +
+        $"ttr" * coef(2) + $"mwl" * coef(3) + lit(model.intercept)
+      val p = lit(1.0) / (lit(1.0) + exp(-margin))
+      val bins = base.filter(!$"is_train")
+        .select($"label",
+          least(lit(255), floor(p * 256).cast("int")).as("bin"))
+        .groupBy($"bin").agg(
+          sum($"label").as("pos"),
+          (count(lit(1)).cast("double") - sum($"label")).as("neg"))
+        .orderBy($"bin")
+        .collect()
+      var cumNeg = 0.0; var u = 0.0; var nPos = 0.0; var nNeg = 0.0
+      bins.foreach { r =>
+        val pos = r.getDouble(1); val neg = r.getDouble(2)
+        u += pos * (cumNeg + 0.5 * neg)
+        cumNeg += neg; nPos += pos; nNeg += neg
+      }
+      // a degenerate holdout (all one class) has no ranking to certify
+      val aucOk = if (nPos == 0 || nNeg == 0) 1L
+        else if (u / (nPos * nNeg) >= 0.85) 1L else 0L
+      base.agg(
+          count(lit(1)).as("n_docs"),
+          sum(when($"is_train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(!$"is_train", 1L).otherwise(0L)).as("n_holdout"),
+          sum(when(!$"is_train" && $"label" === 1.0, 1L).otherwise(0L))
+            .as("n_pos_holdout"),
+          sum(when(!$"is_train" && $"label" === 0.0, 1L).otherwise(0L))
+            .as("n_neg_holdout"))
+        .select($"n_docs", $"n_train", $"n_holdout",
+          $"n_pos_holdout", $"n_neg_holdout", lit(aucOk).as("auc_ok"))
+    },
+
     // Elbow-selected k over a cost sweep (A9/A10), documented semantics.
     // Like ml05: the 7 fits run on a bounded deterministic hash sample
     // (the elbow reads the cost curve's *shape* — per-sample SSE has the
@@ -1161,6 +1236,27 @@ object PipelineQueries {
         |UNION ALL
         |SELECT CAST(50 AS BIGINT), 0.95, CAST(1 AS BIGINT)
         |ORDER BY shortlist""".stripMargin,
+
+    // Every split/label count recomputed independently (identical
+    // quality doubles on both engines — tx02's green row); the AUC bit
+    // is the constant-oracle part, same contract as an03/an04.
+    "ml06_quality_classifier" ->
+      """WITH s AS (SELECT md5(text) AS h,
+        |    (1.0 - len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a'))
+        |         / len(string_split(text, ' ')))
+        |      * (LEAST(len(string_split(text, ' ')), 200) / 200.0) AS q
+        |  FROM documents),
+        |lab AS (SELECT CASE WHEN q >= 0.2 THEN 1 ELSE 0 END AS y,
+        |               substring(h, 1, 1) < 'c' AS tr FROM s)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |  CAST(sum(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT) AS n_holdout,
+        |  CAST(sum(CASE WHEN NOT tr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pos_holdout,
+        |  CAST(sum(CASE WHEN NOT tr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_neg_holdout,
+        |  CAST(1 AS BIGINT) AS auc_ok
+        |FROM lab""".stripMargin,
 
     // Constant oracle, same contract as an03/an04: OPQ must strictly
     // improve quantization distortion (≥3%) and not lose recall vs
