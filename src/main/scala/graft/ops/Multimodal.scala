@@ -63,8 +63,29 @@ object Multimodal {
   /** 24-bit uncompressed BMP: 14-byte file header + 40-byte
     * BITMAPINFOHEADER, pixel rows BOTTOM-UP, BGR byte order, each row
     * padded to a 4-byte boundary — the actual on-disk format, not a
-    * stand-in. */
+    * stand-in. Generator images delegate to the pixel-array writer
+    * (MultimodalSpec's byte-level pins certify the delegation is
+    * bit-exact vs the r12 golden bytes). */
   private def encodeBmp(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val rgb = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        rgb(y * w + x) =
+          (pixelR(docId, x, y) << 16) | (pixelG(docId, x, y) << 8) | pixelB(docId, x, y)
+        x += 1
+      }
+      y += 1
+    }
+    encodeBmpPixels(w, h, rgb)
+  }
+
+  /** BMP writer over an explicit TOP-DOWN packed-RGB pixel array
+    * (0xRRGGBB per int) — the encode path for DERIVED images (resized
+    * thumbnails, crops), not just generator fixtures. */
+  def encodeBmpPixels(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    require(rgb.length == w * h, s"pixel array ${rgb.length} != $w x $h")
     val rowSize = ((3 * w + 3) / 4) * 4
     val dataSize = rowSize * h
     val fileSize = 54 + dataSize
@@ -78,9 +99,10 @@ object Multimodal {
     while (row >= 0) {
       var x = 0
       while (x < w) {
-        b.put(pixelB(docId, x, row).toByte)
-        b.put(pixelG(docId, x, row).toByte)
-        b.put(pixelR(docId, x, row).toByte)
+        val p = rgb(row * w + x)
+        b.put((p & 0xff).toByte)         // B
+        b.put(((p >> 8) & 0xff).toByte)  // G
+        b.put(((p >> 16) & 0xff).toByte) // R
         x += 1
       }
       var pad = rowSize - 3 * w
@@ -183,6 +205,126 @@ object Multimodal {
       y += 1
     }
     MediaMeta(w, h, 3, "ppm", w.toLong * h, sumR, sumG, sumB, momR)
+  }
+
+  // ------------------------------------------------- pixel-level decode —
+
+  /** Decoded raster: TOP-DOWN packed-RGB pixels (0xRRGGBB per int). */
+  case class Raster(width: Int, height: Int, format: String, rgb: Array[Int])
+
+  /** Decode real image bytes to the full pixel raster (the input to any
+    * per-pixel transform: resize, crop, patching). Same two real-format
+    * branches as [[decodeImage]]; BMP rows are flipped back to top-down
+    * and un-padded here, PPM is read in file order. */
+  def decodePixels(payload: Array[Byte]): Raster = {
+    require(payload != null && payload.length >= 2, "empty image payload")
+    if (payload(0) == 'B'.toByte && payload(1) == 'M'.toByte) {
+      val b = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val dataOffset = b.getInt(10)
+      val w = b.getInt(18); val h = b.getInt(22)
+      val bpp = b.getShort(28).toInt; val compression = b.getInt(30)
+      require(bpp == 24 && compression == 0, s"unsupported BMP bpp=$bpp compression=$compression")
+      require(w > 0 && h > 0, s"unsupported BMP orientation $w x $h")
+      val rowSize = ((3 * w + 3) / 4) * 4
+      val rgb = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val base = dataOffset + (h - 1 - y) * rowSize // bottom-up flip
+        var x = 0
+        while (x < w) {
+          rgb(y * w + x) = (u8(payload(base + 3 * x + 2)) << 16) |
+            (u8(payload(base + 3 * x + 1)) << 8) | u8(payload(base + 3 * x))
+          x += 1
+        }
+        y += 1
+      }
+      Raster(w, h, "bmp", rgb)
+    } else if (payload(0) == 'P'.toByte && payload(1) == '6'.toByte) {
+      var i = 2
+      def skipWs(): Unit = {
+        while (i < payload.length &&
+          (payload(i) == ' ' || payload(i) == '\n' || payload(i) == '\r' || payload(i) == '\t')) i += 1
+      }
+      def readInt(): Int = {
+        skipWs(); var v = 0
+        require(i < payload.length && payload(i) >= '0' && payload(i) <= '9',
+          s"bad PPM header at byte $i")
+        while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
+          v = v * 10 + (payload(i) - '0'); i += 1
+        }
+        v
+      }
+      val w = readInt(); val h = readInt(); val maxVal = readInt()
+      require(maxVal == 255, s"unsupported PPM maxval $maxVal")
+      i += 1 // single whitespace byte before the raster
+      val rgb = new Array[Int](w * h)
+      var k = 0
+      while (k < w * h) {
+        rgb(k) = (u8(payload(i)) << 16) | (u8(payload(i + 1)) << 8) | u8(payload(i + 2))
+        i += 3; k += 1
+      }
+      Raster(w, h, "ppm", rgb)
+    } else throw new IllegalArgumentException(
+      s"unknown image magic 0x${"%02x%02x".format(payload(0), payload(1))}")
+  }
+
+  /** Nearest-neighbor resize with the floor mapping
+    * `src = (out·srcDim) / outDim` — pure integer arithmetic so the
+    * DuckDB oracle replays the exact coordinate election. Handles both
+    * down- and up-sampling. */
+  def resizeNearest(r: Raster, outW: Int, outH: Int): Raster = {
+    require(outW > 0 && outH > 0, s"bad target $outW x $outH")
+    val out = new Array[Int](outW * outH)
+    var oy = 0
+    while (oy < outH) {
+      val sy = (oy * r.height) / outH
+      var ox = 0
+      while (ox < outW) {
+        val sx = (ox * r.width) / outW
+        out(oy * outW + ox) = r.rgb(sy * r.width + sx)
+        ox += 1
+      }
+      oy += 1
+    }
+    Raster(outW, outH, r.format, out)
+  }
+
+  /** Exact integer stats of a raster (the mm01 certification columns,
+    * computed from pixels instead of inside the format walk). */
+  def rasterStats(r: Raster): (Long, Long, Long, Long) = {
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var momR = 0L
+    var k = 0
+    while (k < r.rgb.length) {
+      val p = r.rgb(k)
+      val red = (p >> 16) & 0xff
+      sumR += red; sumG += (p >> 8) & 0xff; sumB += p & 0xff
+      momR += k.toLong * red
+      k += 1
+    }
+    (sumR, sumG, sumB, momR)
+  }
+
+  /** Thumbnail pipeline over payload rows: REAL decode → nearest-neighbor
+    * resize → REAL re-encode as BMP → REAL second decode → exact stats of
+    * the re-decoded thumbnail. The double round-trip means the emitted
+    * stats certify decode, resize, AND the derived-image encode path in
+    * one hash: the oracle replays only the generator at the mapped
+    * coordinates. Per-partition batching as in [[decodeMeta]]. */
+  def resizeMeta(withPayload: DataFrame, outW: Int, outH: Int,
+                 idCol: String = "doc_id"): DataFrame = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select(col(idCol).as("id"), col("payload"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val src = decodePixels(payload)
+          val thumbBytes = encodeBmpPixels(outW, outH, resizeNearest(src, outW, outH).rgb)
+          val thumb = decodePixels(thumbBytes)
+          val (sr, sg, sb, mr) = rasterStats(thumb)
+          (id, src.width, src.height, outW, outH, thumbBytes.length.toLong, sr, sg, sb, mr)
+        }
+      }.toDF("doc_id", "src_w", "src_h", "out_w", "out_h", "n_bytes_out",
+        "sum_r", "sum_g", "sum_b", "mom_r")
   }
 
   // ------------------------------------------------------ Spark plumbing —

@@ -765,6 +765,30 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Multimodal RESIZE — the per-pixel transform stage (thumbnailing /
+    // model-input normalization) on top of the mm01 codecs: real decode
+    // to a raster, nearest-neighbor resize to a fixed 6×5 target (the
+    // floor mapping src=(out·srcDim)/outDim — both up- and down-sampling
+    // occur across the 4–24 × 3–15 source range), real re-encode of the
+    // thumbnail as BMP, real second decode, exact integer stats of the
+    // re-decoded pixels. One hash certifies decode + resize + the
+    // derived-image encode path: the oracle replays only the pixel
+    // GENERATOR at the elected source coordinates. Embarrassingly
+    // parallel mapPartitions, no shuffle, binary confined to the
+    // codec boundary.
+    "mm05_image_resize" -> { (s, dir) =>
+      Multimodal.resizeMeta(Multimodal.withPayload(Tables.documents(s, dir)),
+          outW = 6, outH = 5)
+        .select(col("doc_id"),
+          col("src_w").cast("long").as("src_w"),
+          col("src_h").cast("long").as("src_h"),
+          col("out_w").cast("long").as("out_w"),
+          col("out_h").cast("long").as("out_h"),
+          col("n_bytes_out"), col("sum_r"), col("sum_g"), col("sum_b"),
+          col("mom_r"))
+        .orderBy(col("doc_id"))
+    },
+
     // Trained KMeans over embeddings, upgraded from rows-only to a
     // SELF-CERTIFYING oracle row (the an03/dd06 pattern): the fit runs on
     // a bounded deterministic hash sample (single-partition, sorted — see
@@ -1559,6 +1583,38 @@ object PipelineQueries {
         |       ELSE 9 + length(CAST(d.w AS VARCHAR)) + length(CAST(d.h AS VARCHAR))
         |            + 3*d.w*d.h END AS BIGINT) AS n_bytes,
         |  CAST(d.w * d.h AS BIGINT) AS n_pixels,
+        |  CAST(agg.sum_r AS BIGINT) AS sum_r,
+        |  CAST(agg.sum_g AS BIGINT) AS sum_g,
+        |  CAST(agg.sum_b AS BIGINT) AS sum_b,
+        |  CAST(agg.mom_r AS BIGINT) AS mom_r
+        |FROM d JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Replays the pixel GENERATOR at the nearest-neighbor-elected source
+    // coordinates (never any codec): sx=(ox*w)//6, sy=(oy*h)//5 is the
+    // identical floor mapping `Multimodal.resizeNearest` computes. The
+    // Spark side's stats come from decode(encodeBmp(resize(decode(real
+    // bytes)))) — a double codec round-trip on a DERIVED image — so this
+    // hash breaks if decode, the coordinate election, the thumbnail
+    // encode, or the second decode is wrong. n_bytes_out pins the
+    // canonical 6×5 24-bit BMP size (54 + 20·5 = 154).
+    "mm05_image_resize" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 21) + 4 AS w, (doc_id % 13) + 3 AS h
+        |           FROM documents),
+        |ys AS (SELECT doc_id, w, h, unnest(range(0, 5)) AS oy FROM d),
+        |xs AS (SELECT doc_id, w, h, oy, unnest(range(0, 6)) AS ox FROM ys),
+        |px AS (SELECT doc_id, w, h, oy, ox,
+        |         (oy * h) // 5 AS sy, (ox * w) // 6 AS sx
+        |       FROM xs),
+        |agg AS (SELECT doc_id,
+        |          sum((doc_id*7 + 11*sy + 13*sx) % 256) AS sum_r,
+        |          sum((doc_id*5 + 3*sy + 17*sx) % 256) AS sum_g,
+        |          sum((doc_id*3 + 19*sy + 5*sx) % 256) AS sum_b,
+        |          sum((oy*6 + ox) * ((doc_id*7 + 11*sy + 13*sx) % 256)) AS mom_r
+        |        FROM px GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(d.w AS BIGINT) AS src_w, CAST(d.h AS BIGINT) AS src_h,
+        |  CAST(6 AS BIGINT) AS out_w, CAST(5 AS BIGINT) AS out_h,
+        |  CAST(154 AS BIGINT) AS n_bytes_out,
         |  CAST(agg.sum_r AS BIGINT) AS sum_r,
         |  CAST(agg.sum_g AS BIGINT) AS sum_g,
         |  CAST(agg.sum_b AS BIGINT) AS sum_b,

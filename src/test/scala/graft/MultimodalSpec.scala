@@ -127,6 +127,50 @@ class MultimodalSpec extends SparkSuite {
     assert(mr.momS != m.momS)
   }
 
+  test("decodePixels inverts both encoders pixel-for-pixel") {
+    for (docId <- 0L to 9L) {
+      val r = Multimodal.decodePixels(Multimodal.encodeImage(docId))
+      assert(r.width == Multimodal.widthOf(docId) && r.height == Multimodal.heightOf(docId))
+      for (y <- 0 until r.height; x <- 0 until r.width) {
+        val p = r.rgb(y * r.width + x)
+        assert(((p >> 16) & 0xff) == Multimodal.pixelR(docId, x, y), s"R @($x,$y) doc $docId")
+        assert(((p >> 8) & 0xff) == Multimodal.pixelG(docId, x, y), s"G @($x,$y) doc $docId")
+        assert((p & 0xff) == Multimodal.pixelB(docId, x, y), s"B @($x,$y) doc $docId")
+      }
+    }
+  }
+
+  test("resizeNearest: identity at same size, floor mapping, up/downsample") {
+    val src = Multimodal.decodePixels(Multimodal.encodeImage(4L)) // 8 x 7
+    val same = Multimodal.resizeNearest(src, src.width, src.height)
+    assert(same.rgb.sameElements(src.rgb)) // identity: sx=(x*w)/w = x
+    // downsample 8x7 -> 2x2: elected coords sx in {0,4}, sy in {0,3}
+    val down = Multimodal.resizeNearest(src, 2, 2)
+    assert(down.rgb(0) == src.rgb(0))
+    assert(down.rgb(1) == src.rgb(4))
+    assert(down.rgb(2) == src.rgb(3 * 8))
+    assert(down.rgb(3) == src.rgb(3 * 8 + 4))
+    // upsample 8x7 -> 16x7 duplicates each column: ox=2k,2k+1 -> sx=k
+    val up = Multimodal.resizeNearest(src, 16, 7)
+    for (y <- 0 until 7; x <- 0 until 8) {
+      assert(up.rgb(y * 16 + 2 * x) == src.rgb(y * 8 + x))
+      assert(up.rgb(y * 16 + 2 * x + 1) == src.rgb(y * 8 + x))
+    }
+  }
+
+  test("encodeBmpPixels round-trips a derived raster (the mm05 encode path)") {
+    val src = Multimodal.decodePixels(Multimodal.encodeImage(7L)) // PPM source
+    val thumb = Multimodal.resizeNearest(src, 6, 5)
+    val bytes = Multimodal.encodeBmpPixels(6, 5, thumb.rgb)
+    assert(bytes.length == 54 + ((3 * 6 + 3) / 4) * 4 * 5) // canonical 154 B
+    val back = Multimodal.decodePixels(bytes)
+    assert(back.width == 6 && back.height == 5)
+    assert(back.rgb.sameElements(thumb.rgb))
+    // tamper tooth: flipping one stored byte changes the decoded raster
+    val bad = bytes.clone(); bad(60) = (bad(60) ^ 0x40).toByte
+    assert(!Multimodal.decodePixels(bad).rgb.sameElements(thumb.rgb))
+  }
+
   test("decodeMeta runs the codec at the mapPartitions boundary") {
     import org.apache.spark.sql.functions._
     val docs = graft.model.Tables.documents(spark, sf).limit(8)
