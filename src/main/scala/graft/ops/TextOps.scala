@@ -148,6 +148,31 @@ object TextOps {
       .groupBy(col("key")).agg(sum(col("contrib")).as("covered"))
   }
 
+  /** Crawl-style URL canonicalization — the dedup key a CommonCrawl-scale
+    * curation run groups on before content hashing. Rules (all pure
+    * column ops, codegen'd, replayed verbatim by the DuckDB oracle):
+    * drop the fragment, drop the scheme (http/https unify), lowercase
+    * the HOST ONLY (path case is significant and preserved), strip one
+    * leading `www.`, strip one trailing slash from the path, and drop
+    * tracking parameters (`utm_*`, `fbclid`, `gclid`) while KEEPING real
+    * query parameters in their original order. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noScheme = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val host = regexp_replace(lower(regexp_extract(noScheme, "^([^/?]+)", 1)),
+      "^www\\.", "")
+    val pathq = regexp_replace(noScheme, "^[^/?]+", "")
+    val path = regexp_replace(regexp_replace(pathq, "\\?.*$", ""), "/$", "")
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val kept = array_join(
+      filter(split(query, "&", -1), p =>
+        !(substring(p, 1, 4) === "utm_" ||
+          substring(p, 1, 7) === "fbclid=" ||
+          substring(p, 1, 6) === "gclid=")), "&")
+    concat(host, path,
+      when(length(kept) > 0, concat(lit("?"), kept)).otherwise(lit("")))
+  }
+
   /** Predicted language = argmax over profile-overlap scores; ties broken
     * deterministically by greatest language code (struct max semantics). */
   def languageId(text: Column): Column = {

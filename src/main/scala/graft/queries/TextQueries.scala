@@ -782,6 +782,45 @@ object TextQueries {
         .filter($"rank" <= 8)
         .select($"domain", $"rank", $"doc_id", $"n_chars")
         .orderBy($"domain", $"rank")
+    },
+
+    // URL canonicalization + canonical-URL dedup — the crawl-curation
+    // step that runs BEFORE content hashing: scheme/case/www/trailing-
+    // slash/fragment/tracking-param variants of the same page collapse
+    // onto one canonical key; path case and real query parameters are
+    // preserved (mis-lowercasing the path or dropping `id=` would merge
+    // distinct groups and break the hash — that is the tooth). The raw
+    // URLs are a deterministic messy fixture over the tx27 domains
+    // (scheme, WWW., trailing slash, utm_ params, fragments all vary by
+    // doc_id residue; both engines construct them identically). One
+    // hash-partitioned aggregate on the canonical key; the canonicalizer
+    // itself is a pure codegen'd column chain (`TextOps.canonicalizeUrl`).
+    "dd16_url_canonical" -> { (s, dir) =>
+      import s.implicits._
+      val domain = concat(lit("d"), substring(md5(
+        concat($"source", lit(":"), expr("doc_id div 32").cast("string"))
+          .cast("binary")), 1, 2))
+      val raw = concat(
+        when($"doc_id" % 3 === 0, "HTTP://").otherwise("https://"),
+        when($"doc_id" % 2 === 0, "WWW.").otherwise(""),
+        domain, lit(".example.com"),
+        when($"doc_id" % 11 === 0, "/P").otherwise("/p"),
+        ($"doc_id" % 16).cast("string"),
+        when($"doc_id" % 5 === 0, "/").otherwise(""),
+        when($"doc_id" % 4 === 0,
+            concat(lit("?utm_source=feed&id="), (expr("doc_id div 4") % 2).cast("string")))
+          .when($"doc_id" % 4 === 1,
+            concat(lit("?id="), (expr("doc_id div 4") % 2).cast("string")))
+          .otherwise(""),
+        when($"doc_id" % 6 === 0, "#s").otherwise(""))
+      Tables.documents(s, dir)
+        .select($"doc_id", raw.as("raw_url"))
+        .withColumn("canonical_url", TextOps.canonicalizeUrl($"raw_url"))
+        .groupBy($"canonical_url")
+        .agg(min($"doc_id").as("keeper_id"),
+          count(lit(1)).as("n_copies"),
+          countDistinct($"raw_url").as("n_raw_forms"))
+        .orderBy($"canonical_url")
     })
 
   // ---- tx22 PII fixture + regexes (shared with the DuckDB oracle) ----
@@ -1248,7 +1287,54 @@ object TextQueries {
         |        row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rank
         |      FROM k WHERE rn = 1)
         |SELECT domain, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
-        |FROM c WHERE rank <= 8 ORDER BY domain, rank""".stripMargin)
+        |FROM c WHERE rank <= 8 ORDER BY domain, rank""".stripMargin,
+
+    // Replays BOTH the messy-URL fixture construction and the
+    // canonicalizer rule-for-rule (same anchored regexes — the Java/RE2
+    // common subset, see tx22's note): fragment drop, scheme drop, host
+    // lowercase + www strip, single trailing-slash strip, utm_/fbclid/
+    // gclid removal with real params kept in order.
+    "dd16_url_canonical" ->
+      """WITH d AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'https://' END)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+        |    || 'd' || substr(md5(source || ':' || CAST(doc_id // 32 AS VARCHAR)), 1, 2)
+        |    || '.example.com'
+        |    || (CASE WHEN doc_id % 11 = 0 THEN '/P' ELSE '/p' END)
+        |    || CAST(doc_id % 16 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 = 0
+        |              THEN '?utm_source=feed&id=' || CAST((doc_id // 4) % 2 AS VARCHAR)
+        |             WHEN doc_id % 4 = 1
+        |              THEN '?id=' || CAST((doc_id // 4) % 2 AS VARCHAR)
+        |             ELSE '' END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '#s' ELSE '' END) AS raw_url
+        |  FROM documents),
+        |c AS (SELECT doc_id, raw_url,
+        |    regexp_replace(regexp_replace(raw_url, '#.*$', ''),
+        |                   '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS noscheme
+        |  FROM d),
+        |p AS (SELECT doc_id, raw_url,
+        |    regexp_replace(lower(regexp_extract(noscheme, '^([^/?]+)', 1)),
+        |                   '^www\.', '') AS host,
+        |    regexp_replace(noscheme, '^[^/?]+', '') AS pathq
+        |  FROM c),
+        |q AS (SELECT doc_id, raw_url, host,
+        |    regexp_replace(regexp_replace(pathq, '\?.*$', ''), '/$', '') AS path,
+        |    array_to_string(list_filter(
+        |      string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+        |      pp -> NOT (substr(pp, 1, 4) = 'utm_' OR substr(pp, 1, 7) = 'fbclid='
+        |                 OR substr(pp, 1, 6) = 'gclid=')), '&') AS kept
+        |  FROM p),
+        |u AS (SELECT doc_id, raw_url,
+        |    host || path ||
+        |      (CASE WHEN length(kept) > 0 THEN '?' || kept ELSE '' END)
+        |      AS canonical_url
+        |  FROM q)
+        |SELECT canonical_url, CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |  CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_raw_forms
+        |FROM u GROUP BY canonical_url ORDER BY canonical_url""".stripMargin)
 
   /** The tx26/tx29 oracle chain: a fully UNROLLED DuckDB replay of the
     * BPE training loop — `rounds` chained CTE blocks, each recomputing

@@ -141,6 +141,28 @@ class TextOpsSpec extends SparkSuite {
       "striped offsets diverge from the single-pass cumsum")
   }
 
+  test("canonicalizeUrl: rule-by-rule pins incl. the path-case and real-param teeth") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      // scheme dropped, host lowercased, www stripped, fragment dropped
+      "HTTP://WWW.Ex.COM/p1#sec" -> "ex.com/p1",
+      "https://ex.com/p1" -> "ex.com/p1",
+      // trailing slash stripped (one), tracking param dropped, real kept in order
+      "https://ex.com/p1/" -> "ex.com/p1",
+      "https://ex.com/p1?utm_source=a&id=7&utm_campaign=b" -> "ex.com/p1?id=7",
+      "https://ex.com/p1?id=7" -> "ex.com/p1?id=7",
+      "https://ex.com/p1?fbclid=x&gclid=y" -> "ex.com/p1",
+      // path case preserved (the merge tooth), query on bare host
+      "https://ex.com/P1" -> "ex.com/P1",
+      "https://ex.com?id=3" -> "ex.com?id=3",
+      "https://ex.com/" -> "ex.com")
+    val got = cases.map(_._1).toDF("u")
+      .select(TextOps.canonicalizeUrl(col("u"))).as[String].collect()
+    assert(got.toSeq == cases.map(_._2),
+      cases.map(_._1).zip(got).mkString("; "))
+  }
+
   test("intervalUnionLength: 200 random interval sets match brute-force " +
     "bitset coverage (incl. nesting, duplicates, adjacency)") {
     val s = spark
