@@ -74,6 +74,43 @@ object TemporalJoins {
         payloadCols.map(c => col(s"_m.$c").as(c)): _*)
   }
 
+  /** Forward as-of join — the mirror of [[asOfJoin]]: for every left row,
+    * the single right row with the SMALLEST `rightTime >= leftTime`
+    * (inclusive) for the same key; left-outer. Same one-shuffle/one-sort
+    * union + ordered-window shape, with the frame flipped to
+    * [current, unbounded following] and `first(payload, ignoreNulls)`.
+    * Right rows sort AFTER left rows at equal time (side 1 < 2), which
+    * is exactly the inclusive `rightTime >= leftTime` semantic. Same
+    * uniqueness/disjoint-name preconditions as [[asOfJoin]]. */
+  def asOfJoinForward(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTime: String, rightTime: String): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left/right column names must be disjoint, both have: ${overlap.mkString(", ")}")
+    val payloadCols = right.columns.filterNot(c => c == rightKey || c == rightTime).toSeq
+    val payloadType = StructType(right.schema.fields.filter(f => payloadCols.contains(f.name)))
+    val cleanRight = right.filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+    val lPart = left.select(
+      col(leftKey).as("_k"), col(leftTime).as("_t"), lit(1).as("_side"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("_l"),
+      lit(null).cast(payloadType).as("_p"))
+    val rPart = cleanRight.select(
+      col(rightKey).as("_k"),
+      col(rightTime).cast(left.schema(leftTime).dataType).as("_t"),
+      lit(2).as("_side"),
+      lit(null).cast(StructType(left.schema.fields)).as("_l"),
+      struct(payloadCols.map(col): _*).as("_p"))
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lPart.unionByName(rPart)
+      .withColumn("_m", first(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(left.columns.map(c => col(s"_l.$c").as(c)).toIndexedSeq ++
+        payloadCols.map(c => col(s"_m.$c").as(c)): _*)
+  }
+
   /** Range (interval) join: points with `time ∈ [start, end)` per key.
     *
     * Binning turns the inequality into an EQUI-join: each interval is

@@ -198,6 +198,48 @@ object EventQueries {
         .orderBy($"user_id", $"grid_ts")
     },
 
+    // Linear-interpolation gap fill — ev08's grid with the fill upgraded
+    // from step (ffill) to linear: each hourly grid point takes
+    // v0 + (v1−v0)·(g−t0)/(t1−t0) between its neighboring events, a
+    // backfill before the first event and an ffill after the last (the
+    // grid's edge cases). Both neighbors come from ONE as-of-join shape
+    // each (backward + the new forward mirror, TemporalJoins
+    // .asOfJoinForward) — two key-partitioned sort-window passes, no
+    // inequality join, nothing replicated. The interpolation runs in
+    // exact integer cents with an IEEE-identical floor((num::double)/den)
+    // step, so both engines produce bit-equal doubles (num ≤ ~1e11 is
+    // exactly representable; see the QueryUtil exactness rules).
+    "ev25_linear_interp" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val uniq = ev.groupBy($"user_id".as("u"), $"ts".as("ets"))
+        .agg(cents(max_by($"value", $"event_id")).as("vc"))
+      val prev = uniq.select($"u", $"ets", $"vc".as("v0"),
+        $"ets".cast("long").as("t0s"))
+      val nxt = uniq.select($"u".as("u2"), $"ets".as("ets2"), $"vc".as("v1"),
+        $"ets".cast("long").as("t1s"))
+      val grid = ev.groupBy($"user_id")
+        .agg(date_trunc("hour", min($"ts")).as("tmin"),
+          date_trunc("hour", max($"ts")).as("tmax"))
+        .select($"user_id", explode(sequence(
+          greatest($"tmin", $"tmax" - expr(s"INTERVAL $MaxResampleSpanHours HOURS")),
+          $"tmax", expr("INTERVAL 1 HOUR"))).as("g"))
+      val withPrev = graft.ops.TemporalJoins.asOfJoin(
+        grid, prev, "user_id", "u", "g", "ets")
+      val both = graft.ops.TemporalJoins.asOfJoinForward(
+        withPrev, nxt, "user_id", "u2", "g", "ets2")
+      both.select($"user_id",
+          date_format($"g", "yyyy-MM-dd HH:mm:ss").as("grid_ts"),
+          (when($"t0s".isNull, $"v1")
+            .when($"t1s".isNull, $"v0")
+            .when($"t1s" === $"t0s", $"v0")
+            .otherwise($"v0" + floor(
+              (($"v1" - $"v0") * ($"g".cast("long") - $"t0s")).cast("double")
+                / ($"t1s" - $"t0s")).cast("long"))
+          ).cast("double").divide(lit(100.0)).as("interp_value"))
+        .orderBy($"user_id", $"grid_ts")
+    },
+
     // Weekly cohort retention: users grouped by first-active week, counted
     // per week-offset they return in — two aggregates and a join, no
     // iteration.
@@ -631,6 +673,44 @@ object EventQueries {
         |FROM grid ASOF LEFT JOIN uniq
         |  ON grid.user_id = uniq.u AND grid.g >= uniq.ets
         |ORDER BY user_id, grid_ts""".stripMargin,
+
+    // Both neighbors via DuckDB's native ASOF (backward `>=`, forward
+    // `<=`); interpolation replayed in the identical integer-cents +
+    // IEEE-floor arithmetic. The 1080-hour clamp mirrors
+    // MaxResampleSpanHours.
+    "ev25_linear_interp" ->
+      """WITH uniq AS (
+        |  SELECT user_id AS u, ts AS ets,
+        |         CAST(round(max_by(value, event_id)*100) AS BIGINT) AS vc
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT user_id,
+        |         greatest(date_trunc('hour', min(ts)),
+        |                  date_trunc('hour', max(ts)) - INTERVAL 1080 HOUR) AS t0,
+        |         date_trunc('hour', max(ts)) AS t1
+        |  FROM events GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS g
+        |  FROM span),
+        |p AS (
+        |  SELECT grid.user_id, grid.g, uniq.vc AS v0,
+        |         CAST(floor(epoch(uniq.ets)) AS BIGINT) AS t0s
+        |  FROM grid ASOF LEFT JOIN uniq
+        |    ON grid.user_id = uniq.u AND grid.g >= uniq.ets),
+        |n AS (
+        |  SELECT grid.user_id, grid.g, uniq.vc AS v1,
+        |         CAST(floor(epoch(uniq.ets)) AS BIGINT) AS t1s
+        |  FROM grid ASOF LEFT JOIN uniq
+        |    ON grid.user_id = uniq.u AND grid.g <= uniq.ets)
+        |SELECT p.user_id, strftime(p.g, '%Y-%m-%d %H:%M:%S') AS grid_ts,
+        |  CAST(CASE WHEN t0s IS NULL THEN v1
+        |       WHEN t1s IS NULL THEN v0
+        |       WHEN t1s = t0s THEN v0
+        |       ELSE v0 + CAST(floor(
+        |         CAST((v1 - v0) * (CAST(floor(epoch(p.g)) AS BIGINT) - t0s) AS DOUBLE)
+        |           / (t1s - t0s)) AS BIGINT) END AS DOUBLE) / 100.0 AS interp_value
+        |FROM p JOIN n ON p.user_id = n.user_id AND p.g = n.g
+        |ORDER BY p.user_id, grid_ts""".stripMargin,
 
     "ev09_cohort_retention" ->
       """WITH cohort AS (

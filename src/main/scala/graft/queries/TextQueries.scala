@@ -821,6 +821,32 @@ object TextQueries {
           count(lit(1)).as("n_copies"),
           countDistinct($"raw_url").as("n_raw_forms"))
         .orderBy($"canonical_url")
+    },
+
+    // Normalization-aware exact dedup — the cleaning pass between raw
+    // crawl text and tx03's byte-exact hash: lowercase, punctuation →
+    // space, whitespace collapse, trim; documents equal AFTER
+    // normalization merge onto one keeper. The driver corpus is already
+    // in normal form (500/500 texts distinct and normalization-stable at
+    // every SF), so the merging behavior is certified on an injected
+    // formatting-variant fixture (the tx22 pattern): four case/
+    // punctuation/whitespace variants collapse to one group, a fifth
+    // near-variant must NOT merge. Pure codegen projection + one hash
+    // aggregate on the normalized key; n_changed counts rows the
+    // normalizer actually rewrote (0 for every corpus row — data-derived
+    // on both engines, not assumed).
+    "tx30_normalized_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val all = Tables.documents(s, dir).select($"doc_id", $"text")
+        .unionByName(NormFixture.toDF("doc_id", "text"))
+      all.withColumn("norm", trim(
+          regexp_replace(
+            regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " ")))
+        .groupBy(md5($"norm".cast("binary")).as("norm_hash"))
+        .agg(min($"doc_id").as("keeper_id"),
+          count(lit(1)).as("n_copies"),
+          sum(when($"norm" =!= $"text", 1L).otherwise(0L)).as("n_changed"))
+        .orderBy($"norm_hash")
     })
 
   // ---- tx22 PII fixture + regexes (shared with the DuckDB oracle) ----
@@ -834,6 +860,19 @@ object TextQueries {
     (PiiInjBase + 2) -> "hosts 192.168.10.42 and 10.0.0.7 replied",
     (PiiInjBase + 3) -> "mix a.b@c.io at 10.1.2.3 phone 555-123-4567 done",
     (PiiInjBase + 4) -> "clean row with no sensitive tokens at all")
+  /** tx30's injected formatting variants — ids far above any corpus id.
+    * Rows 0–3 normalize to the same text (case, punctuation, whitespace
+    * noise); row 4 is a near-variant that must stay its own group. */
+  private val NormInjBase = 40000000L
+  private val NormFixture: Seq[(Long, String)] = Seq(
+    NormInjBase -> "Spark Deduplication;  Pipeline   TEST",
+    (NormInjBase + 1) -> "spark deduplication pipeline test",
+    (NormInjBase + 2) -> "spark deduplication, pipeline test!!!",
+    (NormInjBase + 3) -> "  spark   DEDUPLICATION pipeline test  ",
+    (NormInjBase + 4) -> "spark deduplication pipeline testing")
+  private def normValuesSql: String = NormFixture
+    .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+
   private val PiiEmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   private val PiiPhoneRe = """\b\d{3}[-.]\d{3}[-.]\d{4}\b"""
   private val PiiIpRe = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
@@ -1334,7 +1373,25 @@ object TextQueries {
         |SELECT canonical_url, CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
         |  CAST(COUNT(*) AS BIGINT) AS n_copies,
         |  CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_raw_forms
-        |FROM u GROUP BY canonical_url ORDER BY canonical_url""".stripMargin)
+        |FROM u GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+
+    // Replays the normalizer rule-for-rule (DuckDB needs the explicit
+    // 'g' flag where Spark's regexp_replace is always global) plus the
+    // injected variant fixture verbatim.
+    "tx30_normalized_dedup" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES $normValuesSql) AS v(doc_id, text)),
+         |n AS (SELECT doc_id, text,
+         |    trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+         |  FROM all_docs)
+         |SELECT md5(norm) AS norm_hash,
+         |  CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+         |  CAST(SUM(CASE WHEN norm <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+         |FROM n GROUP BY md5(norm) ORDER BY norm_hash""".stripMargin)
 
   /** The tx26/tx29 oracle chain: a fully UNROLLED DuckDB replay of the
     * BPE training loop — `rounds` chained CTE blocks, each recomputing

@@ -61,6 +61,48 @@ class TemporalJoinsSpec extends SparkSuite {
     assert(shuffles == 1, s"expected exactly one shuffle, got $shuffles:\n$plan")
   }
 
+  test("asOfJoinForward: inclusive earliest-following match, left-outer, per-key") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, "u", ts("10:00")), // exact tie with a right row -> inclusive
+      (2L, "u", ts("10:30")), // between rights -> LATER one (forward)
+      (3L, "u", ts("12:00")), // after all rights -> null payload
+      (4L, "v", ts("07:00"))  // other key: must not see u's rows
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("u", ts("10:00"), "a"),
+      ("u", ts("11:00"), "b"),
+      ("v", ts("08:00"), "c")
+    ).toDF("rk", "rt", "payload")
+    val out = TemporalJoins.asOfJoinForward(left, right, "k", "rk", "t", "rt")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(out == Map(1L -> Some("a"), 2L -> Some("b"), 3L -> None, 4L -> Some("c")))
+  }
+
+  test("asOfJoinForward matches a naive per-row reference on seeded random data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(43)
+    val left = (1 to 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(5)}", ts(f"${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d")))
+      .toDF("id", "k", "t")
+    val right = (1 to 120).map(i =>
+      (s"k${rnd.nextInt(5)}", ts(f"${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d"), i.toLong))
+      .distinct.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (key, time)
+      .toDF("rk", "rt", "payload")
+    val rightRows = right.collect().map(r =>
+      (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val expect = left.collect().map { r =>
+      val (id, k, t) = (r.getLong(0), r.getString(1), r.getTimestamp(2))
+      val cand = rightRows.filter(x => x._1 == k && !x._2.before(t))
+      id -> (if (cand.isEmpty) None else Some(cand.minBy(_._2.getTime)._3))
+    }.toMap
+    val got = TemporalJoins.asOfJoinForward(left, right, "k", "rk", "t", "rt")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got == expect)
+  }
+
   test("rangeJoin: half-open [start,end), per-key, spans bins, no duplicates") {
     val s = spark
     import s.implicits._
