@@ -852,6 +852,47 @@ object PipelineQueries {
     // 0.997-1.000 (all three local SFs) (L-BFGS partial-aggregation order can wiggle
     // coefficients in the last ulps across partitionings; the binned
     // cert absorbs it).
+    // PCA over the anisotropic embedding view (the geometry where
+    // dimensionality reduction has something to find — the isotropic
+    // driver corpus would spread variance ~uniformly across all 64
+    // dims). Self-certifying oracle row, the ml01/an03 contract:
+    //  - n_points: projected-row count hash-checked against DuckDB's
+    //    independent COUNT(*) — the transform covers every vector;
+    //  - ortho_ok: the 64×8 loading matrix is orthonormal to 1e-9
+    //    (driver-side check on the tiny model artifact);
+    //  - var_order_ok: explained-variance proportions nonincreasing;
+    //  - var_frac_ok: top-8/64 components capture ≥ 60% of total
+    //    variance (the 1.1^d per-dim scaling concentrates it; measured
+    //    ~0.75+ — an isotropic corpus would sit near 8/64 = 0.125, so
+    //    the bar has real teeth).
+    // Eigendecomposition is LAPACK on the exact Gramian — deterministic
+    // per corpus; the emitted bits absorb last-ulp wiggle.
+    "ml07_pca_certificate" -> { (s, dir) =>
+      import org.apache.spark.ml.feature.PCA
+      import org.apache.spark.ml.functions.array_to_vector
+      val k = 8
+      val emb = anisoEmbeddings(s, dir)
+        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+      val model = new PCA().setK(k).setInputCol("features").setOutputCol("proj")
+        .fit(emb)
+      val pc = model.pc
+      var maxDev = 0.0
+      for (i <- 0 until pc.numCols; j <- 0 until pc.numCols) {
+        var dot = 0.0
+        for (r <- 0 until pc.numRows) dot += pc(r, i) * pc(r, j)
+        maxDev = math.max(maxDev, math.abs(dot - (if (i == j) 1.0 else 0.0)))
+      }
+      val ev = model.explainedVariance.toArray
+      val orderOk = ev.zip(ev.tail).forall { case (a, b) => a >= b - 1e-12 }
+      model.transform(emb)
+        .agg(count(lit(1)).as("n_points"))
+        .select(col("n_points").cast("long").as("n_points"),
+          lit(k.toLong).as("k"),
+          lit(if (maxDev < 1e-9) 1L else 0L).as("ortho_ok"),
+          lit(if (orderOk) 1L else 0L).as("var_order_ok"),
+          lit(if (ev.sum >= 0.6) 1L else 0L).as("var_frac_ok"))
+    },
+
     "ml06_quality_classifier" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.ml.classification.LogisticRegression
@@ -1281,6 +1322,16 @@ object PipelineQueries {
         |    AS n_neg_holdout,
         |  CAST(1 AS BIGINT) AS auc_ok
         |FROM lab""".stripMargin,
+
+    // n_points recomputed independently; the three quality bits are the
+    // constant-oracle part (see the ml07 entry for what each pins).
+    "ml07_pca_certificate" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST(8 AS BIGINT) AS k,
+        |  CAST(1 AS BIGINT) AS ortho_ok,
+        |  CAST(1 AS BIGINT) AS var_order_ok,
+        |  CAST(1 AS BIGINT) AS var_frac_ok
+        |FROM embeddings""".stripMargin,
 
     // Constant oracle, same contract as an03/an04: OPQ must strictly
     // improve quantization distortion (≥3%) and not lose recall vs

@@ -107,6 +107,22 @@ class MlSpec extends SparkSuite {
     assert(Training.threshold(df, "dist", 10) == 91.0)
   }
 
+  test("ml07 PCA: raw measurements behind the certificate bits") {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.functions._
+    val emb = queries.PipelineQueries.anisoEmbeddings(spark, sf)
+      .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+    val model = new PCA().setK(8).setInputCol("features").setOutputCol("proj").fit(emb)
+    assert(model.pc.numRows == 64 && model.pc.numCols == 8)
+    val ev = model.explainedVariance.toArray
+    // the certificate's 0.6 floor sits far below the measured fraction,
+    // and the 1.1^d scaling means the top component alone beats 8/64
+    assert(ev.sum > 0.6 && ev.sum <= 1.0 + 1e-9, s"var frac ${ev.sum}")
+    assert(ev.head > 0.125, s"top component ${ev.head}")
+    assert(ev.zip(ev.tail).forall { case (a, b) => a >= b - 1e-12 })
+  }
+
   test("scored anomalies are exactly those above threshold") {
     val s = spark
     import s.implicits._
