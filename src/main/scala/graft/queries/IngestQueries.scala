@@ -77,6 +77,27 @@ object IngestQueries {
       }
     }
 
+  /** Messy-CSV quarantine fixture (cs15): quoted commas, RFC-4180
+    * doubled quotes, a type-invalid field, and a surplus column — static
+    * content, SF-independent, written once per JVM. */
+  private[graft] val messyDir = new java.io.File("target/fixtures/messy_csv").getAbsolutePath
+  private var messyWritten = false
+  private def ensureMessy(): Unit = writeLock.synchronized {
+    if (!messyWritten) {
+      new java.io.File(messyDir).mkdirs()
+      val content = Seq(
+        "id,name,qty,price",
+        "1,\"widget, large\",2,3.50",
+        "2,\"say \"\"hi\"\"\",1,0.99",
+        "3,plain,5,12.00",
+        "4,broken,notanumber,1.00",
+        "5,extra,1,2.00,surplus").mkString("\n") + "\n"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(messyDir, "messy.csv"), content.getBytes("UTF-8"))
+      messyWritten = true
+    }
+  }
+
   /** Day-partitioned events copy with ONE day dynamically overwritten:
     * full write, then a delta holding only the min day's even event_ids
     * written under `partitionOverwriteMode=dynamic` — which must replace
@@ -473,6 +494,37 @@ object IngestQueries {
         .withColumn("obs_min_key", lit(m("min_key").asInstanceOf[Long]))
         .withColumn("obs_max_key", lit(m("max_key").asInstanceOf[Long]))
         .orderBy($"bucket")
+    },
+
+    // Malformed-row quarantine — the PERMISSIVE ingest posture a lake
+    // pipeline runs on untrusted CSV: explicit schema + a corrupt-record
+    // column; rows with a type-invalid field or a surplus column land in
+    // quarantine instead of failing the job, clean rows parse exactly
+    // (quoted commas, RFC-4180 doubled quotes — note Spark's escape
+    // option must be '"' for that dialect, not its backslash default).
+    // Cross-engine teeth: DuckDB reads the IDENTICAL file with
+    // ignore_errors=true and must recover the same 3 clean rows; the
+    // quarantine count is data-derived on the Spark side and pinned
+    // constant (2) by the oracle.
+    "cs15_csv_quarantine" -> { (s, dir) =>
+      ensureMessy()
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType),
+        StructField("qty", LongType), StructField("price", StringType),
+        StructField("_bad", StringType)))
+      val df = s.read.schema(schema)
+        .option("header", "true").option("mode", "PERMISSIVE")
+        .option("escape", "\"")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(messyDir)
+        .cache() // required to filter on the corrupt-record column
+      val bad = df.filter(col("_bad").isNotNull)
+        .agg(count(lit(1)).as("n_corrupt"))
+      df.filter(col("_bad").isNull)
+        .select(col("id"), col("name"), col("qty"),
+          cents(col("price").cast("double")).as("price_cents"))
+        .crossJoin(broadcast(bad))
+        .orderBy(col("id"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -667,5 +719,17 @@ object IngestQueries {
         |       m.min_key AS obs_min_key, m.max_key AS obs_max_key
         |FROM lineitem CROSS JOIN m
         |GROUP BY 1, m.n_rows, m.bad_qty_rows, m.min_key, m.max_key
-        |ORDER BY bucket""".stripMargin)
+        |ORDER BY bucket""".stripMargin,
+
+    // DuckDB reads the identical messy file; its ignore_errors path must
+    // recover exactly the rows Spark's PERMISSIVE path keeps, and the
+    // constant 2 pins Spark's data-derived quarantine count.
+    "cs15_csv_quarantine" ->
+      s"""SELECT id, name, qty,
+         |  CAST(round(CAST(price AS DOUBLE)*100) AS BIGINT) AS price_cents,
+         |  CAST(2 AS BIGINT) AS n_corrupt
+         |FROM read_csv('$messyDir/messy.csv', header=true,
+         |  columns={'id':'BIGINT','name':'VARCHAR','qty':'BIGINT','price':'VARCHAR'},
+         |  ignore_errors=true, quote='"', escape='"')
+         |ORDER BY id""".stripMargin)
 }

@@ -847,6 +847,58 @@ object TextQueries {
           count(lit(1)).as("n_copies"),
           sum(when($"norm" =!= $"text", 1L).otherwise(0L)).as("n_changed"))
         .orderBy($"norm_hash")
+    },
+
+    // Compression-ratio quality signal — the Gopher/C4-family filter
+    // that flags machine-generated or boilerplate text by how well it
+    // DEFLATE-compresses. Per-doc deflate runs in a mapPartitions batch
+    // (one Deflater per partition, reused — the codec-boundary shape of
+    // mm01); the ratio is compressedBytes/rawBytes. Raw byte counts are
+    // zlib-version-specific, so the oracle pins CERT BITS (the an03
+    // contract) + an independent doc count, and TextOpsSpec pins the raw
+    // measured ratios:
+    //  - n_docs: corpus count + 2 injected fixture docs (DuckDB
+    //    recomputes COUNT(*)+2);
+    //  - ratio_bounds_ok: every ratio in (0, 1.2] — text never expands
+    //    past the small header overhead at these lengths;
+    //  - fixture_order_ok: an injected 60×-repeated-token doc compresses
+    //    STRICTLY better than an injected all-distinct-token doc
+    //    (deterministic by construction, corpus-independent);
+    //  - corpus_signal_ok: corr(distinct-token fraction, ratio) > 0
+    //    over the corpus — redundancy is what deflate removes, so the
+    //    signal the filter ranks on actually exists in the data.
+    "tx31_compression_ratio" -> { (s, dir) =>
+      import s.implicits._
+      val all = Tables.documents(s, dir).select($"doc_id", $"text")
+        .unionByName(CompFixture.toDF("doc_id", "text"))
+      val ratios = all.as[(Long, String)].mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          deflater.reset(); deflater.setInput(raw); deflater.finish()
+          var n = 0
+          while (!deflater.finished()) n += deflater.deflate(buf, 0, buf.length)
+          (id, raw.length.toLong, n.toLong)
+        }
+      }.toDF("doc_id", "raw_bytes", "comp_bytes")
+        .withColumn("ratio", $"comp_bytes".cast("double") / $"raw_bytes")
+      val toks = all.select($"doc_id",
+        (size(array_distinct(TextOps.tokens($"text"))).cast("double") /
+          size(TextOps.tokens($"text"))).as("distinct_frac"))
+      ratios.join(toks, "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"ratio").as("rmin"), max($"ratio").as("rmax"),
+          corr(when($"doc_id" < CompInjBase, $"distinct_frac"),
+            when($"doc_id" < CompInjBase, $"ratio")).as("c"),
+          max(when($"doc_id" === CompInjBase, $"ratio")).as("rep_ratio"),
+          max(when($"doc_id" === CompInjBase + 1, $"ratio")).as("ent_ratio"))
+        .select($"n_docs".cast("long").as("n_docs"),
+          when($"rmin" > 0.0 && $"rmax" <= 1.2, 1L).otherwise(0L)
+            .as("ratio_bounds_ok"),
+          when($"rep_ratio" < $"ent_ratio", 1L).otherwise(0L)
+            .as("fixture_order_ok"),
+          when($"c" > 0.0, 1L).otherwise(0L).as("corpus_signal_ok"))
     })
 
   // ---- tx22 PII fixture + regexes (shared with the DuckDB oracle) ----
@@ -872,6 +924,13 @@ object TextQueries {
     (NormInjBase + 4) -> "spark deduplication pipeline testing")
   private def normValuesSql: String = NormFixture
     .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+
+  /** tx31's injected compressibility extremes: a 60×-repeated token vs
+    * an all-distinct token sequence of similar byte length. */
+  private val CompInjBase = 50000000L
+  private val CompFixture: Seq[(Long, String)] = Seq(
+    CompInjBase -> Seq.fill(60)("spark").mkString(" "),
+    (CompInjBase + 1) -> (0 until 60).map(i => f"w$i%02dq${(i * 37) % 100}%02d").mkString(" "))
 
   private val PiiEmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   private val PiiPhoneRe = """\b\d{3}[-.]\d{3}[-.]\d{4}\b"""
@@ -1391,7 +1450,17 @@ object TextQueries {
          |  CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
          |  CAST(COUNT(*) AS BIGINT) AS n_copies,
          |  CAST(SUM(CASE WHEN norm <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
-         |FROM n GROUP BY md5(norm) ORDER BY norm_hash""".stripMargin)
+         |FROM n GROUP BY md5(norm) ORDER BY norm_hash""".stripMargin,
+
+    // Independent doc count + constant cert bits (zlib byte counts are
+    // library-specific — the raw ratios are pinned in TextOpsSpec; see
+    // the tx31 entry for what each bit certifies).
+    "tx31_compression_ratio" ->
+      """SELECT CAST(COUNT(*) + 2 AS BIGINT) AS n_docs,
+        |  CAST(1 AS BIGINT) AS ratio_bounds_ok,
+        |  CAST(1 AS BIGINT) AS fixture_order_ok,
+        |  CAST(1 AS BIGINT) AS corpus_signal_ok
+        |FROM documents""".stripMargin)
 
   /** The tx26/tx29 oracle chain: a fully UNROLLED DuckDB replay of the
     * BPE training loop — `rounds` chained CTE blocks, each recomputing

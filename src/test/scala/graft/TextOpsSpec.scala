@@ -141,6 +141,26 @@ class TextOpsSpec extends SparkSuite {
       "striped offsets diverge from the single-pass cumsum")
   }
 
+  test("tx31 deflate ratios: repetitive text compresses hard, distinct text doesn't") {
+    def ratio(text: String): Double = {
+      val raw = text.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var n = 0
+      while (!d.finished()) n += d.deflate(buf)
+      d.end()
+      n.toDouble / raw.length
+    }
+    val rep = ratio(Seq.fill(60)("spark").mkString(" "))
+    val ent = ratio((0 until 60).map(i => f"w$i%02dq${(i * 37) % 100}%02d").mkString(" "))
+    assert(rep < 0.15, s"repetitive ratio $rep")          // 60x one token ~ tiny
+    assert(ent > 0.5 && ent <= 1.2, s"entropic ratio $ent") // distinct tokens barely shrink
+    assert(rep < ent)
+    // determinism: same bytes, same params -> same compressed size
+    assert(ratio("the quick brown fox") == ratio("the quick brown fox"))
+  }
+
   test("canonicalizeUrl: rule-by-rule pins incl. the path-case and real-param teeth") {
     val s = spark
     import s.implicits._
