@@ -72,7 +72,10 @@ class PlanSpec extends SparkSuite {
     // an11: three 1-row certificate aggregates (pq recall, opq recall,
     // distortion pair) attached via explicitly broadcast()-hinted
     // crossJoins — O(1·1) scalar attaches, the an03/dd12 cert pattern
-    "an11_opq_recall")
+    "an11_opq_recall",
+    // cs15: the 1-row quarantine-count aggregate broadcast-attached to
+    // the 3 clean fixture rows (the tx22 O(n·1) premise pattern)
+    "cs15_csv_quarantine")
 
   private def unwrap(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => a.executedPlan

@@ -155,8 +155,11 @@ class TextOpsSpec extends SparkSuite {
     val rep = ratio(Seq.fill(60)("spark").mkString(" "))
     val ent = ratio((0 until 60).map(i => f"w$i%02dq${(i * 37) % 100}%02d").mkString(" "))
     assert(rep < 0.15, s"repetitive ratio $rep")          // 60x one token ~ tiny
-    assert(ent > 0.5 && ent <= 1.2, s"entropic ratio $ent") // distinct tokens barely shrink
-    assert(rep < ent)
+    // the all-distinct doc still shares the wNNqNN shape, so deflate finds
+    // SOME structure (~0.48 measured) — the certificate's claim is the
+    // ORDERING, with a ≥3x separation as the margin
+    assert(ent > 0.3 && ent <= 1.2, s"entropic ratio $ent")
+    assert(rep * 3 < ent, s"rep=$rep ent=$ent")
     // determinism: same bytes, same params -> same compressed size
     assert(ratio("the quick brown fox") == ratio("the quick brown fox"))
   }
