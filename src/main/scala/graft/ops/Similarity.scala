@@ -329,6 +329,40 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** IVF search driven by an EXPLICIT persisted index — reloaded
+    * centroids plus a precomputed `(id, cell)` assignment table — instead
+    * of the in-memory artifact cache. This is the restart path of a
+    * production deployment: the index is built once, written to the
+    * lake, and every later job reads it back rather than re-clustering.
+    * Same probe/scoring arithmetic as [[ivfTopK]], so with a faithfully
+    * persisted index the results are bit-identical (an12 certifies
+    * exactly that). `assignments` must carry one row per corpus id with
+    * columns (`idCol`, cell). */
+  def ivfTopKWithIndex(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, centers: Array[Array[Double]],
+                       assignments: DataFrame, nProbe: Int): DataFrame = {
+    val c = nonZeroNorm(corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cvec"))
+      .join(assignments.select(col(idCol).as("neighbor_id"), col("cell")), Seq("neighbor_id"))
+      .withColumn("cnorm", norm(col("cvec"))), "cnorm")
+    val q = nonZeroNorm(queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("cells", transform(nearestCells(centers, col("qvec"), nProbe), x => x.getField("cell")))
+      .withColumn("qnorm", norm(col("qvec"))), "qnorm")
+      .select(col("query_id"), explode(col("cells")).as("cell"), col("qvec"), col("qnorm"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm"))).as("cosine"))
+    topK(scored, k)
+  }
+
+  /** The `(id, cell)` assignment table [[ivfTopK]] computes inline —
+    * exposed so an index build can PERSIST it (see [[ivfTopKWithIndex]]). */
+  def ivfAssignments(corpus: DataFrame, idCol: String, vecCol: String,
+                     centers: Array[Array[Double]]): DataFrame =
+    corpus.select(col(idCol), asDouble(col(vecCol)).as("_v"))
+      .withColumn("cell", nearestCells(centers, col("_v"), 1).getItem(0).getField("cell"))
+      .select(col(idCol), col("cell"))
+
   // ----------------------------------------------------------------- PQ —
 
   /** Memoized PQ codebooks, keyed like [[quantizers]]. */

@@ -531,6 +531,62 @@ object PipelineQueries {
             .as("recall_uplift_ok"))
     },
 
+    // ANN index PERSISTENCE round-trip (an12) — the restart path a
+    // production deployment actually exercises: the IVF index (16
+    // centroids + the full (vec_id, cell) assignment table) is written
+    // to parquet, read back, and the search re-runs FROM THE RELOADED
+    // INDEX via Similarity.ivfTopKWithIndex — no re-clustering, no
+    // in-memory artifact cache. Certificate bits, the an03 contract:
+    //  - n_queries: data-derived query count (DuckDB replays);
+    //  - centroids_roundtrip_ok: all 16×64 doubles bit-identical after
+    //    the parquet round-trip;
+    //  - counts_match + results_match: the loaded-index search returns
+    //    exactly the fresh-artifact an02 result set — same (query, rank,
+    //    neighbor) triples, cosines equal to 1e-15 (identical arithmetic
+    //    on identical cells ⇒ bit-equal in practice).
+    "an12_index_persistence" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val key = s"emb-$dir"
+      val centers = Similarity.coarseQuantizer(emb, "vec_id", "embedding", key, 16, 42L)
+      val idxDir = new java.io.File(
+        s"target/fixtures/ivf_index/${new java.io.File(dir).getName}").getAbsolutePath
+      centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "cvec")
+        .repartition(1).write.mode("overwrite").parquet(s"$idxDir/centroids")
+      Similarity.ivfAssignments(emb, "vec_id", "embedding", centers)
+        .write.mode("overwrite").parquet(s"$idxDir/assignments")
+      // reload: the driver-side artifact is 16 rows; the assignment
+      // table stays distributed
+      val reloaded = s.read.parquet(s"$idxDir/centroids").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).map(_._2)
+      val roundtripOk = reloaded.length == centers.length &&
+        centers.zip(reloaded).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+      val assignments = s.read.parquet(s"$idxDir/assignments")
+      val fresh = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+          k = 5, nCells = 16, nProbe = 4, quantizerKey = key)
+        .select($"query_id", $"rank", $"neighbor_id".as("n_fresh"),
+          $"cosine".as("c_fresh"))
+      val loaded = Similarity.ivfTopKWithIndex(emb, queries, "vec_id", "embedding",
+          k = 5, centers = reloaded, assignments = assignments, nProbe = 4)
+        .select($"query_id", $"rank", $"neighbor_id".as("n_loaded"),
+          $"cosine".as("c_loaded"))
+      val nQueries = queries.agg(count(lit(1)).as("n_queries"))
+      fresh.join(loaded, Seq("query_id", "rank"), "full_outer")
+        .agg(sum(when($"n_fresh".isNull || $"n_loaded".isNull, 1L).otherwise(0L))
+            .as("n_unpaired"),
+          sum(when($"n_fresh" === $"n_loaded" &&
+            abs($"c_fresh" - $"c_loaded") <= 1e-15, 0L).otherwise(1L))
+            .as("n_mismatch"))
+        .crossJoin(broadcast(nQueries))
+        .select($"n_queries".cast("long").as("n_queries"),
+          lit(if (roundtripOk) 1L else 0L).as("centroids_roundtrip_ok"),
+          when($"n_unpaired" === 0, 1L).otherwise(0L).as("counts_match"),
+          when($"n_mismatch" === 0, 1L).otherwise(0L).as("results_match"))
+    },
+
     // Text-similarity search baseline: exact Jaccard top-3 neighbors for
     // the first 5 documents, via an inverted shingle index — candidates
     // are (query, doc) pairs sharing at least one 3-shingle, intersection
@@ -1322,6 +1378,15 @@ object PipelineQueries {
         |    AS n_neg_holdout,
         |  CAST(1 AS BIGINT) AS auc_ok
         |FROM lab""".stripMargin,
+
+    // n_queries recomputed independently; the three persistence bits are
+    // the constant-oracle part (see the an12 entry).
+    "an12_index_persistence" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(1 AS BIGINT) AS centroids_roundtrip_ok,
+        |  CAST(1 AS BIGINT) AS counts_match,
+        |  CAST(1 AS BIGINT) AS results_match
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     // n_points recomputed independently; the three quality bits are the
     // constant-oracle part (see the ml07 entry for what each pins).

@@ -75,7 +75,10 @@ class PlanSpec extends SparkSuite {
     "an11_opq_recall",
     // cs15: the 1-row quarantine-count aggregate broadcast-attached to
     // the 3 clean fixture rows (the tx22 O(n·1) premise pattern)
-    "cs15_csv_quarantine")
+    "cs15_csv_quarantine",
+    // an12: the 1-row query-count scalar broadcast-attached to the 1-row
+    // match aggregate (O(1·1), the an03/dd12 cert pattern)
+    "an12_index_persistence")
 
   private def unwrap(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => a.executedPlan
@@ -134,6 +137,28 @@ class PlanSpec extends SparkSuite {
         s"${offenders.map { case (n, c) => s"$n($c)" }.mkString(", ")} — " +
         "use the tx18/tx24/q33 striped prefix-sum pattern or whitelist " +
         "with a boundedness proof")
+  }
+
+  test("q07: rank<=k is pushed to a map-side WindowGroupLimit before the shuffle") {
+    // the property that makes per-group top-k viable at 100 TB: each
+    // map partition keeps only k rows per group BEFORE the exchange, so
+    // shuffle volume is k·groups, not the full fact table. Spark plans
+    // this as a partial WindowGroupLimitExec below the Exchange plus a
+    // final one above it — pin both, and pin the partial genuinely
+    // sitting under the exchange.
+    val root = planOf(SparkEntry.queries("q07_top_orders_per_customer")(spark, sf))
+    val limits = root.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.size == 2, s"expected partial+final WindowGroupLimit, got ${limits.size}")
+    val underExchange = root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.collectLeaves().nonEmpty && e.collect {
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+        }.nonEmpty => e
+    }
+    assert(underExchange.nonEmpty,
+      "no WindowGroupLimit below an exchange — the limit is not map-side")
   }
 
   test("q01/q06: predicates and projection reach the lineitem parquet scan") {
