@@ -852,6 +852,52 @@ object StreamQueries {
         .orderBy($"doc_id")
     },
 
+    // Streaming malformed-row quarantine (cs15's streaming twin — the
+    // "never fail the stream on bad input" ingest posture): the
+    // documents table replays as 3 CSV chunk files plus one file of
+    // injected malformed lines (a type-invalid long, a surplus column);
+    // the file stream parses PERMISSIVE with a corrupt-record column,
+    // and each micro-batch routes clean rows to the sink and corrupt
+    // rows to a quarantine counter — the stream completes, nothing is
+    // dropped silently. Clean rows are data-derived at every SF; the
+    // quarantine count is pinned (2) by the oracle. At 100 TB this is
+    // the same per-file micro-batch split with the quarantine side
+    // written to a dead-letter table instead of a counter.
+    "st22_stream_quarantine" -> { (s, dir) =>
+      import s.implicits._
+      val scratch = ensureDocCsvChunks(s, dir, 3)
+      val raw = StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_bad", org.apache.spark.sql.types.StringType)))
+      val stream = s.readStream.schema(raw)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .option("maxFilesPerTrigger", 1)
+        .csv(scratch)
+      val outBase = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
+        "squarantine-").toString
+      val nCorrupt = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val clean = batch.filter(col("_bad").isNull)
+          val bad = batch.filter(col("_bad").isNotNull).count()
+          nCorrupt.addAndGet(bad)
+          clean.select(col("doc_id"), col("n_chars"))
+            .write.mode("append").parquet(s"$outBase/clean")
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$outBase/clean")
+        .withColumn("n_corrupt", lit(nCorrupt.get()))
+        .orderBy($"doc_id")
+    },
+
     // Streaming MERGE (st15's keyed sibling — the foreachBatch upsert
     // every lakehouse streaming-ingest pipeline runs): a chunked
     // 3-micro-batch replay maintains a per-user SNAPSHOT TABLE with
@@ -1086,6 +1132,26 @@ object StreamQueries {
       scratch
     })
 
+  /** st22's CSV chunk fixture: the documents table as 3 headerless CSV
+    * chunk files plus one injected file of malformed lines (a
+    * type-invalid long, a surplus column). Memoized per (dir, content)
+    * like [[ensureEventChunks]]. The corpus carries no commas/quotes in
+    * `lang`, so the clean chunks parse losslessly under the explicit
+    * schema. */
+  private[graft] def ensureDocCsvChunks(s: org.apache.spark.sql.SparkSession,
+                                        dir: String, nFiles: Int): String =
+    chunkDirs.computeIfAbsent(s"doccsv|$dir|$nFiles|${sourceId(s, dir, "documents")}", _ => {
+      val scratch = new java.io.File(
+        s"target/stream-scratch/doc_csv_chunks_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$nFiles")
+        .getAbsolutePath
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartition(nFiles).write.mode("overwrite").csv(scratch)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(scratch, "injected_bad.csv"),
+        "notanumber,xx,10\n7,xx,2,surplus,extra\n".getBytes("UTF-8"))
+      scratch
+    })
+
   /** The batch twin of the state machine's weighted per-invoice fold.
     * The zero-net-quantity CASE mirrors `InvoiceStateMachine.toAgg`'s
     * guard (fully-cancelled invoices emit 0.0, not Infinity/NULL) so the
@@ -1292,6 +1358,13 @@ object StreamQueries {
         |  AND md5(text) NOT IN
         |      (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
         |ORDER BY doc_id""".stripMargin,
+
+    // Clean rows are the full documents table (data-derived at every
+    // SF); the 2 pins the injected-malformed quarantine count.
+    "st22_stream_quarantine" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(2 AS BIGINT) AS n_corrupt
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "st16_streaming_upsert" ->
       """WITH l AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1),
