@@ -852,6 +852,29 @@ object StreamQueries {
         .orderBy($"doc_id")
     },
 
+    // Multimodal decode INSIDE a structured stream (st23): the mm01
+    // codec boundary (real BMP/PPM byte parse in a typed mapPartitions)
+    // running on a file stream instead of a batch scan — the shape of a
+    // media-ingest pipeline where payload decode happens as data lands.
+    // Stateless per-row transform ⇒ append mode, no state store; the
+    // oracle is mm01's pixel-generator replay VERBATIM, so the streamed
+    // decode must reproduce the batch decode exactly.
+    "st23_stream_media_decode" -> { (s, dir) =>
+      import s.implicits._
+      val stream = StreamSources.parquetStream(s, dir, "documents",
+        Schemas.documents)
+      val decoded = graft.ops.Multimodal.decodeMeta(
+        graft.ops.Multimodal.withPayload(stream))
+        .select(col("doc_id"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("n_bytes"), col("n_pixels"),
+          col("sum_r"), col("sum_g"), col("sum_b"), col("mom_r"))
+      StreamRunner.toMemory(decoded, mode = "append")
+        .orderBy($"doc_id")
+    },
+
     // Streaming malformed-row quarantine (cs15's streaming twin — the
     // "never fail the stream on bad input" ingest posture): the
     // documents table replays as 3 CSV chunk files plus one file of
@@ -1358,6 +1381,10 @@ object StreamQueries {
         |  AND md5(text) NOT IN
         |      (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
         |ORDER BY doc_id""".stripMargin,
+
+    // The streamed decode must reproduce the batch decode exactly —
+    // mm01's pixel-generator replay verbatim.
+    "st23_stream_media_decode" -> PipelineQueries.oracles("mm01_media_metadata"),
 
     // Clean rows are the full documents table (data-derived at every
     // SF); the 2 pins the injected-malformed quarantine count.
