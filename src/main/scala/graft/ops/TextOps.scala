@@ -154,8 +154,12 @@ object TextOps {
     * drop the fragment, drop the scheme (http/https unify), lowercase
     * the HOST ONLY (path case is significant and preserved), strip one
     * leading `www.`, strip one trailing slash from the path, and drop
-    * tracking parameters (`utm_*`, `fbclid`, `gclid`) while KEEPING real
-    * query parameters in their original order. */
+    * tracking parameters (`utm_*`, `fbclid`, `gclid`) — matched on the
+    * parameter NAME (the part before `=`), so a bare valueless `?fbclid`
+    * is dropped too — while KEEPING real query parameters in their
+    * original order. Userinfo (`user@host`) and explicit ports are NOT
+    * normalized: they stay inside the lowercased authority, so
+    * `host:8080` and `host` remain distinct keys by design. */
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val noScheme = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
@@ -165,10 +169,11 @@ object TextOps {
     val path = regexp_replace(regexp_replace(pathq, "\\?.*$", ""), "/$", "")
     val query = regexp_extract(pathq, "\\?(.*)$", 1)
     val kept = array_join(
-      filter(split(query, "&", -1), p =>
-        !(substring(p, 1, 4) === "utm_" ||
-          substring(p, 1, 7) === "fbclid=" ||
-          substring(p, 1, 6) === "gclid=")), "&")
+      filter(split(query, "&", -1), p => {
+        val name = regexp_extract(p, "^([^=]*)", 1)
+        !(substring(name, 1, 4) === "utm_" ||
+          name === "fbclid" || name === "gclid")
+      }), "&")
     concat(host, path,
       when(length(kept) > 0, concat(lit("?"), kept)).otherwise(lit("")))
   }

@@ -653,15 +653,16 @@ object EventQueries {
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin,
 
-    // the greatest() clamp mirrors MaxResampleSpanHours (45 days)
+    // the greatest() clamp interpolates MaxResampleSpanHours (45 days) so
+    // the Spark and oracle clamps cannot silently diverge
     "ev08_resample_ffill" ->
-      """WITH uniq AS (
+      s"""WITH uniq AS (
         |  SELECT user_id AS u, ts AS ets, max_by(value, event_id) AS last_value
         |  FROM events GROUP BY 1, 2),
         |span AS (
         |  SELECT user_id,
         |         greatest(date_trunc('hour', min(ts)),
-        |                  date_trunc('hour', max(ts)) - INTERVAL 1080 HOUR) AS t0,
+        |                  date_trunc('hour', max(ts)) - INTERVAL $MaxResampleSpanHours HOUR) AS t0,
         |         date_trunc('hour', max(ts)) AS t1
         |  FROM events GROUP BY 1),
         |grid AS (
@@ -676,17 +677,16 @@ object EventQueries {
 
     // Both neighbors via DuckDB's native ASOF (backward `>=`, forward
     // `<=`); interpolation replayed in the identical integer-cents +
-    // IEEE-floor arithmetic. The 1080-hour clamp mirrors
-    // MaxResampleSpanHours.
+    // IEEE-floor arithmetic. The clamp interpolates MaxResampleSpanHours.
     "ev25_linear_interp" ->
-      """WITH uniq AS (
+      s"""WITH uniq AS (
         |  SELECT user_id AS u, ts AS ets,
         |         CAST(round(max_by(value, event_id)*100) AS BIGINT) AS vc
         |  FROM events GROUP BY 1, 2),
         |span AS (
         |  SELECT user_id,
         |         greatest(date_trunc('hour', min(ts)),
-        |                  date_trunc('hour', max(ts)) - INTERVAL 1080 HOUR) AS t0,
+        |                  date_trunc('hour', max(ts)) - INTERVAL $MaxResampleSpanHours HOUR) AS t0,
         |         date_trunc('hour', max(ts)) AS t1
         |  FROM events GROUP BY 1),
         |grid AS (

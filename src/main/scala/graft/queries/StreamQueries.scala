@@ -431,6 +431,7 @@ object StreamQueries {
       .write.mode("overwrite").parquet(s"$dimPath/v$v")
     (0L until nVersions).foreach(writeDim)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    graft.stream.StreamRunner.pinnedStatePartitions(s) {
     val q = s.readStream.schema(raw)
       .option("maxFilesPerTrigger", 1).parquet(scratch)
       .select($"event_id", $"user_id")
@@ -450,6 +451,7 @@ object StreamQueries {
       }
       .start()
     q.awaitTermination()
+    }
     graft.stream.IdempotentSink.read(s, outPath)
       .groupBy($"dim_version", $"tier")
       .agg(count(lit(1)).as("n_events"), countDistinct($"user_id").as("n_users"))
@@ -496,7 +498,8 @@ object StreamQueries {
     val sinkDir = s"$base/sink"
     val ckpt = s"$base/ckpt"
     val crashPending = new java.util.concurrent.atomic.AtomicBoolean(true)
-    def run(): org.apache.spark.sql.streaming.StreamingQuery = {
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+        graft.stream.StreamRunner.pinnedStatePartitions(s) {
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(scratch)
       val lines = purchaseLines(
@@ -705,6 +708,7 @@ object StreamQueries {
       val base = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
         "asof-").toString
+      graft.stream.StreamRunner.pinnedStatePartitions(s) {
       val q = ev.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           graft.ops.TemporalJoins.asOfJoin(batch, latest,
@@ -716,6 +720,7 @@ object StreamQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      }
       s.read.parquet(base)
         .select($"event_id", $"user_id", $"o_orderkey", $"o_totalprice")
         .orderBy($"event_id")
@@ -881,11 +886,15 @@ object StreamQueries {
     // injected malformed lines (a type-invalid long, a surplus column);
     // the file stream parses PERMISSIVE with a corrupt-record column,
     // and each micro-batch routes clean rows to the sink and corrupt
-    // rows to a quarantine counter — the stream completes, nothing is
-    // dropped silently. Clean rows are data-derived at every SF; the
-    // quarantine count is pinned (2) by the oracle. At 100 TB this is
-    // the same per-file micro-batch split with the quarantine side
-    // written to a dead-letter table instead of a counter.
+    // rows to quarantine — the stream completes, nothing is dropped
+    // silently. foreachBatch is at-least-once, so BOTH sides commit
+    // idempotently: clean rows through the per-batch staged-rename sink
+    // (a retried batch overwrites its own directory, never appends
+    // twice) and the quarantine count keyed by batchId (a retry
+    // overwrites its own entry, never double-counts). Clean rows are
+    // data-derived at every SF; the quarantine count is pinned (2) by
+    // the oracle. At 100 TB the count map becomes a dead-letter TABLE
+    // written through the same batchId-keyed protocol.
     "st22_stream_quarantine" -> { (s, dir) =>
       import s.implicits._
       val scratch = ensureDocCsvChunks(s, dir, 3)
@@ -902,22 +911,29 @@ object StreamQueries {
       val outBase = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
         "squarantine-").toString
-      val nCorrupt = new java.util.concurrent.atomic.AtomicLong(0L)
+      val corruptByBatch =
+        new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      graft.stream.StreamRunner.pinnedStatePartitions(s) {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          val clean = batch.filter(col("_bad").isNull)
-          val bad = batch.filter(col("_bad").isNotNull).count()
-          nCorrupt.addAndGet(bad)
-          clean.select(col("doc_id"), col("n_chars"))
-            .write.mode("append").parquet(s"$outBase/clean")
+          val cached = batch.cache()
+          try {
+            corruptByBatch.put(id, cached.filter(col("_bad").isNotNull).count())
+            graft.stream.IdempotentSink.writeBatch(
+              cached.filter(col("_bad").isNull).select(col("doc_id"), col("n_chars")),
+              s"$outBase/clean", id)
+          } finally cached.unpersist()
         }
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(s"$outBase/clean")
-        .withColumn("n_corrupt", lit(nCorrupt.get()))
+      }
+      import scala.jdk.CollectionConverters._
+      val nCorrupt = corruptByBatch.values.asScala.sum
+      graft.stream.IdempotentSink.read(s, s"$outBase/clean")
+        .withColumn("n_corrupt", lit(nCorrupt))
         .orderBy($"doc_id")
     },
 
@@ -949,6 +965,7 @@ object StreamQueries {
         java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
         "supsert-").toString
       val lastVersion = new java.util.concurrent.atomic.AtomicLong(-1L)
+      graft.stream.StreamRunner.pinnedStatePartitions(s) {
       val q = replay.writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
           val delta = batch.groupBy(col("user_id"))
@@ -970,6 +987,7 @@ object StreamQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      }
       s.read.parquet(s"$snapBase/v${lastVersion.get()}")
         .select($"user_id", $"n_events",
           $"last.event_type".as("last_type"), $"last.value".as("last_value"))
@@ -1071,6 +1089,7 @@ object StreamQueries {
       java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
       "ivm-").toString
     val lastVersion = new java.util.concurrent.atomic.AtomicLong(-1L)
+    graft.stream.StreamRunner.pinnedStatePartitions(s) {
     val q = replay.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val delta = batch
@@ -1091,6 +1110,7 @@ object StreamQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    }
     val view = s.read.parquet(s"$viewBase/v${lastVersion.get()}")
       .select(date_format($"day", "yyyy-MM-dd").as("day"), $"event_type",
         $"n", ($"sum_cents" / 100.0).as("sum_value"))

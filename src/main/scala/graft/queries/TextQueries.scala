@@ -874,12 +874,23 @@ object TextQueries {
       val ratios = all.as[(Long, String)].mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6)
         val buf = new Array[Byte](1 << 16)
-        it.map { case (id, text) =>
-          val raw = text.getBytes("UTF-8")
-          deflater.reset(); deflater.setInput(raw); deflater.finish()
-          var n = 0
-          while (!deflater.finished()) n += deflater.deflate(buf, 0, buf.length)
-          (id, raw.length.toLong, n.toLong)
+        // end() releases the native zlib stream as soon as the partition
+        // iterator drains — without it each partition leaks native memory
+        // until finalization
+        new Iterator[(Long, Long, Long)] {
+          def hasNext: Boolean = {
+            val more = it.hasNext
+            if (!more) deflater.end()
+            more
+          }
+          def next(): (Long, Long, Long) = {
+            val (id, text) = it.next()
+            val raw = text.getBytes("UTF-8")
+            deflater.reset(); deflater.setInput(raw); deflater.finish()
+            var n = 0
+            while (!deflater.finished()) n += deflater.deflate(buf, 0, buf.length)
+            (id, raw.length.toLong, n.toLong)
+          }
         }
       }.toDF("doc_id", "raw_bytes", "comp_bytes")
         .withColumn("ratio", $"comp_bytes".cast("double") / $"raw_bytes")
@@ -1421,8 +1432,9 @@ object TextQueries {
         |    regexp_replace(regexp_replace(pathq, '\?.*$', ''), '/$', '') AS path,
         |    array_to_string(list_filter(
         |      string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
-        |      pp -> NOT (substr(pp, 1, 4) = 'utm_' OR substr(pp, 1, 7) = 'fbclid='
-        |                 OR substr(pp, 1, 6) = 'gclid=')), '&') AS kept
+        |      pp -> NOT (substr(regexp_extract(pp, '^([^=]*)', 1), 1, 4) = 'utm_'
+        |                 OR regexp_extract(pp, '^([^=]*)', 1) = 'fbclid'
+        |                 OR regexp_extract(pp, '^([^=]*)', 1) = 'gclid')), '&') AS kept
         |  FROM p),
         |u AS (SELECT doc_id, raw_url,
         |    host || path ||

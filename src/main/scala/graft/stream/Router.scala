@@ -50,7 +50,8 @@ object Router {
     * (A2 — duplicate lines of one cancelled invoice collapse within each
     * micro-batch before publication, `InvoicePipeline.scala:68-71`).
     * Blocks until all input is processed. */
-  def runToSinks(records: DataFrame, baseDir: String, arity: Int = 8): Unit = {
+  def runToSinks(records: DataFrame, baseDir: String, arity: Int = 8): Unit =
+    StreamRunner.pinnedStatePartitions(records.sparkSession) {
     val q = classified(records, arity).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.cache()
@@ -78,3 +79,4 @@ object Router {
     q.awaitTermination()
   }
 }
+

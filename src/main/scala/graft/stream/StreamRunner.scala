@@ -22,6 +22,35 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamRunner {
 
+  /** Streaming state partition count, pinned independently of core count.
+    *
+    * Structured Streaming captures `spark.sql.shuffle.partitions` at query
+    * start and instantiates that many state-store partitions per stateful
+    * operator, frozen into the checkpoint for the query's lifetime.
+    * Inheriting the session's batch setting couples state-store instance
+    * count to CPU count: at local[32] a stream-stream join (4 state stores)
+    * pays 128 store open/commit cycles per micro-batch even when state
+    * volume justifies a handful — measured 4–6× slower than local[4] with
+    * identical code (CHECKS.md r14). On a cluster the same coupling
+    * multiplies per-micro-batch overhead with every added core. State
+    * partitioning should track state VOLUME, not cores, so every streaming
+    * query in this library starts under this pinned constant — the single
+    * knob to raise when key cardinality actually demands it. */
+  val StatePartitions = 8
+
+  /** Run `body` — which must START its streaming queries inside (the
+    * partition count is captured at `start()`) — with
+    * `spark.sql.shuffle.partitions` pinned to [[StatePartitions]], then
+    * restore the session's batch setting. Queries may keep running after
+    * restore (continuous mode): the captured value rides the checkpoint. */
+  def pinnedStatePartitions[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, StatePartitions.toString)
+    try body
+    finally prior.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   /** Turn a batch DataFrame into a genuine file-backed stream: materialize
     * it to scratch parquet (a distributed write — no driver collect), then
     * open a file streaming source over it. Used to feed synthesized
@@ -51,14 +80,17 @@ object StreamRunner {
     val spark = ds.sparkSession
     val sink = "graft_sink_" + UUID.randomUUID().toString.replace("-", "")
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
-    val q = ds.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(sink)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val q = pinnedStatePartitions(spark) {
+      val started = ds.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      started.awaitTermination()
+      started
+    }
     // the memory-sink table is complete and the query is terminated: its
     // checkpoint has no further use — delete it rather than leaking one
     // tree per invocation into the temp dir

@@ -58,6 +58,31 @@ class StreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming state partitions are pinned to StatePartitions — decoupled " +
+    "from the session's batch shuffle setting, which is restored after") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val key = "spark.sql.shuffle.partitions"
+    val prior = s.conf.get(key)
+    // a core-count-like batch setting the stream must NOT inherit (the
+    // r13 scale defect: state-store instance count tracked cores, making
+    // stream-stream joins 4-6x slower at local[32] than local[4])
+    s.conf.set(key, "27")
+    try {
+      val input = MemoryStream[PurchaseLine]
+      input.addData(line("A", 2, 10.0), line("B", 1, 40.0))
+      val (out, q) = StreamRunner.toMemoryWithQuery(
+        InvoiceStateMachine(input.toDS(), idleTimeoutMs = 0L).toDF())
+      assert(out.count() == 2)
+      val parts = q.lastProgress.stateOperators.map(_.numShufflePartitions).distinct.toSeq
+      assert(parts == Seq(StreamRunner.StatePartitions.toLong),
+        s"state-store partitions $parts, expected ${StreamRunner.StatePartitions}")
+      assert(s.conf.get(key) == "27",
+        "the session's batch shuffle setting must be restored after the stream")
+    } finally s.conf.set(key, prior)
+  }
+
   test("streamed fold equals the batch path on the same lines") {
     val s = spark
     import s.implicits._

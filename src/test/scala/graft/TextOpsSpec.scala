@@ -176,6 +176,10 @@ class TextOpsSpec extends SparkSuite {
       "https://ex.com/p1?utm_source=a&id=7&utm_campaign=b" -> "ex.com/p1?id=7",
       "https://ex.com/p1?id=7" -> "ex.com/p1?id=7",
       "https://ex.com/p1?fbclid=x&gclid=y" -> "ex.com/p1",
+      // tracking params matched by NAME: bare valueless forms drop too,
+      // and a real param whose name merely STARTS like one is kept
+      "https://ex.com/p1?fbclid&gclid" -> "ex.com/p1",
+      "https://ex.com/p1?fbclid2=x&id=9" -> "ex.com/p1?fbclid2=x&id=9",
       // path case preserved (the merge tooth), query on bare host
       "https://ex.com/P1" -> "ex.com/P1",
       "https://ex.com?id=3" -> "ex.com?id=3",
