@@ -143,6 +143,10 @@ object Multimodal {
     require(payload != null && payload.length >= 2, "empty image payload")
     if (payload(0) == 'B'.toByte && payload(1) == 'M'.toByte) decodeBmp(payload)
     else if (payload(0) == 'P'.toByte && payload(1) == '6'.toByte) decodePpm(payload)
+    else if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte)
+      decodeImageIo(payload, "png")
+    else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
+      decodeImageIo(payload, "jpeg")
     else throw new IllegalArgumentException(
       s"unknown image magic 0x${"%02x%02x".format(payload(0), payload(1))}")
   }
@@ -207,6 +211,95 @@ object Multimodal {
     MediaMeta(w, h, 3, "ppm", w.toLong * h, sumR, sumG, sumB, momR)
   }
 
+  // -------------------------------------- compressed formats via ImageIO —
+
+  /** Encode the deterministic pattern for `docId` as a REAL PNG through
+    * the JDK's ImageIO (zero new dependencies) — the real-world
+    * compressed format the hand-rolled BMP/PPM walkers don't cover
+    * (zlib-deflated filtered scanlines, chunk CRCs). PNG is lossless, so
+    * a decode must reproduce the generator pixels EXACTLY — the same
+    * generator-replay oracle contract as mm01. The byte SIZE is
+    * encoder-implementation-specific (deflate output), so mm06 pins a
+    * bounds bit for it, never the exact length. */
+  def encodePng(docId: Long): Array[Byte] = {
+    val w = widthOf(docId); val h = heightOf(docId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (pixelR(docId, x, y) << 16) | (pixelG(docId, x, y) << 8) | pixelB(docId, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, "png", bos)
+    require(ok, "no PNG writer available")
+    bos.toByteArray
+  }
+
+  /** JPEG twin of [[encodePng]] — LOSSY, so it certifies plumbing and
+    * tolerance-bounded pixel recovery (MultimodalSpec), never an exact
+    * hash oracle. */
+  def encodeJpeg(docId: Long): Array[Byte] = {
+    val w = widthOf(docId); val h = heightOf(docId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (pixelR(docId, x, y) << 16) | (pixelG(docId, x, y) << 8) | pixelB(docId, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, "jpg", bos)
+    require(ok, "no JPEG writer available")
+    bos.toByteArray
+  }
+
+  /** Shared ImageIO decode → exact stats (PNG/JPEG branch of
+    * [[decodeImage]]). Walks `getRGB` top-down, the same logical pixel
+    * order as the hand-rolled decoders, so the positional moment is
+    * directly comparable. */
+  private def decodeImageIo(p: Array[Byte], format: String): MediaMeta = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+    require(img != null, s"ImageIO could not decode the $format payload")
+    val w = img.getWidth; val h = img.getHeight
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var momR = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val px = img.getRGB(x, y)
+        val red = (px >> 16) & 0xff
+        sumR += red; sumG += (px >> 8) & 0xff; sumB += px & 0xff
+        momR += (y.toLong * w + x) * red
+        x += 1
+      }
+      y += 1
+    }
+    MediaMeta(w, h, 3, format, w.toLong * h, sumR, sumG, sumB, momR)
+  }
+
+  /** Attach a real PNG payload per document (the mm06 fixture — every doc
+    * gets the compressed format, unlike [[withPayload]]'s BMP/PPM
+    * parity split). Same per-partition encoder batching. */
+  def withPngPayload(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"))
+      .as[Long]
+      .mapPartitions(it => it.map(id => (id, encodePng(id))))
+      .toDF("doc_id", "payload")
+  }
+
   // ------------------------------------------------- pixel-level decode —
 
   /** Decoded raster: TOP-DOWN packed-RGB pixels (0xRRGGBB per int). */
@@ -264,6 +357,18 @@ object Multimodal {
         i += 3; k += 1
       }
       Raster(w, h, "ppm", rgb)
+    } else if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "ImageIO could not decode the png payload")
+      val w = img.getWidth; val h = img.getHeight
+      val rgb = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { rgb(y * w + x) = img.getRGB(x, y) & 0xffffff; x += 1 }
+        y += 1
+      }
+      Raster(w, h, "png", rgb)
     } else throw new IllegalArgumentException(
       s"unknown image magic 0x${"%02x%02x".format(payload(0), payload(1))}")
   }

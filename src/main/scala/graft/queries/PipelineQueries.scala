@@ -11,14 +11,14 @@ import QueryUtil._
 /** Training-data-pipeline operators: dedup (MinHash/LSH, SimHash,
   * embedding-IVF), ANN, trained-model scoring, fingerprints, multimodal.
   * Oracle-checked wherever the result is SQL-reachable — exactly (an01,
-  * dd03, mm01, and since r11 tx07 via its inline integrity bits) or as
-  * an exact-recall pin (dd01, dd04; see [[oracles]]) — rows-only ONLY
-  * where the output IS the signature-bound artifact (dd02, an02, dd04,
-  * tx28: IVF top-k neighbor ids, Hamming-band pairs, IVF candidate
-  * pairs, raw 64-bit fingerprints — each with an oracle-green
-  * certificate twin; see the terminal note at [[oracles]]). Everything
-  * is deterministic by construction (seeded models, hash permutations)
-  * and pinned by scalatest specs besides.
+  * dd03, mm01, and via inline integrity bits tx07 since r11 and an02
+  * since r14) or as an exact-recall pin (dd01, dd04; see [[oracles]]) —
+  * rows-only ONLY where the output IS the signature-bound artifact
+  * (dd02, dd04, tx28: Hamming-band pairs, IVF candidate pairs, raw
+  * 64-bit fingerprints — each with an oracle-green certificate twin;
+  * see the terminal note at [[oracles]]). Everything is deterministic
+  * by construction (seeded models, hash permutations) and pinned by
+  * scalatest specs besides.
   */
 object PipelineQueries {
 
@@ -378,13 +378,49 @@ object PipelineQueries {
         .orderBy(col("label"), col("dim"))
     },
 
-    // IVF ANN (the scale path) on the same queries.
+    // IVF ANN (the scale path) on the same queries. ORACLE-ELIGIBLE
+    // since r14 via the tx07 inline-integrity pattern: the raw neighbor
+    // ids (IVF-internals-dependent — not reproducible in DuckDB) move
+    // out of the output; the FULL IVF search still executes, and every
+    // per-query row carries certificates the oracle pins:
+    //  - k_returned: exactly k answers per query (a probe/cell bug that
+    //    starves a query flips this);
+    //  - in_corpus_ok / not_self_ok: every answer is a real non-self
+    //    corpus vector;
+    //  - ordered_ok: scores non-increasing down the rank list (a rank/
+    //    score mix-up flips this);
+    //  - recall_ok: recall@5 vs an01's exact answer ≥ 0.5 at the
+    //    production nProbe=4 (an03's calibrated floor for this
+    //    near-random corpus), attached as a broadcast 1-row scalar.
+    // Users who want the raw neighbor lists call Similarity.ivfTopK
+    // directly (exercised verbatim by an03/an12 and pinned in DedupSpec).
     "an02_cosine_topk_ivf" -> { (s, dir) =>
+      import s.implicits._
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 10)
-      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+      val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
         nCells = 16, nProbe = 4, quantizerKey = s"emb-$dir")
-        .orderBy(col("query_id"), col("rank"))
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+        .select($"query_id".as("qid"), $"neighbor_id".as("nid"))
+      val recall = exact.join(
+          ivf.select($"query_id".as("q2"), $"neighbor_id".as("n2"), lit(1L).as("hit")),
+          $"qid" === $"q2" && $"nid" === $"n2", "left")
+        .agg((sum(coalesce($"hit", lit(0L))).cast("double") / count(lit(1))).as("recall"))
+        .select(when($"recall" >= 0.5, 1L).otherwise(0L).as("recall_ok"))
+      val corpus = emb.select($"vec_id".as("neighbor_id"), lit(1L).as("in_corpus"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"rank")
+      ivf
+        .join(broadcast(corpus), Seq("neighbor_id"), "left")
+        .withColumn("prev_cos", lag($"cosine", 1).over(wOrd))
+        .groupBy($"query_id")
+        .agg(count(lit(1)).as("k_returned"),
+          min(coalesce($"in_corpus", lit(0L))).as("in_corpus_ok"),
+          min(when($"neighbor_id" =!= $"query_id", 1L).otherwise(0L)).as("not_self_ok"),
+          min(when($"prev_cos".isNull || $"cosine" <= $"prev_cos", 1L)
+            .otherwise(0L)).as("ordered_ok"))
+        .crossJoin(broadcast(recall))
+        .orderBy($"query_id")
     },
 
     // Self-certifying IVF quality: recall@5 of the IVF answer against
@@ -704,7 +740,7 @@ object PipelineQueries {
     // fingerprint operator (tx07 certifies the integrity bits oracle-side
     // but no longer emits the 64-bit value itself). Rows-only BY NATURE:
     // the xxhash64-based rolling hash is not reproducible in DuckDB —
-    // same signature-bound class as an02/dd02/dd04, with tx07/tx11 as
+    // same signature-bound class as dd02/dd04, with tx07/tx11 as
     // the oracle-green certificate twins and the value itself pinned
     // bit-for-bit in TextOpsSpec/CodegenSpec.
     "tx28_fingerprint_values" -> { (s, dir) =>
@@ -842,6 +878,30 @@ object PipelineQueries {
           col("out_h").cast("long").as("out_h"),
           col("n_bytes_out"), col("sum_r"), col("sum_g"), col("sum_b"),
           col("mom_r"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Multimodal PNG — the real-world COMPRESSED format the hand-rolled
+    // BMP/PPM walkers don't cover, through the JDK's ImageIO (zero new
+    // dependencies): every doc's deterministic pixel pattern encoded as
+    // a real PNG (zlib-deflated filtered scanlines, chunk CRCs) and
+    // decoded back at the same mapPartitions codec boundary. PNG is
+    // lossless, so the oracle replays the pixel GENERATOR exactly as in
+    // mm01 — the hash only matches if the compressed round-trip is
+    // bit-exact per pixel. The encoded SIZE is deflate-implementation-
+    // specific, so it is pinned as a bounds bit (PNG skeleton ≤ bytes ≤
+    // raw RGB + fixed overhead), never an exact length.
+    "mm06_png_metadata" -> { (s, dir) =>
+      Multimodal.decodeMeta(Multimodal.withPngPayload(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("n_pixels"),
+          col("sum_r"), col("sum_g"), col("sum_b"), col("mom_r"),
+          when(col("n_bytes") >= 57 &&
+            col("n_bytes") <= lit(3L) * col("n_pixels") + 300L, 1L)
+            .otherwise(0L).as("bytes_ok"))
         .orderBy(col("doc_id"))
     },
 
@@ -1233,20 +1293,22 @@ object PipelineQueries {
     *    drops no true pair here. Deterministic on both sides (seeded hash
     *    permutations), so a local pass implies a driver pass.
     *
-    * TERMINAL rows-only set (r11): exactly an02, dd02, dd04. Each
-    * output IS the signature-bound artifact a user asks this operator
-    * for — an02's IVF top-k neighbor ids depend on the seeded k-means
-    * quantizer, dd02's pair set on xxhash64 SimHash bit patterns, dd04's
-    * candidate pairs on quantizer cell assignment — none reproducible in
-    * DuckDB without reimplementing Spark's xxhash64/k-means, at which
-    * point the "oracle" would be a port of the code under test, not an
-    * independent check. The honest independent checks are their
-    * certificate twins, all oracle-green: an03/an04/an05/an09 (recall
-    * floors vs the brute-force frame), dd06 (SimHash recall ≥0.9 vs
-    * exact Jaccard), dd10 (embedding-dup recall vs exact cosine pairs).
-    * tx07 left this list in r11 by moving its raw hash out of the output
-    * and certifying it inline; these three have no analogous move that
-    * keeps the entry meaningful. */
+    * TERMINAL rows-only set (r14): exactly dd02, dd04 (+ tx28, their
+    * fingerprint sibling). Each output IS the signature-bound artifact a
+    * user asks this operator for — dd02's pair set depends on xxhash64
+    * SimHash bit patterns, dd04's candidate pairs on quantizer cell
+    * assignment — none reproducible in DuckDB without reimplementing
+    * Spark's xxhash64/k-means, at which point the "oracle" would be a
+    * port of the code under test, not an independent check. The honest
+    * independent checks are their certificate twins, all oracle-green:
+    * an03/an04/an05/an09 (recall floors vs the brute-force frame), dd06
+    * (SimHash recall ≥0.9 vs exact Jaccard), dd10 (embedding-dup recall
+    * vs exact cosine pairs). tx07 left this list in r11 — and an02 in
+    * r14 — by moving the raw signature-bound values out of the output
+    * and certifying the operator inline (per-query structural bits +
+    * the recall floor); dd02/dd04 have no analogous move that keeps the
+    * entry distinct from its existing certificate twin (dd06/dd10
+    * already ARE the inline-bit formulation over the same operators). */
   val oracles: Map[String, String] = Map(
     // ml01: n_points is DuckDB's independent row count of the scored
     // table (a partition-of-n check on the cluster sizes); the bits are
@@ -1288,6 +1350,18 @@ object PipelineQueries {
         |       CAST(1 AS BIGINT) AS sel_in_range,
         |       CAST(1 AS BIGINT) AS elbow_consistent,
         |       CAST(1 AS BIGINT) AS costs_finite""".stripMargin,
+
+    // an02's per-query certificate frame: one row per query vector, every
+    // structural bit pinned to 1 and k_returned pinned to the full 5 —
+    // data-derived query ids, so a missing/extra query row also fails.
+    "an02_cosine_topk_ivf" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k_returned,
+        |       CAST(1 AS BIGINT) AS in_corpus_ok,
+        |       CAST(1 AS BIGINT) AS not_self_ok,
+        |       CAST(1 AS BIGINT) AS ordered_ok,
+        |       CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 10
+        |ORDER BY query_id""".stripMargin,
 
     // Constant oracle: the IVF pipeline must deliver recall@5 above each
     // probe setting's calibrated bar at any SF the driver runs — the
@@ -1703,6 +1777,32 @@ object PipelineQueries {
         |  CAST(agg.sum_g AS BIGINT) AS sum_g,
         |  CAST(agg.sum_b AS BIGINT) AS sum_b,
         |  CAST(agg.mom_r AS BIGINT) AS mom_r
+        |FROM d JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Replays the pixel GENERATOR for the PNG round-trip (mm01's
+    // contract through a compressed codec): PNG is lossless so every
+    // stat must be exact; the encoded size — deflate-dependent — is
+    // certified only as the bounds bit.
+    "mm06_png_metadata" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 21) + 4 AS w, (doc_id % 13) + 3 AS h
+        |           FROM documents),
+        |ys AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM d),
+        |xs AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM ys),
+        |agg AS (SELECT doc_id,
+        |          sum((doc_id*7 + 11*y + 13*x) % 256) AS sum_r,
+        |          sum((doc_id*5 + 3*y + 17*x) % 256) AS sum_g,
+        |          sum((doc_id*3 + 19*y + 5*x) % 256) AS sum_b,
+        |          sum((y*w + x) * ((doc_id*7 + 11*y + 13*x) % 256)) AS mom_r
+        |        FROM xs GROUP BY doc_id)
+        |SELECT d.doc_id, 'png' AS format,
+        |  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CAST(d.w * d.h AS BIGINT) AS n_pixels,
+        |  CAST(agg.sum_r AS BIGINT) AS sum_r,
+        |  CAST(agg.sum_g AS BIGINT) AS sum_g,
+        |  CAST(agg.sum_b AS BIGINT) AS sum_b,
+        |  CAST(agg.mom_r AS BIGINT) AS mom_r,
+        |  CAST(1 AS BIGINT) AS bytes_ok
         |FROM d JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Replays the pixel GENERATOR at the nearest-neighbor-elected source

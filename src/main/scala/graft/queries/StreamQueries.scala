@@ -146,7 +146,8 @@ object StreamQueries {
   val builds: Map[String, B] = Map(
     "build_stream_chunks" -> ((s, dir) => { ensureStreamChunks(s, dir, 3); () }),
     "build_event_chunks" -> ((s, dir) => { ensureEventChunks(s, dir, 3); () }),
-    "build_late_chunks" -> ((s, dir) => { ensureLateChunks(s, dir); () }))
+    "build_late_chunks" -> ((s, dir) => { ensureLateChunks(s, dir); () }),
+    "build_ordered_chunks" -> ((s, dir) => { ensureOrderedEventChunks(s, dir); () }))
 
   /** Content-addressed chunk id (0–3) for the late-data replay: quarters
     * of the md5-prefix space, replayable verbatim in the DuckDB oracle
@@ -1053,6 +1054,38 @@ object StreamQueries {
         .orderBy($"w_start", $"rk")
     },
 
+    // st12's PRODUCTION twin: identical per-day HLL++ window aggregate,
+    // but under a realistic 2-day watermark over a time-ordered 4-quarter
+    // replay, so closed windows are evicted from the state store
+    // MID-STREAM (the posture an unbounded deployment needs — st12's
+    // wide watermark would hold every window in state forever). The
+    // hash-checked columns are the same exact batch values as st12 (no
+    // row is late-dropped: in-order arrival keeps the lagged filter
+    // watermark ~5.5 days below each incoming quarter); the purge is
+    // certified by a pinned bit — final state rows must be BOTH nonzero
+    // and at most half the day count (measured: 3 of 30 windows resident
+    // at termination; without purging it is all 30).
+    "st24_stream_hll_purge" -> { (s, dir) =>
+      import s.implicits._
+      val (finals, q) = purgingSketchReplay(s, dir)
+      val nDays = Tables.events(s, dir)
+        .select(to_date($"ts").as("d")).distinct().count()
+      val finalState = q.lastProgress.stateOperators.headOption
+        .map(_.numRowsTotal).getOrElse(-1L)
+      val purgedOk = if (finalState >= 1 && finalState <= nDays / 2) 1L else 0L
+      val exact = Tables.events(s, dir)
+        .groupBy(window($"ts", "1 day").as("window"))
+        .agg(countDistinct($"user_id").as("exact_users"))
+      finals.join(exact, "window")
+        .select(
+          date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          $"n_events", $"exact_users",
+          when(abs($"approx_users".cast("double") - $"exact_users") / $"exact_users" <= 0.05, 1L)
+            .otherwise(0L).as("sketch_ok"),
+          lit(purgedOk).as("state_purged_ok"))
+        .orderBy($"w_start")
+    },
+
     "st12_stream_hll_window" -> { (s, dir) =>
       import s.implicits._
       val (finals, _) = windowedSketchReplay(s, dir, nFiles = 3)
@@ -1174,6 +1207,87 @@ object StreamQueries {
       norm.repartition(nFiles).write.mode("overwrite").parquet(scratch)
       scratch
     })
+
+  /** st24's TIME-ORDERED chunk fixture: events split into four contiguous
+    * event-time quarters (chunk boundaries derived from the data's min/max
+    * ts — content-addressed, so the replay is a pure function of the
+    * table), each a single parquet file with strictly increasing mtimes so
+    * `maxFilesPerTrigger=1` replays them oldest-quarter-first (the
+    * [[ensureLateChunks]] mtime trick). In-order arrival is what lets a
+    * TIGHT watermark purge state mid-stream without ever late-dropping a
+    * row: the engine's lagged filter watermark (through batch k−2, ends
+    * ~2 days into quarter k−1) is always below quarter k's minimum event
+    * time because a quarter spans ~7.5 days > the 2-day delay. */
+  private[graft] def ensureOrderedEventChunks(s: org.apache.spark.sql.SparkSession,
+                                              dir: String): String =
+    chunkDirs.computeIfAbsent(s"ordered|$dir|${sourceId(s, dir, "events")}", _ => {
+      val scratch = new java.io.File(
+        s"target/stream-scratch/ordered_chunks_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+        .getAbsolutePath
+      val ev = Tables.table(s, dir, "events")
+      val norm = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => ev
+        case _ => ev.withColumn("ts",
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+      }
+      // A6-style scalar pull: one min/max to fix the quarter boundaries
+      val b = norm.agg(min(col("ts")), max(col("ts"))).first()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val step = (hi - lo) / 4 + 1
+      val base = System.currentTimeMillis()
+      for (c <- 0 until 4) {
+        val tmp = s"$scratch/_tmp_$c"
+        norm.filter(expr(s"(ts - ${lo}L) div ${step}L") === c)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written under $tmp"))
+        val dest = new java.io.File(s"$scratch/chunk_$c.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dest.setLastModified(base + c * 2000L)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+      }
+      scratch
+    })
+
+  /** st24's streaming leg, shared with StreamSpec: the SAME per-day
+    * windowed HLL++ aggregate as [[windowedSketchReplay]], but under a
+    * production-realistic 2-DAY watermark over the time-ordered
+    * [[ensureOrderedEventChunks]] replay — so closed windows are
+    * genuinely EVICTED from the state store mid-stream (st12's 60-day
+    * watermark holds every window open for the whole replay: correct for
+    * its certificate, but at 100× event history that state never
+    * purges). In-order chunk arrival guarantees no row is late-dropped
+    * (see the fixture note), so each window's final update-mode emission
+    * is still its complete aggregate — same hash oracle as st12 — while
+    * the terminated query's `stateOperators.numRowsTotal` proves the
+    * purge: only the watermark-open tail of windows may remain. */
+  private[graft] def purgingSketchReplay(s: org.apache.spark.sql.SparkSession,
+                                         dir: String)
+      : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
+    import s.implicits._
+    val scratch = ensureOrderedEventChunks(s, dir)
+    val raw = StructType(Schemas.events.map {
+      case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
+      case f => f
+    })
+    val replay = s.readStream.schema(raw)
+      .option("maxFilesPerTrigger", 1).parquet(scratch)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = replay
+      .withWatermark("ts", "2 days")
+      .groupBy(window($"ts", "1 day").as("window"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct($"user_id", 0.02).as("approx_users"))
+    val (out, q) = StreamRunner.toMemoryWithQuery(agg)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"window").orderBy($"n_events".desc)
+    (out.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn"), q)
+  }
 
   /** st22's CSV chunk fixture: the documents table as 3 headerless CSV
     * chunk files plus one injected file of malformed lines (a
@@ -1377,6 +1491,18 @@ object StreamQueries {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
         |       CAST(1 AS BIGINT) AS sketch_ok
+        |FROM events
+        |GROUP BY date_trunc('day', ts)
+        |ORDER BY w_start""".stripMargin,
+
+    // same exact batch values as st12 (the purging watermark must not
+    // change any count), plus the pinned mid-stream-purge bit
+    "st24_stream_hll_purge" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       CAST(1 AS BIGINT) AS sketch_ok,
+        |       CAST(1 AS BIGINT) AS state_purged_ok
         |FROM events
         |GROUP BY date_trunc('day', ts)
         |ORDER BY w_start""".stripMargin,

@@ -127,6 +127,74 @@ class MultimodalSpec extends SparkSuite {
     assert(mr.momS != m.momS)
   }
 
+  test("PNG via ImageIO: signature, lossless round-trip vs the generator, " +
+    "decodePixels parity, and the CRC tamper tooth") {
+    for (docId <- Seq(0L, 7L, 41L, 123L)) {
+      val bytes = Multimodal.encodePng(docId)
+      // PNG signature: 89 50 4E 47 0D 0A 1A 0A
+      assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte &&
+        bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte)
+      val w = Multimodal.widthOf(docId); val h = Multimodal.heightOf(docId)
+      // compressed size: a real PNG skeleton, bounded above by raw RGB +
+      // fixed chunk overhead (the mm06 bytes_ok bounds)
+      assert(bytes.length >= 57 && bytes.length <= 3 * w * h + 300,
+        s"doc $docId: ${bytes.length} B outside [57, ${3 * w * h + 300}]")
+      // lossless: decoded stats equal the generator exactly
+      val m = Multimodal.decodeImage(bytes)
+      var sr = 0L; var sg = 0L; var sb = 0L; var mr = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = Multimodal.pixelR(docId, x, y)
+        sr += r; sg += Multimodal.pixelG(docId, x, y); sb += Multimodal.pixelB(docId, x, y)
+        mr += (y.toLong * w + x) * r
+      }
+      assert(m.format == "png" && m.width == w && m.height == h && m.channels == 3)
+      assert(m.sumR == sr && m.sumG == sg && m.sumB == sb && m.momR == mr,
+        s"doc $docId: PNG round-trip diverged from the generator")
+      // decodePixels parity: raster pixels equal the generator per-pixel
+      val raster = Multimodal.decodePixels(bytes)
+      assert(raster.format == "png" && raster.width == w && raster.height == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val expect = (Multimodal.pixelR(docId, x, y) << 16) |
+          (Multimodal.pixelG(docId, x, y) << 8) | Multimodal.pixelB(docId, x, y)
+        assert(raster.rgb(y * w + x) == expect, s"doc $docId pixel ($x,$y)")
+      }
+      // tamper tooth: flip a byte inside the compressed stream — the CRC
+      // must make the decode FAIL, never silently return wrong pixels
+      val tampered = bytes.clone()
+      val mid = bytes.length / 2
+      tampered(mid) = (tampered(mid) ^ 0x5a).toByte
+      val failed =
+        try { Multimodal.decodeImage(tampered); false }
+        catch { case _: Exception => true }
+      assert(failed, s"doc $docId: tampered PNG decoded without error")
+    }
+  }
+
+  test("JPEG via ImageIO: sniffed format, exact dimensions, lossy pixels " +
+    "within a bounded tolerance of the generator") {
+    for (docId <- Seq(4L, 33L)) {
+      val bytes = Multimodal.encodeJpeg(docId)
+      assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "JPEG SOI magic")
+      val w = Multimodal.widthOf(docId); val h = Multimodal.heightOf(docId)
+      val m = Multimodal.decodeImage(bytes)
+      assert(m.format == "jpeg" && m.width == w && m.height == h && m.channels == 3)
+      // lossy: per-channel MEAN must land near the generator's mean —
+      // JPEG shifts individual pixels but preserves local averages
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += Multimodal.pixelR(docId, x, y)
+        sg += Multimodal.pixelG(docId, x, y)
+        sb += Multimodal.pixelB(docId, x, y)
+      }
+      val n = (w * h).toDouble
+      assert(math.abs(m.sumR / n - sr / n) <= 32.0 &&
+        math.abs(m.sumG / n - sg / n) <= 32.0 &&
+        math.abs(m.sumB / n - sb / n) <= 32.0,
+        s"doc $docId: JPEG channel means drifted beyond tolerance " +
+          s"(${m.sumR / n} vs ${sr / n}, ${m.sumG / n} vs ${sg / n}, ${m.sumB / n} vs ${sb / n})")
+    }
+  }
+
   test("decodePixels inverts both encoders pixel-for-pixel") {
     for (docId <- 0L to 9L) {
       val r = Multimodal.decodePixels(Multimodal.encodeImage(docId))

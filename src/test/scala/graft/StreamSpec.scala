@@ -411,6 +411,36 @@ class StreamSpec extends SparkSuite {
       "cross-batch sketch merge diverged from the one-pass batch sketch")
   }
 
+  test("st24: the 2-day watermark purges closed windows MID-STREAM while " +
+    "every window's final emission stays the exact batch value") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (finals, q) = graft.queries.StreamQueries.purgingSketchReplay(s, sf)
+    val streamed = finals
+      .select($"window.start".as("w"), $"n_events", $"approx_users").orderBy($"w")
+      .collect()
+    assert(q.lastProgress.batchId >= 3,
+      s"expected >=4 micro-batches, lastBatchId=${q.lastProgress.batchId}")
+    // the purge certificate: only the watermark-open tail of windows may
+    // remain resident — far fewer than the total window count (st12's
+    // wide-watermark replay keeps ALL of them)
+    val resident = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(streamed.length > 6, s"need a multi-window replay, got ${streamed.length}")
+    assert(resident >= 1 && resident <= streamed.length / 2,
+      s"state rows at termination = $resident of ${streamed.length} windows — " +
+        "the watermark did not purge (or purged everything)")
+    // and purging must not have cost a single row: exact batch equality
+    val batch = graft.model.Tables.events(s, sf)
+      .groupBy(window($"ts", "1 day"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct($"user_id", 0.02).as("approx_users"))
+      .select($"window.start".as("w"), $"n_events", $"approx_users").orderBy($"w")
+      .collect()
+    assert(streamed.length == batch.length && streamed.sameElements(batch),
+      "purging watermark changed a window's final aggregate")
+  }
+
   test("st14's outer join emits genuinely unmatched clicks (not vacuously inner)") {
     val s = spark
     import s.implicits._
