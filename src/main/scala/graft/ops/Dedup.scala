@@ -135,6 +135,67 @@ object Dedup {
     verifyPairs(cand, sh, threshold)
   }
 
+  /** The PERSISTABLE LSH index artifact: the banded signature table —
+    * one `(id, band)` row per band key of each document's MinHash
+    * signature, ~`numBands`·16 B per doc. Written to parquet once when a
+    * corpus is ingested, it lets every later incremental batch generate
+    * its near-dup candidates WITHOUT re-reading (or re-shingling) the
+    * history text — the artifact posture `Similarity.ivfAssignments`
+    * gives the ANN tier (an12), here for the dedup tier (dd17). */
+  def lshBandIndex(docs: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int = 3, numBands: Int = 8,
+                   rowsPerBand: Int = 4): DataFrame =
+    shingled(docs, idCol, textCol, shingleK)
+      .withColumn("sig", minHashSignature(col("shingles"), numBands * rowsPerBand))
+      .select(col("id"), explode(bandKeys(col("sig"), numBands, rowsPerBand)).as("band"))
+
+  /** Incremental near-dup pairs of a NEW batch against (and within) a
+    * corpus whose history side is represented by a persisted
+    * [[lshBandIndex]]: only the new docs are shingled and signed; band
+    * buckets union the index rows with the fresh rows (identical bucket
+    * membership to a full-corpus run, so the capped-bucket candidate
+    * set is exactly the full run's restricted to pairs touching the
+    * batch); history-history pairs — already resolved when history was
+    * ingested — are dropped by a flag carried ON the collected payload
+    * (no join). Verification re-reads history TEXT only for candidate
+    * partners (a left-semi prune ahead of shingling — the point-lookup
+    * shape; the full history is never re-shingled).
+    *
+    * @param bandIndex the persisted `(id, band)` table from [[lshBandIndex]]
+    * @param history   the history table (same `idCol`/`textCol`), touched
+    *                  only to fetch candidate partners' text
+    * @return (id_a, id_b, jaccard) with id_a < id_b, every pair touching
+    *         the new batch
+    */
+  def minHashDupPairsWithIndex(newDocs: DataFrame, bandIndex: DataFrame,
+                               history: DataFrame, idCol: String, textCol: String,
+                               shingleK: Int = 3, numBands: Int = 8,
+                               rowsPerBand: Int = 4, threshold: Double = 0.7,
+                               maxBucket: Int = 64): DataFrame = {
+    val newSh = shingled(newDocs, idCol, textCol, shingleK)
+    val newBanded = newSh
+      .withColumn("sig", minHashSignature(col("shingles"), numBands * rowsPerBand))
+      .select(col("id"), explode(bandKeys(col("sig"), numBands, rowsPerBand)).as("band"))
+    val banded = bandIndex.select(col("id"), col("band"), lit(0).as("fresh"))
+      .unionByName(newBanded.select(col("id"), col("band"), lit(1).as("fresh")))
+    // payload leads with id, so bucket pairs keep a < b on ids; pairs
+    // with no fresh member are history-history — skipped before verify
+    val cand = bucketPairs(banded, "band", struct(col("id"), col("fresh")), maxBucket)
+      .filter(col("p.a.fresh") + col("p.b.fresh") >= 1)
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"))
+      .distinct()
+      // pair ids are consumed three times below (both verify joins + the
+      // partner prune); truncate the lineage so the bucket aggregate
+      // runs once, not three times
+      .localCheckpoint()
+    val partnerIds = cand.select(col("id_a").as("pid"))
+      .unionByName(cand.select(col("id_b").as("pid"))).distinct()
+    val histNeeded = history.join(partnerIds,
+      history(idCol) === col("pid"), "left_semi")
+    verifyPairs(cand,
+      newSh.unionByName(shingled(histNeeded, idCol, textCol, shingleK)), threshold)
+  }
+
   /** Per-doc 64-bit SimHash over token hashes (codegen end-to-end:
     * native per-token hashing + native bit-vote). */
   def simHash(text: Column): Column =

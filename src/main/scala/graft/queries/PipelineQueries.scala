@@ -840,6 +840,58 @@ object PipelineQueries {
         .select($"doc_id", $"n_chars").orderBy($"doc_id")
     },
 
+    // dd15 WITH A PERSISTED INDEX — the shape a daily crawl actually
+    // runs: the history side's LSH band table and content digests are
+    // parquet artifacts written when history was ingested (an12's
+    // restart posture, for the dedup tier); today's batch generates its
+    // candidates by probing the RELOADED artifacts — the history text is
+    // never re-scanned for candidate generation, and is re-read only to
+    // verify candidate partners (left-semi pruned before shingling).
+    // Band buckets union index rows with fresh rows, so the capped-
+    // bucket candidate set is EXACTLY the full-corpus run's restricted
+    // to batch-touching pairs — same drop rules, same keepers, same
+    // oracle as dd15 (which is the equivalence certificate: persisted-
+    // index path ≡ recompute-from-scratch path, hash-checked).
+    "dd17_persisted_lsh_ingest" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val hist = docs.filter(!($"doc_id" % 4 === 3))
+      val batch = docs.filter($"doc_id" % 4 === 3)
+      val idxDir = new java.io.File(
+        s"target/fixtures/lsh_index/${new java.io.File(dir).getName}").getAbsolutePath
+      Dedup.lshBandIndex(hist, "doc_id", "text",
+          shingleK = 3, numBands = 8, rowsPerBand = 4)
+        .write.mode("overwrite").parquet(s"$idxDir/bands")
+      hist.select(md5($"text".cast("binary")).as("h")).distinct()
+        .write.mode("overwrite").parquet(s"$idxDir/digests")
+      val bands = s.read.parquet(s"$idxDir/bands")
+      val digests = s.read.parquet(s"$idxDir/digests")
+      val withMeta = batch.select($"doc_id", $"n_chars",
+        md5($"text".cast("binary")).as("h"))
+      val dropExactHist = withMeta
+        .join(digests, Seq("h"), "left_semi").select($"doc_id")
+      val wD = org.apache.spark.sql.expressions.Window
+        .partitionBy($"h").orderBy($"doc_id")
+      val dropExactBatch = withMeta.withColumn("rn", row_number().over(wD))
+        .filter($"rn" > 1).select($"doc_id")
+      val pairs = Dedup.minHashDupPairsWithIndex(batch, bands, hist,
+          "doc_id", "text", shingleK = 3, numBands = 8, rowsPerBand = 4,
+          threshold = 0.5)
+        .select($"id_a", $"id_b")
+      val undirected = pairs
+        .unionByName(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
+      val dropNear = undirected
+        .join(batch.select($"doc_id".as("id_b")), "id_b")
+        .join(docs.select($"doc_id".as("id_a"),
+          ($"doc_id" % 4 === 3).as("partner_new")), "id_a")
+        .filter(!$"partner_new" || $"id_a" < $"id_b")
+        .select($"id_b".as("doc_id")).distinct()
+      val dropped = dropExactHist.unionByName(dropExactBatch)
+        .unionByName(dropNear).distinct()
+      batch.join(dropped, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"n_chars").orderBy($"doc_id")
+    },
+
     // Multimodal AUDIO: real 16-bit mono PCM WAV payloads → per-partition
     // REAL decode (RIFF chunk walk, fmt parse, sample fold) → exact
     // integer sample stats. Same certification scheme as mm01: the
@@ -1309,6 +1361,54 @@ object PipelineQueries {
     * the recall floor); dd02/dd04 have no analogous move that keeps the
     * entry distinct from its existing certificate twin (dd06/dd10
     * already ARE the inline-bit formulation over the same operators). */
+  /** dd15 AND dd17 share this oracle: the exact-Jaccard replay of the
+    * incremental-ingest drop rules. For dd17 the shared SQL is itself the
+    * certificate that the persisted-index probe path lands on the
+    * identical keeper set as the recompute-from-scratch path. */
+  private val incrementalIngestOracleSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(t) < 3
+      |           THEN [array_to_string(t, ' ')]
+      |           ELSE list_transform(generate_series(1, len(t) - 2),
+      |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |         END) AS shingles
+      |  FROM toks),
+      |post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      |         FROM post l JOIN post r ON l.shingle = r.shingle
+      |                                AND l.doc_id < r.doc_id),
+      |pairs AS (
+      |  SELECT c.id_a, c.id_b
+      |  FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+      |  WHERE len(list_intersect(a.shingles, b.shingles))
+      |        / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
+      |und AS (SELECT id_a, id_b FROM pairs
+      |        UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs),
+      |d AS (SELECT doc_id, n_chars, md5(text) AS h, doc_id % 4 = 3 AS is_new
+      |      FROM documents),
+      |drop_exact_hist AS (
+      |  SELECT b.doc_id FROM d b
+      |  WHERE b.is_new AND EXISTS (
+      |    SELECT 1 FROM d h WHERE NOT h.is_new AND h.h = b.h)),
+      |drop_exact_batch AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      |    FROM d WHERE is_new) WHERE rn > 1),
+      |drop_near AS (
+      |  SELECT DISTINCT u.id_b AS doc_id
+      |  FROM und u
+      |  JOIN d b ON u.id_b = b.doc_id AND b.is_new
+      |  JOIN d p ON u.id_a = p.doc_id
+      |  WHERE (NOT p.is_new) OR u.id_a < u.id_b),
+      |dropped AS (SELECT doc_id FROM drop_exact_hist
+      |            UNION SELECT doc_id FROM drop_exact_batch
+      |            UNION SELECT doc_id FROM drop_near)
+      |SELECT doc_id, n_chars FROM d
+      |WHERE is_new AND doc_id NOT IN (SELECT doc_id FROM dropped)
+      |ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // ml01: n_points is DuckDB's independent row count of the scored
     // table (a partition-of-n check on the cluster sizes); the bits are
@@ -1674,49 +1774,11 @@ object PipelineQueries {
     // the batch side, plus the exact-digest drops — the LSH≡exact
     // equivalence dd01's green row certifies makes the two pair sets
     // interchangeable here.
-    "dd15_incremental_ingest_dedup" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |         list_distinct(CASE WHEN len(t) < 3
-        |           THEN [array_to_string(t, ' ')]
-        |           ELSE list_transform(generate_series(1, len(t) - 2),
-        |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-        |         END) AS shingles
-        |  FROM toks),
-        |post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-        |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-        |         FROM post l JOIN post r ON l.shingle = r.shingle
-        |                                AND l.doc_id < r.doc_id),
-        |pairs AS (
-        |  SELECT c.id_a, c.id_b
-        |  FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
-        |  WHERE len(list_intersect(a.shingles, b.shingles))
-        |        / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
-        |und AS (SELECT id_a, id_b FROM pairs
-        |        UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs),
-        |d AS (SELECT doc_id, n_chars, md5(text) AS h, doc_id % 4 = 3 AS is_new
-        |      FROM documents),
-        |drop_exact_hist AS (
-        |  SELECT b.doc_id FROM d b
-        |  WHERE b.is_new AND EXISTS (
-        |    SELECT 1 FROM d h WHERE NOT h.is_new AND h.h = b.h)),
-        |drop_exact_batch AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
-        |    FROM d WHERE is_new) WHERE rn > 1),
-        |drop_near AS (
-        |  SELECT DISTINCT u.id_b AS doc_id
-        |  FROM und u
-        |  JOIN d b ON u.id_b = b.doc_id AND b.is_new
-        |  JOIN d p ON u.id_a = p.doc_id
-        |  WHERE (NOT p.is_new) OR u.id_a < u.id_b),
-        |dropped AS (SELECT doc_id FROM drop_exact_hist
-        |            UNION SELECT doc_id FROM drop_exact_batch
-        |            UNION SELECT doc_id FROM drop_near)
-        |SELECT doc_id, n_chars FROM d
-        |WHERE is_new AND doc_id NOT IN (SELECT doc_id FROM dropped)
-        |ORDER BY doc_id""".stripMargin,
+    "dd15_incremental_ingest_dedup" -> incrementalIngestOracleSql,
+
+    // the persisted-index path must land on the IDENTICAL keeper set —
+    // the same oracle IS the recompute-equivalence certificate
+    "dd17_persisted_lsh_ingest" -> incrementalIngestOracleSql,
 
     // dd12's ground truth: the exact-Jaccard pair count of the ORIGINAL
     // corpus (same pipeline as dd01's oracle), plus the three certificate

@@ -754,6 +754,41 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
+    // BPE DECODE round-trip — the losslessness certificate that closes
+    // the tokenizer loop (train tx26 → encode tx29 → DECODE): a
+    // tokenizer you cannot invert corrupts every downstream corpus.
+    // Decode is the inverse dictionary op: strip the symbol delimiters
+    // from each vocab word's merged state and the result must equal the
+    // original word BYTE-FOR-BYTE (vocab_lossless bit, an equality over
+    // the bounded vocabulary). The per-doc tooth is n_decoded_chars:
+    // Spark sums the lengths of the DECODED words through the encode →
+    // decode dictionary, while the oracle sums raw token lengths with NO
+    // BPE machinery at all — the two agree iff decode∘encode = id on
+    // every corpus token. Same bounded-vocab + broadcast-join scale
+    // shape as tx29 (corpus cost: one explode + one broadcast hash join
+    // + one hash aggregate, independent of merge rounds).
+    "tx32_bpe_decode_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      val vocab = bpeTrainLoop(s, dir)._2
+      val decoded = vocab.select($"w",
+        size(split(expr("substring(ws, 2, length(ws) - 2)"), BpeSep + BpeSep))
+          .cast("long").as("n_sym"),
+        replace($"ws", lit(BpeSep), lit("")).as("dec"))
+      val cert = decoded.agg(
+        min(($"dec" === $"w").cast("long")).as("vocab_lossless"))
+      val perWord = decoded.select($"w", $"n_sym",
+        length($"dec").cast("long").as("n_dec"))
+      Tables.documents(s, dir)
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("w"))
+        .filter(length($"w") >= 1)
+        .join(broadcast(perWord), "w")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"), sum($"n_sym").as("n_bpe_tokens"),
+          sum($"n_dec").as("n_decoded_chars"))
+        .crossJoin(broadcast(cert))
+        .orderBy($"doc_id")
+    },
+
     // DOMAIN-AWARE CURATION — RefinedWeb/CCNet-style per-source-domain
     // caps: a synthetic registered-domain column (hash-derived from doc
     // metadata — source + a 32-doc neighborhood, standing in for the
@@ -1382,6 +1417,8 @@ object TextQueries {
 
     "tx29_bpe_encode" -> bpeEncodeOracleSql(BpeRounds),
 
+    "tx32_bpe_decode_roundtrip" -> bpeDecodeOracleSql(BpeRounds),
+
     // same domain derivation, dedup election, and cap rule — two window
     // passes over the narrow (domain, digest, id) projection
     "tx27_domain_caps" ->
@@ -1535,6 +1572,26 @@ object TextQueries {
       s"""SELECT d.doc_id,
          |  CAST(count(*) AS BIGINT) AS n_words,
          |  CAST(sum(v.n_sym) AS BIGINT) AS n_bpe_tokens
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |      FROM documents) d
+         |JOIN (SELECT w, len(string_split(substr(ws, 2, length(ws) - 2),
+         |                                 $S || $S)) AS n_sym
+         |      FROM s$rounds) v USING (w)
+         |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** tx32: the same chain + dictionary join, but the decoded-character
+    * column is recomputed from RAW token lengths with no BPE machinery —
+    * the independent side of the decode∘encode = id equation — and the
+    * vocab-losslessness bit is pinned to 1. */
+  private def bpeDecodeOracleSql(rounds: Int): String = {
+    val S = "chr(31)"
+    bpeChainSql(rounds, keepW = true) +
+      s"""SELECT d.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(v.n_sym) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(length(d.w)) AS BIGINT) AS n_decoded_chars,
+         |  CAST(1 AS BIGINT) AS vocab_lossless
          |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
          |      FROM documents) d
          |JOIN (SELECT w, len(string_split(substr(ws, 2, length(ws) - 2),

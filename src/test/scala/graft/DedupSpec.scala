@@ -32,6 +32,31 @@ class DedupSpec extends SparkSuite {
     assert(j == 1.0)
   }
 
+  test("persisted band index: probe path equals the full-corpus LSH " +
+    "restricted to batch-touching pairs (incl. jaccard values)") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.model.Tables.documents(s, sf).select($"doc_id", $"text")
+    val hist = docs.filter(!($"doc_id" % 4 === 3))
+    val batch = docs.filter($"doc_id" % 4 === 3)
+    val dir = java.nio.file.Files.createTempDirectory("lsh-idx-").toString
+    Dedup.lshBandIndex(hist, "doc_id", "text",
+        shingleK = 3, numBands = 8, rowsPerBand = 4)
+      .write.mode("overwrite").parquet(dir)
+    val viaIndex = Dedup.minHashDupPairsWithIndex(batch,
+        s.read.parquet(dir), hist, "doc_id", "text",
+        shingleK = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batchIds = batch.select($"doc_id").as[Long].collect().toSet
+    val full = Dedup.minHashDupPairs(docs, "doc_id", "text",
+        shingleK = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => batchIds(p._1) || batchIds(p._2)).toSet
+    assert(viaIndex == full,
+      s"index-probe pairs diverged from the full run: " +
+        s"only-index=${(viaIndex -- full).take(3)}, only-full=${(full -- viaIndex).take(3)}")
+  }
+
   test("simhash: identical docs → hamming 0; near docs → small hamming") {
     val sigs = docsDf.select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
