@@ -166,6 +166,19 @@ object Dedup {
     *                  only to fetch candidate partners' text
     * @return (id_a, id_b, jaccard) with id_a < id_b, every pair touching
     *         the new batch
+    *
+    * PRECONDITIONS (caller-owned, like every artifact interface here):
+    * (1) `newDocs` ids are DISJOINT from the indexed history's — an id
+    * on both sides would pair with itself (the defensive `id_a != id_b`
+    * filter below drops the degenerate self-pair, but the overlapping
+    * doc's real partners would still be scored against a stale
+    * signature); (2) `bandIndex` was built by [[lshBandIndex]] with the
+    * SAME `shingleK`/`numBands`/`rowsPerBand` as this call — band keys
+    * are positional, so mismatched parameters silently corrupt the
+    * candidate set rather than fail. Persist the parameters alongside
+    * the index (a 1-row `_params` sidecar) and assert them at load time
+    * if the write and read sites ever live in different jobs; dd17 pins
+    * both preconditions in its fixture.
     */
   def minHashDupPairsWithIndex(newDocs: DataFrame, bandIndex: DataFrame,
                                history: DataFrame, idCol: String, textCol: String,
@@ -183,6 +196,9 @@ object Dedup {
     val cand = bucketPairs(banded, "band", struct(col("id"), col("fresh")), maxBucket)
       .filter(col("p.a.fresh") + col("p.b.fresh") >= 1)
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"))
+      // defensive: a precondition-violating id overlap between newDocs
+      // and the index would otherwise surface as a jaccard-1.0 self-pair
+      .filter(col("id_a") =!= col("id_b"))
       .distinct()
       // pair ids are consumed three times below (both verify joins + the
       // partner prune); truncate the lineage so the bucket aggregate

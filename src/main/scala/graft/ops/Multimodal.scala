@@ -358,19 +358,31 @@ object Multimodal {
       }
       Raster(w, h, "ppm", rgb)
     } else if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte) {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      require(img != null, "ImageIO could not decode the png payload")
-      val w = img.getWidth; val h = img.getHeight
-      val rgb = new Array[Int](w * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { rgb(y * w + x) = img.getRGB(x, y) & 0xffffff; x += 1 }
-        y += 1
-      }
-      Raster(w, h, "png", rgb)
+      imageIoRaster(payload, "png")
+    } else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) {
+      // JPEG is LOSSY: these pixels are the codec's reconstruction, not
+      // the encoder's input — fine for resize/thumbnail/feature work,
+      // never for pixel-exact round-trip certificates (mm06 pins the
+      // tolerance posture; the PNG branch is the exact path)
+      imageIoRaster(payload, "jpeg")
     } else throw new IllegalArgumentException(
       s"unknown image magic 0x${"%02x%02x".format(payload(0), payload(1))}")
+  }
+
+  /** Shared ImageIO pixel decode for the compressed branches of
+    * [[decodePixels]] (PNG exact, JPEG lossy). */
+  private def imageIoRaster(payload: Array[Byte], format: String): Raster = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"ImageIO could not decode the $format payload")
+    val w = img.getWidth; val h = img.getHeight
+    val rgb = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { rgb(y * w + x) = img.getRGB(x, y) & 0xffffff; x += 1 }
+      y += 1
+    }
+    Raster(w, h, format, rgb)
   }
 
   /** Nearest-neighbor resize with the floor mapping

@@ -105,7 +105,7 @@ object StreamQueries {
     * fixtures the stakes are higher still: batch identity is baked into
     * the oracle's semantics, so a stale replay isn't just old data, it is
     * a silently wrong watermark progression. */
-  private def sourceId(s: org.apache.spark.sql.SparkSession,
+  private[queries] def sourceId(s: org.apache.spark.sql.SparkSession,
                        dir: String, table: String): String = {
     // fingerprint the sorted CHILD-FILE listing (path, length, mtime), not
     // the directory status: dir length is filesystem-dependent (often 0)
@@ -1237,11 +1237,21 @@ object StreamQueries {
       val base = System.currentTimeMillis()
       for (c <- 0 until 4) {
         val tmp = s"$scratch/_tmp_$c"
-        norm.filter(expr(s"(ts - ${lo}L) div ${step}L") === c)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val quarter = norm.filter(expr(s"(ts - ${lo}L) div ${step}L") === c)
+        // data-shape precondition, named: st24's oracle semantics assume
+        // >=4 micro-batches and a monotone watermark progression, both of
+        // which need every event-time quarter non-empty. An empty quarter
+        // writes no part file, which would otherwise surface as a cryptic
+        // missing-file error here — fail with the actual cause instead so
+        // a skewed SF degrades diagnosably.
+        quarter.coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
           .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file written under $tmp"))
+          .getOrElse(sys.error(
+            s"event-time quarter $c of [$lo, $hi] is empty for $dir — the " +
+              "ordered-chunk fixture requires events spread across all 4 " +
+              "quarters (st24's >=4-micro-batch / watermark-progression " +
+              "precondition); regenerate or rescale the events table"))
         val dest = new java.io.File(s"$scratch/chunk_$c.parquet")
         java.nio.file.Files.move(part.toPath, dest.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -42,7 +42,21 @@ object StreamRunner {
     * partition count is captured at `start()`) — with
     * `spark.sql.shuffle.partitions` pinned to [[StatePartitions]], then
     * restore the session's batch setting. Queries may keep running after
-    * restore (continuous mode): the captured value rides the checkpoint. */
+    * restore (continuous mode): the captured value rides the checkpoint.
+    *
+    * SIDE EFFECT, by construction: the pin mutates the SESSION-GLOBAL
+    * conf for the duration of `body`, so (a) any concurrent batch query
+    * on the same session during that window runs with
+    * [[StatePartitions]] shuffle partitions — keep `body` down to the
+    * `start()` call where possible (the pattern [[toMemoryWithQuery]]
+    * uses: start inside the pin, await outside it), and (b) batch work
+    * inside `foreachBatch` bodies inherits the pin for the query's whole
+    * lifetime via the streaming session cloned at `start()` — restoring
+    * the outer conf cannot reach that clone. (b) is usually right (a
+    * micro-batch is small), but a foreachBatch body doing heavy
+    * aggregation should set `spark.sql.shuffle.partitions` explicitly on
+    * `batch.sparkSession` — that is the cloned session — to reclaim
+    * batch-side parallelism. */
   def pinnedStatePartitions[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prior = spark.conf.getOption(key)
@@ -80,17 +94,20 @@ object StreamRunner {
     val spark = ds.sparkSession
     val sink = "graft_sink_" + UUID.randomUUID().toString.replace("-", "")
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    // pin only around start(): the partition count is captured into the
+    // cloned streaming session there, and awaiting OUTSIDE the pin keeps
+    // the session-global conf mutation to milliseconds instead of the
+    // stream's whole runtime (no concurrent batch query ever sees it)
     val q = pinnedStatePartitions(spark) {
-      val started = ds.writeStream
+      ds.writeStream
         .outputMode(mode)
         .format("memory")
         .queryName(sink)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      started.awaitTermination()
-      started
     }
+    q.awaitTermination()
     // the memory-sink table is complete and the query is terminated: its
     // checkpoint has no further use — delete it rather than leaking one
     // tree per invocation into the temp dir
