@@ -1086,6 +1086,43 @@ object StreamQueries {
         .orderBy($"w_start")
     },
 
+    // st13's PRODUCTION twin (the st24 treatment for the CMS family):
+    // identical per-day Count-Min aggregate and top-3 probe, but under a
+    // realistic 2-day watermark over the time-ordered 4-quarter replay —
+    // st13's 60-day watermark holds every day's CMS table (a fixed-width
+    // but non-trivial state row) resident for the whole replay, which at
+    // 100× event history never purges. Hash-checked columns are st13's
+    // exact ranks/counts (no row late-dropped: in-order arrival keeps
+    // the watermark below each incoming quarter), cms_ok certifies the
+    // never-undercount / eps-overcount guarantees against each day's
+    // FINAL merged sketch, and state_purged_ok pins the eviction: final
+    // resident state must be nonzero and at most half the day count.
+    "st25_stream_cms_purge" -> { (s, dir) =>
+      import s.implicits._
+      val (finals, q) = purgingCmsReplay(s, dir)
+      val nDays = Tables.events(s, dir)
+        .select(to_date($"ts").as("d")).distinct().count()
+      val finalState = q.lastProgress.stateOperators.headOption
+        .map(_.numRowsTotal).getOrElse(-1L)
+      val purgedOk = if (finalState >= 1 && finalState <= nDays / 2) 1L else 0L
+      val topW = org.apache.spark.sql.expressions.Window
+        .partitionBy($"window").orderBy($"n".desc, $"user_id")
+      val top3 = Tables.events(s, dir)
+        .groupBy(window($"ts", "1 day").as("window"), $"user_id")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(topW).cast("long"))
+        .filter($"rk" <= 3)
+      val est = graft.functions.CmsEstimate($"cms", $"user_id")
+      top3.join(finals, "window")
+        .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          $"rk", $"user_id", $"n",
+          when(est >= $"n" &&
+            est <= $"n" + ceil(lit(0.001) * $"n_events").cast("long"), 1L)
+            .otherwise(0L).as("cms_ok"),
+          lit(purgedOk).as("state_purged_ok"))
+        .orderBy($"w_start", $"rk")
+    },
+
     "st12_stream_hll_window" -> { (s, dir) =>
       import s.implicits._
       val (finals, _) = windowedSketchReplay(s, dir, nFiles = 3)
@@ -1299,6 +1336,40 @@ object StreamQueries {
     (out.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn"), q)
   }
 
+  /** st25's streaming leg, shared with StreamSpec: the st24 treatment for
+    * the CMS state family — st13's per-day Count-Min aggregate, but under
+    * the production 2-day watermark over the time-ordered
+    * [[ensureOrderedEventChunks]] replay, so closed windows (each holding
+    * a fixed-width CMS table, heavier per window than st24's HLL
+    * registers) are EVICTED from the state store mid-stream. Same no-late-
+    * drop guarantee as st24: in-order quarter arrival keeps the lagged
+    * filter watermark below every incoming quarter's minimum event time,
+    * so each window's final update-mode emission carries the complete
+    * merged day sketch. */
+  private[graft] def purgingCmsReplay(s: org.apache.spark.sql.SparkSession,
+                                      dir: String)
+      : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
+    import s.implicits._
+    val scratch = ensureOrderedEventChunks(s, dir)
+    val raw = StructType(Schemas.events.map {
+      case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
+      case f => f
+    })
+    val replay = s.readStream.schema(raw)
+      .option("maxFilesPerTrigger", 1).parquet(scratch)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = replay
+      .withWatermark("ts", "2 days")
+      .groupBy(window($"ts", "1 day").as("window"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("count_min_sketch(user_id, CAST(0.001 AS DOUBLE), CAST(0.999 AS DOUBLE), 42)")
+          .as("cms"))
+    val (out, q) = StreamRunner.toMemoryWithQuery(agg)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"window").orderBy($"n_events".desc)
+    (out.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn"), q)
+  }
+
   /** st22's CSV chunk fixture: the documents table as 3 headerless CSV
     * chunk files plus one injected file of malformed lines (a
     * type-invalid long, a surplus column). Memoized per (dir, content)
@@ -1493,6 +1564,23 @@ object StreamQueries {
         |SELECT strftime(d, '%Y-%m-%d %H:%M:%S') AS w_start,
         |       CAST(rk AS BIGINT) AS rk, user_id, CAST(n AS BIGINT) AS n,
         |       CAST(1 AS BIGINT) AS cms_ok
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY w_start, rk""".stripMargin,
+
+    // st13's exact top-3 twin plus the pinned mid-stream-purge bit (the
+    // tight watermark must change neither ranks nor counts)
+    "st25_stream_cms_purge" ->
+      """WITH counts AS (
+        |  SELECT date_trunc('day', ts) AS d, user_id, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT d, user_id, n,
+        |         row_number() OVER (PARTITION BY d ORDER BY n DESC, user_id) AS rk
+        |  FROM counts)
+        |SELECT strftime(d, '%Y-%m-%d %H:%M:%S') AS w_start,
+        |       CAST(rk AS BIGINT) AS rk, user_id, CAST(n AS BIGINT) AS n,
+        |       CAST(1 AS BIGINT) AS cms_ok,
+        |       CAST(1 AS BIGINT) AS state_purged_ok
         |FROM ranked WHERE rk <= 3
         |ORDER BY w_start, rk""".stripMargin,
 

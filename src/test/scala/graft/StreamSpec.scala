@@ -441,6 +441,36 @@ class StreamSpec extends SparkSuite {
       "purging watermark changed a window's final aggregate")
   }
 
+  test("st25: the CMS state family purges under the 2-day watermark and the " +
+    "final per-day sketch still never undercounts its top users") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (finals, q) = graft.queries.StreamQueries.purgingCmsReplay(s, sf)
+    val windows = finals.select($"window.start".as("w"), $"n_events").orderBy($"w").collect()
+    assert(q.lastProgress.batchId >= 3,
+      s"expected >=4 micro-batches, lastBatchId=${q.lastProgress.batchId}")
+    val resident = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(windows.length > 6, s"need a multi-window replay, got ${windows.length}")
+    assert(resident >= 1 && resident <= windows.length / 2,
+      s"state rows at termination = $resident of ${windows.length} windows — " +
+        "the watermark did not purge the CMS state (or purged everything)")
+    // the merged final sketch must dominate the exact count for every
+    // day's top user (CMS never undercounts), exactly like st13's bit
+    val est = graft.functions.CmsEstimate($"cms", $"user_id")
+    val topW = org.apache.spark.sql.expressions.Window
+      .partitionBy($"window").orderBy($"n".desc, $"user_id")
+    val violations = graft.model.Tables.events(s, sf)
+      .groupBy(window($"ts", "1 day").as("window"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(topW)).filter($"rk" === 1)
+      .join(finals, "window")
+      .filter(est < $"n")
+      .count()
+    assert(violations == 0L,
+      s"$violations day(s) whose final merged CMS undercounts the top user")
+  }
+
   test("st14's outer join emits genuinely unmatched clicks (not vacuously inner)") {
     val s = spark
     import s.implicits._
