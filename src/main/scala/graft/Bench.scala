@@ -27,6 +27,18 @@ object Bench {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
       System.err.println(s"[bench] state-store provider: $cls")
     }
+    // SPARK_GRAFT_ROCKSDB_CHANGELOG=1 enables RocksDB changelog
+    // checkpointing (append the per-batch delta to the checkpoint log,
+    // upload SST snapshots only periodically in the background) — the
+    // SCALE.md protocol uses it to separate RocksDB's SST write
+    // amplification from per-batch checkpoint upload cost in the 16×
+    // stream-join table. No effect under the default provider.
+    sys.env.get("SPARK_GRAFT_ROCKSDB_CHANGELOG")
+      .filter(v => v == "1" || v.equalsIgnoreCase("true")).foreach { _ =>
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      System.err.println("[bench] rocksdb changelog checkpointing: enabled")
+    }
     var failed = Set.empty[String]
     // Session state accumulated by earlier queries taxes later ones (the
     // round-4 full run inflated late streaming queries 2-4x over their

@@ -149,6 +149,45 @@ object Dedup {
       .withColumn("sig", minHashSignature(col("shingles"), numBands * rowsPerBand))
       .select(col("id"), explode(bandKeys(col("sig"), numBands, rowsPerBand)).as("band"))
 
+  /** Persist an [[lshBandIndex]] WITH its band parameters: the band rows
+    * go to `path/bands`, and a 1-row `path/_params` sidecar records
+    * (shingle_k, num_bands, rows_per_band). Band keys are positional —
+    * an index probed under different parameters silently corrupts the
+    * candidate set — so when the write and read sites live in different
+    * jobs (the daily-crawl restart posture) the parameters must travel
+    * WITH the artifact and be asserted at load, not re-supplied from
+    * memory. [[readLshBandIndex]] is that assertion. */
+  def writeLshBandIndex(docs: DataFrame, idCol: String, textCol: String,
+                        path: String, shingleK: Int = 3, numBands: Int = 8,
+                        rowsPerBand: Int = 4): Unit = {
+    val s = docs.sparkSession
+    lshBandIndex(docs, idCol, textCol, shingleK, numBands, rowsPerBand)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    import s.implicits._
+    Seq((shingleK, numBands, rowsPerBand))
+      .toDF("shingle_k", "num_bands", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  /** Load a [[writeLshBandIndex]] artifact, FAILING LOUDLY if the
+    * caller's expected band parameters differ from the ones the index
+    * was built with (the silent-corruption precondition of
+    * [[minHashDupPairsWithIndex]], turned into an assert). */
+  def readLshBandIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                       shingleK: Int = 3, numBands: Int = 8,
+                       rowsPerBand: Int = 4): DataFrame = {
+    val p = s.read.parquet(s"$path/_params").head()
+    val (k, b, r) = (p.getAs[Int]("shingle_k"), p.getAs[Int]("num_bands"),
+      p.getAs[Int]("rows_per_band"))
+    require(k == shingleK && b == numBands && r == rowsPerBand,
+      s"LSH index at $path was built with (shingleK=$k, numBands=$b, " +
+        s"rowsPerBand=$r) but is being probed with (shingleK=$shingleK, " +
+        s"numBands=$numBands, rowsPerBand=$rowsPerBand) — band keys are " +
+        "positional, so a mismatched probe would silently corrupt the " +
+        "candidate set; rebuild the index or match its parameters")
+    s.read.parquet(s"$path/bands")
+  }
+
   /** Incremental near-dup pairs of a NEW batch against (and within) a
     * corpus whose history side is represented by a persisted
     * [[lshBandIndex]]: only the new docs are shingled and signed; band

@@ -859,12 +859,15 @@ object PipelineQueries {
       val batch = docs.filter($"doc_id" % 4 === 3)
       val idxDir = new java.io.File(
         s"target/fixtures/lsh_index/${new java.io.File(dir).getName}").getAbsolutePath
-      Dedup.lshBandIndex(hist, "doc_id", "text",
-          shingleK = 3, numBands = 8, rowsPerBand = 4)
-        .write.mode("overwrite").parquet(s"$idxDir/bands")
+      // write path carries the band parameters in a _params sidecar;
+      // the read path ASSERTS them (a mismatched probe would silently
+      // corrupt the candidate set — Dedup.readLshBandIndex)
+      Dedup.writeLshBandIndex(hist, "doc_id", "text", idxDir,
+        shingleK = 3, numBands = 8, rowsPerBand = 4)
       hist.select(md5($"text".cast("binary")).as("h")).distinct()
         .write.mode("overwrite").parquet(s"$idxDir/digests")
-      val bands = s.read.parquet(s"$idxDir/bands")
+      val bands = Dedup.readLshBandIndex(s, idxDir,
+        shingleK = 3, numBands = 8, rowsPerBand = 4)
       val digests = s.read.parquet(s"$idxDir/digests")
       val withMeta = batch.select($"doc_id", $"n_chars",
         md5($"text".cast("binary")).as("h"))

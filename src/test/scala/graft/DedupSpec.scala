@@ -57,6 +57,26 @@ class DedupSpec extends SparkSuite {
         s"only-index=${(viaIndex -- full).take(3)}, only-full=${(full -- viaIndex).take(3)}")
   }
 
+  test("persisted band index: the _params sidecar rejects a mismatched probe") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.model.Tables.documents(s, sf)
+      .select($"doc_id", $"text").limit(20)
+    val dir = java.nio.file.Files.createTempDirectory("lsh-idx-params-").toString
+    Dedup.writeLshBandIndex(docs, "doc_id", "text", dir,
+      shingleK = 3, numBands = 8, rowsPerBand = 4)
+    // matching parameters load fine and see the band rows
+    assert(Dedup.readLshBandIndex(s, dir, 3, 8, 4).count() > 0)
+    // any mismatched parameter fails loudly instead of silently
+    // corrupting the candidate set
+    for ((k, b, r) <- Seq((5, 8, 4), (3, 16, 4), (3, 8, 2))) {
+      val e = intercept[IllegalArgumentException](
+        Dedup.readLshBandIndex(s, dir, k, b, r))
+      assert(e.getMessage.contains("band keys are"),
+        s"unexpected message for ($k,$b,$r): ${e.getMessage}")
+    }
+  }
+
   test("simhash: identical docs → hamming 0; near docs → small hamming") {
     val sigs = docsDf.select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
