@@ -431,6 +431,44 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
+    // dd07 at the 100 TB posture: decontamination with a BROADCAST BLOOM
+    // PREFILTER. dd07 shuffles every train-side shingle into the
+    // semi-join; at corpus scale that shuffle is the bottleneck, and the
+    // eval set is tiny by construction — so distill the val-side 8-gram
+    // set into a driver-built Bloom sketch (bounded artifact: numBits/8
+    // bytes, never rows), ship it with the probe plan, and drop
+    // ~(1-fpp) of non-matching train shingles AT THE MAP SIDE (codegen
+    // BloomFilterMightContain, before any exchange). Exact verification
+    // (the real join against val hashes) then runs only on the
+    // surviving candidate sliver. The ANSWER IS EXACTLY dd07's — Bloom
+    // filters have no false negatives, and the exact verify removes the
+    // false positives — so the oracle is dd07's SQL; what the pattern
+    // buys is shuffle volume ∝ candidates instead of ∝ corpus.
+    // bloom_pruned_ok (1-row broadcast scalar attach) certifies the
+    // prefilter genuinely pruned rather than passing everything.
+    "dd18_bloom_decontaminate" -> { (s, dir) =>
+      import s.implicits._
+      val sh = Tables.documents(s, dir)
+        .withColumn("split", TextOps.contentSplit($"text", 0.9))
+        .withColumn("_toks", TextOps.tokens($"text"))
+        .filter(size($"_toks") >= 8)
+        .select($"doc_id", $"split",
+          explode(graft.ops.Dedup.shingleHashes($"_toks", 8)).as("h"))
+      val valSh = sh.filter($"split" === "val").select($"h").distinct()
+      val bloom = graft.ops.Sketches.bloomBytes(
+        valSh, "h", expectedItems = valSh.count(), fpp = 0.01)
+      val trainSh = sh.filter($"split" === "train").select($"doc_id", $"h")
+      val cand = trainSh.filter(graft.ops.Sketches.mightContain(bloom, $"h"))
+      val cert = trainSh.agg(count(lit(1)).as("n_train"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .select(when($"n_cand" < $"n_train", 1L).otherwise(0L)
+          .as("bloom_pruned_ok"))
+      cand.join(valSh, "h")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared_8grams"))
+        .crossJoin(broadcast(cert))
+        .orderBy($"doc_id")
+    },
+
     // Repetition quality metrics (the Gopher-rule family): duplicate-
     // bigram fraction and top-token mass per document, plus the boolean
     // gate a curation pipeline would filter on. The token-mode side runs
@@ -1229,6 +1267,25 @@ object TextQueries {
         |tr AS (SELECT doc_id, h FROM sh WHERE substring(mh, 1, 2) < 'e6'),
         |va AS (SELECT DISTINCT h FROM sh WHERE substring(mh, 1, 2) >= 'e6')
         |SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_8grams
+        |FROM tr JOIN va USING (h)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // EXACTLY dd07's answer (the Bloom prefilter has no false negatives
+    // and the exact verify removes false positives) plus the pinned
+    // prune bit — the hash compare is the no-lost-contamination proof
+    "dd18_bloom_decontaminate" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS mh, string_split(text, ' ') AS w
+        |           FROM documents),
+        |sh AS (
+        |  SELECT doc_id, mh,
+        |         unnest(list_distinct(list_transform(
+        |           generate_series(1, len(w) - 7),
+        |           i -> md5(array_to_string(w[i:i+7], ' '))))) AS h
+        |  FROM d WHERE len(w) >= 8),
+        |tr AS (SELECT doc_id, h FROM sh WHERE substring(mh, 1, 2) < 'e6'),
+        |va AS (SELECT DISTINCT h FROM sh WHERE substring(mh, 1, 2) >= 'e6')
+        |SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_8grams,
+        |       CAST(1 AS BIGINT) AS bloom_pruned_ok
         |FROM tr JOIN va USING (h)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -235,6 +235,21 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("dd18: the Bloom probe filters train shingles BELOW the join's exchange") {
+    // the entry's whole point: shuffle volume ∝ bloom-surviving
+    // candidates, not ∝ corpus — so the might_contain filter must sit
+    // under a ShuffleExchange, not above the join
+    val root = planOf(SparkEntry.queries("dd18_bloom_decontaminate")(spark, sf))
+    val prunedExchanges = root.collect {
+      case e: ShuffleExchangeExec if e.collect {
+        case f: FilterExec if f.condition.toString.contains("might_contain") => f
+      }.nonEmpty => e
+    }
+    assert(prunedExchanges.nonEmpty,
+      s"no exchange fed by a might_contain filter — the Bloom prefilter " +
+        s"is not map-side:\n$root")
+  }
+
   test("q02: global top-k plans TakeOrderedAndProject, not a full sort") {
     val plan = planOf(SparkEntry.queries("q02_top_orders")(spark, sf)).toString
     assert(plan.contains("TakeOrderedAndProject"),
