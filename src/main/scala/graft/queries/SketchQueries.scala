@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-import graft.functions.CmsEstimate
+import graft.functions.{CmsEstimate, KmvSketchAgg}
 import graft.model.Tables
 import graft.ops.Sketches
 import QueryUtil._
@@ -28,6 +28,14 @@ import QueryUtil._
   *  - sk04: Bloom-filter join pruning — build over the selective side's
   *    keys, drop non-matching fact rows at the scan, exact join removes
   *    the false positives; answer provably identical to the plain join.
+  *  - sk05/sk06: set-overlap estimation, both ways. sk05 is HLL
+  *    inclusion–exclusion (|A∩B| = |A|+|B|−|A∪B|) — cheap but its error
+  *    scales with the UNION. sk06 is the production answer: a KMV/theta
+  *    sketch (native [[graft.functions.KmvSketchAgg]]) whose retained
+  *    hashes are a uniform θ-sample of each set, so intersection is
+  *    estimated by DIRECT set algebra on the synopses — error scales
+  *    with the intersection sample, and every estimate degrades to
+  *    exact below saturation.
   *
   * Certification pattern (same as an03/tx11): the oracle-checked columns
   * are the EXACT values — recomputed independently by DuckDB — plus
@@ -173,6 +181,48 @@ object SketchQueries {
           when(abs($"est_common" - $"n_common") <= $"n_common" * 0.05 + 2.0, 1L)
             .otherwise(0L).as("est_ok"))
         .orderBy($"type_a", $"type_b")
+    },
+
+    // KMV/theta-sketch set algebra over customer sets per order priority
+    // (~1.3k distinct custkeys per group at sf0.01, ~13k at sf0.1 — well
+    // past k=256, so real estimation, not the unsaturated-exact path).
+    // Production path: ONE bounded ObjectHashAggregate per group — the
+    // shuffle carries ≤(8·256+4)-byte synopses, never custkeys — then
+    // every pairwise |A|, |A∪B|, |A∩B| estimate is pure column algebra
+    // over the tiny sorted-array sketches (the 100 TB pattern: sketch
+    // once, answer many overlap questions from KB artifacts). The exact
+    // pairwise self-join is the certification twin the sketch replaces;
+    // bounds: RSE ≈ 1/√(k−2) ≈ 6.3% at k=256 → 0.25 ≈ 4σ for sizes and
+    // union; the intersection counts ~k·|I|/|U| sampled hits (~7% RSE on
+    // this overlap profile) → 0.30 ≈ 4σ. Deterministic splitmix64
+    // uniformizer ⇒ the bits are reproducible values, not coin flips.
+    "sk06_theta_intersection" -> { (s, dir) =>
+      import s.implicits._
+      val K = 256
+      val du = Tables.orders(s, dir)
+        .select($"o_orderpriority".as("p"), $"o_custkey".as("c")).distinct()
+      val sk = du.groupBy($"p")
+        .agg(KmvSketchAgg.kmv($"c", K).as("sk"), count(lit(1)).as("n"))
+      val exact = du.as("x").join(du.as("y"),
+          $"x.c" === $"y.c" && $"x.p" < $"y.p")
+        .groupBy($"x.p".as("p_a"), $"y.p".as("p_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val withA = exact.join(
+        broadcast(sk.select($"p".as("p_a"), $"sk".as("sk_a"), $"n".as("n_a"))), "p_a")
+      val both = withA.join(
+        broadcast(sk.select($"p".as("p_b"), $"sk".as("sk_b"), $"n".as("n_b"))), "p_b")
+      both.select(
+        $"p_a", $"p_b", $"n_a", $"n_b",
+        ($"n_a" + $"n_b" - $"n_inter").as("n_union"), $"n_inter",
+        withinPct(KmvSketchAgg.kmvEstimate($"sk_a", K), $"n_a", 0.25)
+          .as("est_a_ok"),
+        withinPct(KmvSketchAgg.kmvEstimate($"sk_b", K), $"n_b", 0.25)
+          .as("est_b_ok"),
+        withinPct(KmvSketchAgg.kmvUnionEstimate($"sk_a", $"sk_b", K),
+          $"n_a" + $"n_b" - $"n_inter", 0.25).as("est_union_ok"),
+        withinPct(KmvSketchAgg.kmvIntersectEstimate($"sk_a", $"sk_b", K),
+          $"n_inter", 0.30).as("est_inter_ok"))
+        .orderBy($"p_a", $"p_b")
     })
 
   val oracles: Map[String, String] = Map(
@@ -233,5 +283,24 @@ object SketchQueries {
         |FROM tu x JOIN tu y
         |  ON x.user_id = y.user_id AND x.event_type < y.event_type
         |GROUP BY 1, 2
-        |ORDER BY type_a, type_b""".stripMargin)
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    // exact pairwise set sizes/union/intersection recomputed by DuckDB;
+    // the four theta-sketch quality bits are pinned to 1 (bounds in the
+    // sk06 entry — 4σ at k=256, deterministic hash)
+    "sk06_theta_intersection" ->
+      """WITH du AS (SELECT DISTINCT o_orderpriority AS p, o_custkey AS c
+        |            FROM orders),
+        |sizes AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM du GROUP BY 1),
+        |pairs AS (SELECT x.p AS p_a, y.p AS p_b,
+        |                 CAST(COUNT(*) AS BIGINT) AS n_inter
+        |          FROM du x JOIN du y ON x.c = y.c AND x.p < y.p
+        |          GROUP BY 1, 2)
+        |SELECT p_a, p_b, sa.n AS n_a, sb.n AS n_b,
+        |       sa.n + sb.n - n_inter AS n_union, n_inter,
+        |       CAST(1 AS BIGINT) AS est_a_ok, CAST(1 AS BIGINT) AS est_b_ok,
+        |       CAST(1 AS BIGINT) AS est_union_ok,
+        |       CAST(1 AS BIGINT) AS est_inter_ok
+        |FROM pairs JOIN sizes sa ON sa.p = p_a JOIN sizes sb ON sb.p = p_b
+        |ORDER BY p_a, p_b""".stripMargin)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 
-import graft.functions.CmsEstimate
+import graft.functions.{CmsEstimate, KmvSketchAgg}
 import graft.model.Tables
 import graft.ops.Sketches
 
@@ -66,6 +66,71 @@ class SketchSpec extends SparkSuite {
     // the exact answer rather than to each other
     assert(math.abs(direct - exact).toDouble / exact <= 0.05, s"direct HLL $direct vs exact $exact")
     assert(math.abs(merged - exact).toDouble / exact <= 0.05, s"merged HLL $merged vs exact $exact")
+  }
+
+  test("KMV: unsaturated sketches are EXACT for size, union, and intersection") {
+    import spark.implicits._
+    val K = 256
+    // |A| = 100, |B| = 100, |A∩B| = 50 — both far below k, so the
+    // synopses retain every element and all estimates must be exact
+    val a = spark.range(0, 100).select(lit("a").as("g"), $"id")
+    val b = spark.range(50, 150).select(lit("b").as("g"), $"id")
+    val sk = a.union(b).groupBy($"g").agg(KmvSketchAgg.kmv($"id", K).as("sk"))
+    val row = sk.filter($"g" === "a").crossJoin(
+        sk.filter($"g" === "b").select($"sk".as("sk_b")))
+      .select(
+        KmvSketchAgg.kmvEstimate($"sk", K).as("ea"),
+        KmvSketchAgg.kmvEstimate($"sk_b", K).as("eb"),
+        KmvSketchAgg.kmvUnionEstimate($"sk", $"sk_b", K).as("eu"),
+        KmvSketchAgg.kmvIntersectEstimate($"sk", $"sk_b", K).as("ei"))
+      .head()
+    assert(row.getDouble(0) == 100.0, s"|A| est ${row.getDouble(0)} != 100")
+    assert(row.getDouble(1) == 100.0, s"|B| est ${row.getDouble(1)} != 100")
+    assert(row.getDouble(2) == 150.0, s"|A∪B| est ${row.getDouble(2)} != 150")
+    assert(row.getDouble(3) == 50.0, s"|A∩B| est ${row.getDouble(3)} != 50")
+  }
+
+  test("KMV: synopsis is invariant to partitioning and merge order; duplicates don't inflate") {
+    import spark.implicits._
+    val K = 64
+    // 10k distinct values, each duplicated 3× — the sketch sees SETS
+    val base = spark.range(0, 10000)
+    val tripled = base.union(base).union(base)
+    def synopsis(df: org.apache.spark.sql.DataFrame, parts: Int): Seq[Long] =
+      df.repartition(parts).agg(KmvSketchAgg.kmv(col("id"), K))
+        .head().getSeq[Long](0)
+    val s1 = synopsis(base.toDF(), 1)
+    val s7 = synopsis(base.toDF(), 7)
+    val s32dup = synopsis(tripled.toDF(), 32)
+    assert(s1 == s7, "synopsis changed with partition count — merge is not order-insensitive")
+    assert(s1 == s32dup, "duplicated elements changed the synopsis — KMV must be set-semantics")
+    assert(s1.size == K && s1 == s1.sorted, "synopsis not a k-truncated ascending array")
+  }
+
+  test("KMV: saturated estimates land within 4σ of exact (deterministic hash)") {
+    import spark.implicits._
+    val K = 256
+    val sigma = 1.0 / math.sqrt(K - 2) // RSE ≈ 6.3%
+    // A = [0, 10000), B = [5000, 15000): |A|=|B|=10000, |A∩B|=5000, |A∪B|=15000
+    val sk = spark.range(0, 10000).select(lit("a").as("g"), $"id")
+      .union(spark.range(5000, 15000).select(lit("b").as("g"), $"id"))
+      .groupBy($"g").agg(KmvSketchAgg.kmv($"id", K).as("sk"))
+    val row = sk.filter($"g" === "a").crossJoin(
+        sk.filter($"g" === "b").select($"sk".as("sk_b")))
+      .select(
+        KmvSketchAgg.kmvEstimate($"sk", K).as("ea"),
+        KmvSketchAgg.kmvUnionEstimate($"sk", $"sk_b", K).as("eu"),
+        KmvSketchAgg.kmvIntersectEstimate($"sk", $"sk_b", K).as("ei"))
+      .head()
+    val (ea, eu, ei) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    info(f"KMV k=$K: |A| est $ea%.1f (exact 10000, rel ${(ea - 10000).abs / 10000}%.4f), " +
+      f"|A∪B| est $eu%.1f (exact 15000, rel ${(eu - 15000).abs / 15000}%.4f), " +
+      f"|A∩B| est $ei%.1f (exact 5000, rel ${(ei - 5000).abs / 5000}%.4f)")
+    assert((ea - 10000).abs / 10000 <= 4 * sigma, s"|A| est $ea off > 4σ")
+    assert((eu - 15000).abs / 15000 <= 4 * sigma, s"|A∪B| est $eu off > 4σ")
+    // the intersection counts ~k·|I|/|U| ≈ 85 sampled hits here → looser σ
+    assert((ei - 5000).abs / 5000 <= 5 / math.sqrt(K.toDouble * 5000 / 15000),
+      s"|A∩B| est $ei outside its sampling bound")
   }
 
   test("cs06: the ORC scan pushes filters and prunes columns like parquet") {
