@@ -9,7 +9,12 @@ import org.apache.spark.sql.SparkSession
   * catalog queries and report the TOTAL SHUFFLE VOLUME (write bytes +
   * records) each one generates, listener-accumulated across every stage.
   *
-  * Usage: runMain graft.ShuffleAudit <sfDir> <name1,name2,...>
+  * Usage: runMain graft.ShuffleAudit <sfDir> <name1,name2,...> [k=v,...]
+  *
+  * The optional third argument sets session confs before running (e.g.
+  * `spark.sql.autoBroadcastJoinThreshold=-1` to model the regime where a
+  * build side has outgrown the broadcast limit — the regime runtime
+  * filters exist for).
   *
   * This is the evidence tool behind claims of the form "the Bloom
   * prefilter cuts the decontamination shuffle by ~X×" (dd18 vs dd07):
@@ -33,6 +38,12 @@ object ShuffleAudit {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    args.lift(2).foreach(_.split(",").map(_.trim).filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+        println(s"[shuffle] conf $k=$v")
+      })
 
     for (name <- names) {
       val bytes = new AtomicLong(0)

@@ -431,21 +431,25 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
-    // dd07 at the 100 TB posture: decontamination with a BROADCAST BLOOM
-    // PREFILTER. dd07 shuffles every train-side shingle into the
-    // semi-join; at corpus scale that shuffle is the bottleneck, and the
-    // eval set is tiny by construction — so distill the val-side 8-gram
-    // set into a driver-built Bloom sketch (bounded artifact: numBits/8
-    // bytes, never rows), ship it with the probe plan, and drop
-    // ~(1-fpp) of non-matching train shingles AT THE MAP SIDE (codegen
-    // BloomFilterMightContain, before any exchange). Exact verification
-    // (the real join against val hashes) then runs only on the
-    // surviving candidate sliver. The ANSWER IS EXACTLY dd07's — Bloom
-    // filters have no false negatives, and the exact verify removes the
-    // false positives — so the oracle is dd07's SQL; what the pattern
-    // buys is shuffle volume ∝ candidates instead of ∝ corpus.
-    // bloom_pruned_ok (1-row broadcast scalar attach) certifies the
-    // prefilter genuinely pruned rather than passing everything.
+    // dd07 with a BLOOM PREFILTER — the runtime-filter posture for the
+    // regime where the eval-side hash set outgrows the broadcast limit.
+    // At broadcastable eval sizes AQE already protects dd07 (the val
+    // hash set broadcasts; train shingles never cross an exchange — the
+    // measured sf0.1 shuffle profile in SCALE.md). But an eval suite of
+    // billions of 8-grams stops broadcasting, dd07's join degrades to a
+    // full train-side exchange, and THAT is when a Bloom distillation of
+    // the val set (numBits/8 bytes regardless of row count; duplicates
+    // are free, so it builds over the RAW val hash stream with no
+    // distinct shuffle — one partial-agg pass) keeps the exchange
+    // ∝ candidates: the codegen might_contain probe drops ~(1-fpp) of
+    // non-matching train shingles BELOW the join's exchange. Measured
+    // with broadcast forced off (SCALE.md): the train-side exchange
+    // shrinks from the full shingle stream to the contaminated sliver.
+    // The ANSWER IS EXACTLY dd07's — Bloom filters have no false
+    // negatives, and the exact verify join removes the false positives —
+    // so the oracle is dd07's SQL. bloom_pruned_ok (1-row broadcast
+    // scalar attach) certifies the prefilter genuinely pruned rather
+    // than passing everything.
     "dd18_bloom_decontaminate" -> { (s, dir) =>
       import s.implicits._
       val sh = Tables.documents(s, dir)
@@ -454,16 +458,20 @@ object TextQueries {
         .filter(size($"_toks") >= 8)
         .select($"doc_id", $"split",
           explode(graft.ops.Dedup.shingleHashes($"_toks", 8)).as("h"))
-      val valSh = sh.filter($"split" === "val").select($"h").distinct()
+      val valShRaw = sh.filter($"split" === "val").select($"h")
+      // sizing count: partial-agg action (1 row per partition crosses the
+      // wire); raw instance count ≥ distinct count, so the bloom is sized
+      // safely — a Bloom over-sized by the duplication factor only gains
+      // accuracy, never loses it
       val bloom = graft.ops.Sketches.bloomBytes(
-        valSh, "h", expectedItems = valSh.count(), fpp = 0.01)
+        valShRaw, "h", expectedItems = valShRaw.count(), fpp = 0.01)
       val trainSh = sh.filter($"split" === "train").select($"doc_id", $"h")
       val cand = trainSh.filter(graft.ops.Sketches.mightContain(bloom, $"h"))
       val cert = trainSh.agg(count(lit(1)).as("n_train"))
         .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
         .select(when($"n_cand" < $"n_train", 1L).otherwise(0L)
           .as("bloom_pruned_ok"))
-      cand.join(valSh, "h")
+      cand.join(valShRaw.distinct(), "h")
         .groupBy($"doc_id").agg(count(lit(1)).as("n_shared_8grams"))
         .crossJoin(broadcast(cert))
         .orderBy($"doc_id")
