@@ -1,0 +1,129 @@
+package graft.functions
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Greedy longest-match subword segmentation — WordPiece-style tokenizer
+  * INFERENCE as a native codegen expression.
+  *
+  * `greedy_piece_count(word, vocab)` returns how many pieces the word
+  * splits into under the rule every production WordPiece encoder uses:
+  * at each position consume the LONGEST vocabulary piece that matches,
+  * falling back to a single character when none does (single characters
+  * are implicitly in-vocabulary — the fallback, not a lookup). The
+  * segmentation is total (always advances ≥1 char), lossless by
+  * construction (pieces concatenate back to the word), and deterministic
+  * (the longest match at a position is unique).
+  *
+  * Scale shape: the expression runs over the distinct-WORD dictionary,
+  * not the corpus — the corpus sees only a broadcast (word → piece
+  * count) join, exactly the tx29 BPE-encode posture. The vocabulary
+  * rides the plan as a bounded literal array (the BPE merge-table
+  * artifact posture); per-vocab parsing into a hash set is memoized so
+  * a dictionary of n words probes hash lookups, not array scans.
+  */
+case class GreedyPieceCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def prettyName: String = "greedy_piece_count"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, array<string>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override protected def nullSafeEval(word: Any, vocab: Any): Any =
+    GreedySegment.pieceCount(word.asInstanceOf[UTF8String],
+      vocab.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (w, v) => s"graft.functions.GreedySegment.pieceCount($w, $v)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GreedyPieceCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object GreedySegment {
+
+  def pieceCountCol(word: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(GreedyPieceCount(
+      ColumnBridge.expression(word),
+      Literal.create(vocab, ArrayType(StringType))))
+
+  /** Identity-keyed vocab parse memo: one literal array instance per
+    * plan, probed per row — parse once. Bounded alongside use (a session
+    * runs a handful of vocabularies; entries are tiny). */
+  private val parsed =
+    new ConcurrentHashMap[ArrayData, (java.util.HashSet[String], Int)]()
+
+  private def vocabSet(vocab: ArrayData): (java.util.HashSet[String], Int) = {
+    var hit = parsed.get(vocab)
+    if (hit == null) {
+      if (parsed.size > 64) parsed.clear()
+      val set = new java.util.HashSet[String]()
+      var maxLen = 1
+      var i = 0
+      while (i < vocab.numElements()) {
+        val p = vocab.getUTF8String(i).toString
+        set.add(p)
+        if (p.length > maxLen) maxLen = p.length
+        i += 1
+      }
+      hit = (set, maxLen)
+      parsed.put(vocab, hit)
+    }
+    hit
+  }
+
+  /** Number of greedy longest-match pieces (called from codegen). */
+  def pieceCount(word: UTF8String, vocab: ArrayData): Long =
+    segment(word.toString, vocab).length.toLong
+
+  /** The segmentation itself — spec/debug surface; the catalog path only
+    * ships counts. */
+  def segment(word: String, vocab: ArrayData): Array[String] = {
+    val (set, maxLen) = vocabSet(vocab)
+    segmentWith(word, set, maxLen)
+  }
+
+  def segmentWith(word: String, vocab: java.util.HashSet[String],
+                  maxLen: Int): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    val n = word.length
+    while (i < n) {
+      var l = math.min(maxLen, n - i)
+      var adv = 1
+      var found = false
+      while (!found && l >= 2) {
+        if (vocab.contains(word.substring(i, i + l))) { adv = l; found = true }
+        l -= 1
+      }
+      out += word.substring(i, i + adv)
+      i += adv
+    }
+    out.result()
+  }
+
+  /** Spec helper: segment against a plain Seq vocab. */
+  def segmentSeq(word: String, vocab: Seq[String]): Seq[String] = {
+    val arr = new GenericArrayData(
+      vocab.map(UTF8String.fromString).toArray[Any])
+    segment(word, arr).toSeq
+  }
+}

@@ -634,6 +634,59 @@ object RelationalQueries {
     // engines: n_not_in must be 0, n_not_exists must be the real
     // complement. A semantics certificate, not a production template
     // (the scalar subqueries scan per-count by design).
+    // Data-quality constraint audit (the Deequ shape): EVERY single-table
+    // rule — completeness, ranges, domain membership, composite-key
+    // uniqueness — verifies in ONE scan + ONE partial-capable aggregate
+    // (conditional sums + one COUNT DISTINCT over the key struct), not a
+    // pass per rule; the two referential-integrity rules are left-anti
+    // probes against broadcastable key sets, attached as 1-row scalars
+    // (structural scalar-attach pattern). Output = one row per named
+    // rule with its violation count and pass bit: the audit a 100 TB
+    // ingest gate runs nightly, priced at one corpus read. The composite
+    // key rule reports REAL violations here (the synthetic lineitem
+    // reuses (orderkey, linenumber)) — the audit is exercised, not
+    // vacuous.
+    "q40_constraint_audit" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      def viol(c: Column) = sum(when(c, 1L).otherwise(0L))
+      val agg = li.agg(
+        count(lit(1)).as("n_rows"),
+        viol($"l_orderkey".isNull || $"l_linenumber".isNull).as("v_null_key"),
+        (count(lit(1)) - countDistinct(struct($"l_orderkey", $"l_linenumber")))
+          .as("v_dup_key"),
+        viol(!($"l_quantity" >= 1.0 && $"l_quantity" <= 50.0)).as("v_qty_range"),
+        viol(!($"l_discount" >= 0.0 && $"l_discount" <= 0.1)).as("v_disc_range"),
+        viol($"l_extendedprice" <= 0.0).as("v_price_nonpos"),
+        viol(!$"l_returnflag".isin("A", "N", "R")).as("v_flag_domain"),
+        viol(!$"l_linestatus".isin("O", "F")).as("v_status_domain"))
+      val fkOrders = li.select($"l_orderkey")
+        .join(broadcast(Tables.orders(s, dir).select($"o_orderkey")),
+          $"l_orderkey" === $"o_orderkey", "left_anti")
+        .agg(count(lit(1)).as("v_fk_orders"))
+      val fkPart = li.select($"l_partkey")
+        .join(broadcast(Tables.part(s, dir).select($"p_partkey")),
+          $"l_partkey" === $"p_partkey", "left_anti")
+        .agg(count(lit(1)).as("v_fk_part"))
+      def rule(name: String, v: Column) =
+        struct(lit(name).as("rule"), $"n_rows".as("n_checked"),
+          v.cast("long").as("n_violations"),
+          when(v === 0, 1L).otherwise(0L).as("passed"))
+      agg.crossJoin(broadcast(fkOrders)).crossJoin(broadcast(fkPart))
+        .select(explode(array(
+          rule("completeness_key_cols", $"v_null_key"),
+          rule("domain_linestatus", $"v_status_domain"),
+          rule("domain_returnflag", $"v_flag_domain"),
+          rule("fk_lineitem_orders", $"v_fk_orders"),
+          rule("fk_lineitem_part", $"v_fk_part"),
+          rule("range_discount_0_01", $"v_disc_range"),
+          rule("range_quantity_1_50", $"v_qty_range"),
+          rule("sanity_price_positive", $"v_price_nonpos"),
+          rule("unique_order_line", $"v_dup_key"))).as("r"))
+        .select($"r.*")
+        .orderBy($"rule")
+    },
+
     "q39_not_in_null_trap" -> { (s, dir) =>
       Tables.orders(s, dir).createOrReplaceTempView("q39_orders")
       s.sql("""
@@ -1035,6 +1088,48 @@ object RelationalQueries {
 
     // identical standard-SQL text on both engines: both implement the
     // three-valued NOT IN trap, so n_not_in pins to 0 on each
+    // every rule recomputed independently (plain conditional counts, a
+    // COUNT DISTINCT over the key pair, and two NOT-EXISTS probes)
+    "q40_constraint_audit" ->
+      """WITH a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS v_null_key,
+        |    CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+        |         AS BIGINT) AS v_dup_key,
+        |    CAST(SUM(CASE WHEN NOT (l_quantity >= 1.0 AND l_quantity <= 50.0)
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS v_qty_range,
+        |    CAST(SUM(CASE WHEN NOT (l_discount >= 0.0 AND l_discount <= 0.1)
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS v_disc_range,
+        |    CAST(SUM(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS v_price_nonpos,
+        |    CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R')
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS v_flag_domain,
+        |    CAST(SUM(CASE WHEN l_linestatus NOT IN ('O','F')
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS v_status_domain
+        |  FROM lineitem),
+        |fko AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_fk_orders FROM lineitem l
+        |        WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                          WHERE o.o_orderkey = l.l_orderkey)),
+        |fkp AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_fk_part FROM lineitem l
+        |        WHERE NOT EXISTS (SELECT 1 FROM part p
+        |                          WHERE p.p_partkey = l.l_partkey)),
+        |r AS (
+        |  SELECT 'completeness_key_cols' AS rule, n_rows, v_null_key AS v
+        |    FROM a
+        |  UNION ALL SELECT 'domain_linestatus', n_rows, v_status_domain FROM a
+        |  UNION ALL SELECT 'domain_returnflag', n_rows, v_flag_domain FROM a
+        |  UNION ALL SELECT 'fk_lineitem_orders', n_rows, v_fk_orders
+        |    FROM a, fko
+        |  UNION ALL SELECT 'fk_lineitem_part', n_rows, v_fk_part FROM a, fkp
+        |  UNION ALL SELECT 'range_discount_0_01', n_rows, v_disc_range FROM a
+        |  UNION ALL SELECT 'range_quantity_1_50', n_rows, v_qty_range FROM a
+        |  UNION ALL SELECT 'sanity_price_positive', n_rows, v_price_nonpos FROM a
+        |  UNION ALL SELECT 'unique_order_line', n_rows, v_dup_key FROM a)
+        |SELECT rule, n_rows AS n_checked, v AS n_violations,
+        |       CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+        |FROM r ORDER BY rule""".stripMargin,
+
     "q39_not_in_null_trap" ->
       """WITH blocked AS (SELECT CAST(NULL AS VARCHAR) AS p
         |                 UNION ALL SELECT '2-HIGH')

@@ -852,6 +852,48 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
+    // WordPiece-style tokenizer: greedy longest-match INFERENCE — the
+    // other production tokenizer family next to BPE (tx26/tx29/tx32).
+    // Vocabulary fit is one corpus-derived frequency selection: every
+    // per-position substring of length 2–4 of the distinct-WORD
+    // dictionary, weighted by word count, top-48 by (weight desc, piece
+    // asc) via TakeOrderedAndProject — a bounded driver artifact (the
+    // BPE merge-table posture); single characters are the implicit
+    // fallback tier, so segmentation is total and lossless by
+    // construction. Encoding runs the native codegen
+    // `greedy_piece_count` over the DICTIONARY (vocab-bounded), then the
+    // corpus pays one broadcast word→count join — identical scale shape
+    // to tx29. The oracle replays both stages exactly: same candidate
+    // weighting, same tie-break, and the greedy walk as a per-position
+    // advance table + linear recursive descent (integer-only — no float
+    // anywhere, so the compare is bit-exact).
+    "tx33_wordpiece_encode" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("w"))
+        .filter(length($"w") >= 1)
+      val words = toks.groupBy($"w").agg(count(lit(1)).as("wc"))
+      val vocab = words
+        .select($"wc", explode(expr(
+          """flatten(transform(sequence(2, 4), L ->
+            |  filter(transform(sequence(1, length(w)),
+            |                   i -> substring(w, i, L)),
+            |         p -> length(p) = L)))""".stripMargin)).as("piece"))
+        .groupBy($"piece").agg(sum($"wc").as("wt"))
+        .orderBy($"wt".desc, $"piece").limit(48)
+        .select($"piece").collect().map(_.getString(0)).toSeq
+      val dict = words.select($"w",
+        graft.functions.GreedySegment.pieceCountCol($"w", vocab)
+          .as("n_pieces"),
+        length($"w").cast("long").as("n_chars_w"))
+      toks.join(broadcast(dict), "w")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum($"n_pieces").as("n_wp_tokens"),
+          sum($"n_chars_w").as("n_chars"))
+        .orderBy($"doc_id")
+    },
+
     // DOMAIN-AWARE CURATION — RefinedWeb/CCNet-style per-source-domain
     // caps: a synthetic registered-domain column (hash-derived from doc
     // metadata — source + a 32-doc neighborhood, standing in for the
@@ -1505,6 +1547,56 @@ object TextQueries {
     "tx29_bpe_encode" -> bpeEncodeOracleSql(BpeRounds),
 
     "tx32_bpe_decode_roundtrip" -> bpeDecodeOracleSql(BpeRounds),
+
+    // full replay: same candidate weighting (per-position substrings of
+    // length 2–4 over the word dictionary, weighted by word count), same
+    // (weight desc, piece asc) top-48, then greedy longest-match as a
+    // per-(word, position) advance table + linear recursive walk
+    "tx33_wordpiece_encode" ->
+      """WITH RECURSIVE
+        |words AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 1 GROUP BY w),
+        |vocab AS (
+        |  SELECT substr(w, i, L) AS piece, SUM(wc) AS wt
+        |  FROM words,
+        |       UNNEST(generate_series(1, length(w))) AS t(i),
+        |       UNNEST([2, 3, 4]) AS u(L)
+        |  WHERE i + L - 1 <= length(w)
+        |  GROUP BY piece
+        |  ORDER BY wt DESC, piece LIMIT 48),
+        |adv AS (
+        |  SELECT p.w, p.i,
+        |    CASE WHEN v4.piece IS NOT NULL THEN 4
+        |         WHEN v3.piece IS NOT NULL THEN 3
+        |         WHEN v2.piece IS NOT NULL THEN 2
+        |         ELSE 1 END AS adv
+        |  FROM (SELECT w, unnest(generate_series(1, length(w))) AS i
+        |        FROM words) p
+        |  LEFT JOIN vocab v4
+        |    ON length(v4.piece) = 4 AND substr(p.w, p.i, 4) = v4.piece
+        |  LEFT JOIN vocab v3
+        |    ON length(v3.piece) = 3 AND substr(p.w, p.i, 3) = v3.piece
+        |  LEFT JOIN vocab v2
+        |    ON length(v2.piece) = 2 AND substr(p.w, p.i, 2) = v2.piece),
+        |seg AS (
+        |  SELECT w, 1 AS i, 0 AS n FROM words
+        |  UNION ALL
+        |  SELECT s.w, s.i + a.adv, s.n + 1
+        |  FROM seg s JOIN adv a ON a.w = s.w AND a.i = s.i
+        |  WHERE s.i <= length(s.w)),
+        |dict AS (
+        |  SELECT w, n AS n_pieces FROM seg WHERE i = length(w) + 1)
+        |SELECT d.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(dict.n_pieces) AS BIGINT) AS n_wp_tokens,
+        |  CAST(SUM(length(d.w)) AS BIGINT) AS n_chars
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |      FROM documents) d
+        |JOIN dict USING (w)
+        |WHERE length(d.w) >= 1
+        |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
 
     // same domain derivation, dedup election, and cap rule — two window
     // passes over the narrow (domain, digest, id) projection

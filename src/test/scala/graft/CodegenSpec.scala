@@ -152,6 +152,13 @@ class CodegenSpec extends SparkSuite {
     base.select(col("id"), ZOrder64(col("id"), pmod(col("id") * 37L, lit(1000L))).as("v"))
   }
 
+  check("GreedyPieceCount", _.isInstanceOf[GreedyPieceCount]) {
+    // words built from the token fixture (null rows exercise null paths)
+    base.select(col("id"), GreedySegment.pieceCountCol(
+      concat_ws("", col("toks")),
+      Seq("tok", "ok1", "to", "k2")).as("v"))
+  }
+
   check("CmsEstimate", _.isInstanceOf[CmsEstimate]) {
     val cms = CountMinSketch.create(0.01, 0.99, 42)
     (0L until 200L).foreach(v => cms.addLong(v % 13))

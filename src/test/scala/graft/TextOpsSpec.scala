@@ -237,4 +237,21 @@ class TextOpsSpec extends SparkSuite {
     assert(sharedMerged != sep + "aa" + sep + "aa" + sep,
       "shared separators would have been fine after all?")
   }
+
+  test("tx33 greedy segmentation: longest-wins, lossless, single-char fallback, " +
+    "and DOCUMENTED greedy-vs-minimal divergence") {
+    import graft.functions.GreedySegment.segmentSeq
+    // longest match wins over a shorter prefix piece
+    assert(segmentSeq("abc", Seq("ab", "abc")) == Seq("abc"))
+    // out-of-vocab chars fall back to singles; concat is always the word
+    assert(segmentSeq("abcdxy", Seq("ab", "abc")) == Seq("abc", "d", "x", "y"))
+    for (w <- Seq("", "a", "zzzz", "abcabcab"))
+      assert(segmentSeq(w, Seq("ab", "bc", "cab")).mkString("") == w,
+        s"segmentation of '$w' is not lossless")
+    // THE semantics pin: greedy longest-match is NOT minimal-piece DP —
+    // 'ab' greedily consumed first blocks the 2-piece a|bcd split. This
+    // is WordPiece's production behavior and what the oracle replays;
+    // a future "optimization" to minimal DP must show up here.
+    assert(segmentSeq("abcd", Seq("ab", "bcd")) == Seq("ab", "c", "d"))
+  }
 }
