@@ -11,7 +11,7 @@ import org.apache.spark.util.sketch.CountMinSketch
 
 import graft.functions._
 
-/** Proof that the seven native-expression files actually compile and run
+/** Proof that every native scalar expression actually compiles and runs
   * through whole-stage codegen — not just that `doGenCode` exists.
   *
   * A codegen bug has two silent failure modes this spec closes:

@@ -35,6 +35,52 @@ class SketchSpec extends SparkSuite {
       s"bloom passed $pass of $total rows — pruning is not doing its job")
   }
 
+  test("dd18 regime pin: with broadcast joins OFF, the bloom prefilter cuts " +
+    "the decontamination shuffle to a fraction of dd07's") {
+    // the SCALE.md regime table, continuously tested: when the eval-side
+    // hash set can't broadcast (modeled by disabling broadcast joins),
+    // dd07's join shuffles the full train shingle stream while dd18's
+    // might_contain probe keeps the exchange ∝ candidates (measured ~7×
+    // fewer records at this SF; asserted at a conservative 2×)
+    def shuffleRecords(body: => Unit): Long = {
+      val recs = new java.util.concurrent.atomic.AtomicLong(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          Option(te.taskMetrics)
+            .foreach(m => recs.addAndGet(m.shuffleWriteMetrics.recordsWritten): Unit)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        var prev = -1L; var cur = recs.get(); var spins = 0
+        while (cur != prev && spins < 50) {
+          prev = cur; Thread.sleep(200); cur = recs.get(); spins += 1
+        }
+        cur
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val s = spark
+    val saved = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plain = shuffleRecords(
+        SparkEntry.queries("dd07_decontamination")(s, sf)
+          .write.mode("overwrite").format("noop").save())
+      val bloomed = shuffleRecords(
+        SparkEntry.queries("dd18_bloom_decontaminate")(s, sf)
+          .write.mode("overwrite").format("noop").save())
+      assert(plain > 0, "dd07 shuffled nothing — vacuous regime pin")
+      assert(bloomed * 2 < plain,
+        s"bloom prefilter lost its pruning: dd18 shuffled $bloomed records " +
+          s"vs dd07's $plain under broadcast-off")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      s.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("CMS never undercounts ANY key and stays within eps*N on the full key space") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf)
