@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -1123,6 +1123,76 @@ object StreamQueries {
         .orderBy($"w_start", $"rk")
     },
 
+    // Day-over-day RETURNING USERS from per-day KMV synopses built in
+    // streaming state — the analytic the HLL state family (st12/st24)
+    // fundamentally cannot deliver: HLL registers union but never
+    // intersect, while the KMV synopses emitted per closed window
+    // intersect by plain set algebra (sk06's estimators), so retention
+    // comes from KB-sized artifacts with NO second pass over the events.
+    // Runs under the st24/st25 purging posture (2-day watermark over the
+    // time-ordered 4-quarter replay, closed windows evicted mid-stream,
+    // state_purged_ok pinned) — the aggregate is the same
+    // TypedImperativeAggregate machinery st13 already exercises in
+    // state. Certification: exact per-day sizes and returning counts
+    // recomputed batch-side (and by DuckDB); the synopsis estimates pin
+    // inside the sk06 4σ envelopes — exact below saturation, which is
+    // what the lower SFs exercise.
+    "st26_stream_returning_users" -> { (s, dir) =>
+      import s.implicits._
+      val K = 256
+      val scratch = ensureOrderedEventChunks(s, dir)
+      val raw = StructType(Schemas.events.map {
+        case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
+        case f => f
+      })
+      val replay = s.readStream.schema(raw)
+        .option("maxFilesPerTrigger", 1).parquet(scratch)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = replay
+        .withWatermark("ts", "2 days")
+        .groupBy(window($"ts", "1 day").as("window"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.KmvSketchAgg.kmv($"user_id", K).as("sk"))
+      val (out, q) = StreamRunner.toMemoryWithQuery(agg)
+      val lastW = org.apache.spark.sql.expressions.Window
+        .partitionBy($"window").orderBy($"n_events".desc)
+      val days = out.withColumn("rn", row_number().over(lastW))
+        .filter($"rn" === 1)
+        .select(to_date($"window.start").as("d"), $"sk")
+      val finalState = q.lastProgress.stateOperators.headOption
+        .map(_.numRowsTotal).getOrElse(-1L)
+      val nDays = Tables.events(s, dir)
+        .select(to_date($"ts").as("d")).distinct().count()
+      val purgedOk = if (finalState >= 1 && finalState <= nDays / 2) 1L else 0L
+      // exact twin (batch): per-day distinct users + next-day overlap
+      val du = Tables.events(s, dir)
+        .select(to_date($"ts").as("d"), $"user_id").distinct()
+      val sizes = du.groupBy($"d").agg(count(lit(1)).as("n"))
+      val ret = du.as("a").join(du.as("b"),
+          $"b.user_id" === $"a.user_id" && $"b.d" === date_add($"a.d", 1))
+        .groupBy($"a.d".as("d_prev"))
+        .agg(count(lit(1)).as("n_returning"))
+      import graft.functions.KmvSketchAgg.{kmvEstimate, kmvIntersectEstimate}
+      val withSk = ret
+        .join(broadcast(days.select($"d".as("d_prev"), $"sk".as("sk_a"))), "d_prev")
+        .join(broadcast(days.select(date_sub($"d", 1).as("d_prev"), $"sk".as("sk_b"))), "d_prev")
+        .join(sizes.select($"d".as("d_prev"), $"n".as("n_prev")), "d_prev")
+        .join(sizes.select(date_sub($"d", 1).as("d_prev"), $"n".as("n_next")), "d_prev")
+      def okPct(est: Column, exact: Column, bound: Double) =
+        when(abs(est - exact.cast("double")) / exact.cast("double") <= bound, 1L)
+          .otherwise(0L)
+      withSk.select(
+        date_format($"d_prev", "yyyy-MM-dd").as("d_prev"),
+        date_format(date_add($"d_prev", 1), "yyyy-MM-dd").as("d_next"),
+        $"n_prev", $"n_next", $"n_returning",
+        okPct(kmvEstimate($"sk_a", K), $"n_prev", 0.25).as("est_prev_ok"),
+        okPct(kmvEstimate($"sk_b", K), $"n_next", 0.25).as("est_next_ok"),
+        okPct(kmvIntersectEstimate($"sk_a", $"sk_b", K), $"n_returning", 0.30)
+          .as("est_returning_ok"),
+        lit(purgedOk).as("state_purged_ok"))
+        .orderBy($"d_prev")
+    },
+
     "st12_stream_hll_window" -> { (s, dir) =>
       import s.implicits._
       val (finals, _) = windowedSketchReplay(s, dir, nFiles = 3)
@@ -1583,6 +1653,27 @@ object StreamQueries {
         |       CAST(1 AS BIGINT) AS state_purged_ok
         |FROM ranked WHERE rk <= 3
         |ORDER BY w_start, rk""".stripMargin,
+
+    // exact per-day sizes + next-day overlap recomputed independently;
+    // the three KMV-estimate bits and the purge bit are pinned to 1
+    // (bounds in the st26 entry — sk06's 4σ envelopes)
+    "st26_stream_returning_users" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |sizes AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM du GROUP BY 1),
+        |ret AS (SELECT a.d AS dp, CAST(COUNT(*) AS BIGINT) AS n_returning
+        |        FROM du a JOIN du b
+        |          ON b.user_id = a.user_id AND b.d = a.d + 1
+        |        GROUP BY 1)
+        |SELECT strftime(r.dp, '%Y-%m-%d') AS d_prev,
+        |       strftime(r.dp + 1, '%Y-%m-%d') AS d_next,
+        |       sa.n AS n_prev, sb.n AS n_next, r.n_returning,
+        |       CAST(1 AS BIGINT) AS est_prev_ok,
+        |       CAST(1 AS BIGINT) AS est_next_ok,
+        |       CAST(1 AS BIGINT) AS est_returning_ok,
+        |       CAST(1 AS BIGINT) AS state_purged_ok
+        |FROM ret r JOIN sizes sa ON sa.d = r.dp
+        |           JOIN sizes sb ON sb.d = r.dp + 1
+        |ORDER BY d_prev""".stripMargin,
 
     "st12_stream_hll_window" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
