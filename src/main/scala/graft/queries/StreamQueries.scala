@@ -1139,21 +1139,8 @@ object StreamQueries {
     // what the lower SFs exercise.
     "st26_stream_returning_users" -> { (s, dir) =>
       import s.implicits._
-      val K = 256
-      val scratch = ensureOrderedEventChunks(s, dir)
-      val raw = StructType(Schemas.events.map {
-        case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
-        case f => f
-      })
-      val replay = s.readStream.schema(raw)
-        .option("maxFilesPerTrigger", 1).parquet(scratch)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val agg = replay
-        .withWatermark("ts", "2 days")
-        .groupBy(window($"ts", "1 day").as("window"))
-        .agg(count(lit(1)).as("n_events"),
-          graft.functions.KmvSketchAgg.kmv($"user_id", K).as("sk"))
-      val (out, q) = StreamRunner.toMemoryWithQuery(agg)
+      val K = KmvStateK
+      val (out, q) = kmvWindowReplay(s, dir)
       val lastW = org.apache.spark.sql.expressions.Window
         .partitionBy($"window").orderBy($"n_events".desc)
       val days = out.withColumn("rn", row_number().over(lastW))
@@ -1383,6 +1370,32 @@ object StreamQueries {
     * is still its complete aggregate — same hash oracle as st12 — while
     * the terminated query's `stateOperators.numRowsTotal` proves the
     * purge: only the watermark-open tail of windows may remain. */
+  /** st26's synopsis size (shared with its StreamSpec probe). */
+  private[graft] val KmvStateK = 256
+
+  /** st26's replay: per-day KMV user synopses built in streaming state
+    * under the st24/st25 purging posture (2-day watermark over the
+    * time-ordered 4-quarter chunks). */
+  private[graft] def kmvWindowReplay(s: org.apache.spark.sql.SparkSession,
+                                     dir: String)
+      : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
+    import s.implicits._
+    val scratch = ensureOrderedEventChunks(s, dir)
+    val raw = StructType(Schemas.events.map {
+      case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
+      case f => f
+    })
+    val replay = s.readStream.schema(raw)
+      .option("maxFilesPerTrigger", 1).parquet(scratch)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = replay
+      .withWatermark("ts", "2 days")
+      .groupBy(window($"ts", "1 day").as("window"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.KmvSketchAgg.kmv($"user_id", KmvStateK).as("sk"))
+    StreamRunner.toMemoryWithQuery(agg)
+  }
+
   private[graft] def purgingSketchReplay(s: org.apache.spark.sql.SparkSession,
                                          dir: String)
       : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {

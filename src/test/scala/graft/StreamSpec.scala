@@ -441,6 +441,42 @@ class StreamSpec extends SparkSuite {
       "purging watermark changed a window's final aggregate")
   }
 
+  test("st26: the streamed per-day KMV synopsis is BIT-IDENTICAL to the " +
+    "one-pass batch synopsis, and closed windows purge mid-stream") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (out, q) = graft.queries.StreamQueries.kmvWindowReplay(s, sf)
+    val lastW = org.apache.spark.sql.expressions.Window
+      .partitionBy($"window").orderBy($"n_events".desc)
+    val streamed = out.withColumn("rn", row_number().over(lastW))
+      .filter($"rn" === 1)
+      .select($"window.start".as("w"), $"sk").orderBy($"w")
+      .collect().map(r => (r.get(0), r.getSeq[Long](1)))
+    assert(q.lastProgress.batchId >= 3,
+      s"expected >=4 micro-batches, lastBatchId=${q.lastProgress.batchId}")
+    // purge certificate (the st24/st25 property, for this family too)
+    val resident = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(resident >= 1 && resident <= streamed.length / 2,
+      s"state rows at termination = $resident of ${streamed.length} windows")
+    // the sharp tooth: KMV merge is order/partition-insensitive SET
+    // algebra, so the synopsis assembled through the state store across
+    // micro-batches must equal the one-pass batch synopsis ELEMENT FOR
+    // ELEMENT — not merely estimate-close
+    val batch = graft.model.Tables.events(s, sf)
+      .groupBy(window($"ts", "1 day"))
+      .agg(graft.functions.KmvSketchAgg.kmv($"user_id",
+        graft.queries.StreamQueries.KmvStateK).as("sk"))
+      .select($"window.start".as("w"), $"sk").orderBy($"w")
+      .collect().map(r => (r.get(0), r.getSeq[Long](1)))
+    assert(streamed.length == batch.length && streamed.length > 6)
+    streamed.zip(batch).foreach { case ((ws, ssk), (wb, bsk)) =>
+      assert(ws == wb, s"window mismatch $ws vs $wb")
+      assert(ssk == bsk,
+        s"synopsis for $ws diverged between streamed state merge and batch")
+    }
+  }
+
   test("st25: the CMS state family purges under the 2-day watermark and the " +
     "final per-day sketch still never undercounts its top users") {
     val s = spark
