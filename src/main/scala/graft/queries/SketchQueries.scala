@@ -198,32 +198,84 @@ object SketchQueries {
     // uniformizer ⇒ the bits are reproducible values, not coin flips.
     "sk06_theta_intersection" -> { (s, dir) =>
       import s.implicits._
-      val K = 256
-      val du = Tables.orders(s, dir)
-        .select($"o_orderpriority".as("p"), $"o_custkey".as("c")).distinct()
+      val du = customerSets(s, dir)
       val sk = du.groupBy($"p")
-        .agg(KmvSketchAgg.kmv($"c", K).as("sk"), count(lit(1)).as("n"))
-      val exact = du.as("x").join(du.as("y"),
-          $"x.c" === $"y.c" && $"x.p" < $"y.p")
-        .groupBy($"x.p".as("p_a"), $"y.p".as("p_b"))
-        .agg(count(lit(1)).as("n_inter"))
-      val withA = exact.join(
-        broadcast(sk.select($"p".as("p_a"), $"sk".as("sk_a"), $"n".as("n_a"))), "p_a")
-      val both = withA.join(
-        broadcast(sk.select($"p".as("p_b"), $"sk".as("sk_b"), $"n".as("n_b"))), "p_b")
-      both.select(
-        $"p_a", $"p_b", $"n_a", $"n_b",
-        ($"n_a" + $"n_b" - $"n_inter").as("n_union"), $"n_inter",
-        withinPct(KmvSketchAgg.kmvEstimate($"sk_a", K), $"n_a", 0.25)
-          .as("est_a_ok"),
-        withinPct(KmvSketchAgg.kmvEstimate($"sk_b", K), $"n_b", 0.25)
-          .as("est_b_ok"),
-        withinPct(KmvSketchAgg.kmvUnionEstimate($"sk_a", $"sk_b", K),
-          $"n_a" + $"n_b" - $"n_inter", 0.25).as("est_union_ok"),
-        withinPct(KmvSketchAgg.kmvIntersectEstimate($"sk_a", $"sk_b", K),
-          $"n_inter", 0.30).as("est_inter_ok"))
-        .orderBy($"p_a", $"p_b")
+        .agg(KmvSketchAgg.kmv($"c", ThetaK).as("sk"), count(lit(1)).as("n"))
+      thetaOverlapAudit(s, sk, du)
+    },
+
+    // The restart posture for the sketch tier (dd17/an12's story): the
+    // per-group synopses persist as a PARQUET ARTIFACT — a KB-sized
+    // columnar table of sorted bigint arrays, with the sketch parameter
+    // k stored alongside and ASSERTED at load (the r15 LSH-index
+    // lesson: an artifact without its parameters is a silent wrong
+    // answer waiting for a mismatched reader). A later job answers
+    // every overlap question from the reloaded artifact without
+    // touching the base data; the shared oracle SQL with sk06 IS the
+    // equivalence certificate — persisted path ≡ fresh path, row for
+    // row, hash for hash.
+    "sk07_persisted_synopses" -> { (s, dir) =>
+      import s.implicits._
+      val du = customerSets(s, dir)
+      val artifactDir = new java.io.File(
+        s"target/fixtures/kmv_synopses_${new java.io.File(dir).getName}")
+        .getAbsolutePath
+      du.groupBy($"p")
+        .agg(KmvSketchAgg.kmv($"c", ThetaK).as("sk"), count(lit(1)).as("n"))
+        .withColumn("k", lit(ThetaK))
+        .write.mode("overwrite").parquet(artifactDir)
+      val loaded = s.read.parquet(artifactDir)
+      val ks = loaded.select($"k").distinct().collect().map(_.getInt(0))
+      require(ks.sameElements(Array(ThetaK)),
+        s"persisted synopsis artifact has k=${ks.mkString(",")}, " +
+          s"this reader expects k=$ThetaK — refusing to mix parameters")
+      thetaOverlapAudit(s, loaded.drop("k"), du)
     })
+
+  /** sk06/sk07's synopsis size. */
+  private val ThetaK = 256
+
+  /** The (group, element) sets under audit: distinct custkeys per order
+    * priority (~1.3k per group at sf0.01, ~13k at sf0.1 — well past k,
+    * so real estimation above the lowest SF). */
+  private def customerSets(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderpriority".as("p"), $"o_custkey".as("c")).distinct()
+  }
+
+  /** Pairwise overlap audit from per-group synopses: exact sizes/union/
+    * intersection recomputed from `du` (the quadratic certification twin
+    * the sketch replaces at scale), KMV estimates from the synopses
+    * alone, 4σ bits. Shared by sk06 (fresh synopses) and sk07 (reloaded
+    * artifact) — identical output is the persisted≡fresh certificate. */
+  private def thetaOverlapAudit(s: org.apache.spark.sql.SparkSession,
+                                sk: org.apache.spark.sql.DataFrame,
+                                du: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val K = ThetaK
+    val exact = du.as("x").join(du.as("y"),
+        $"x.c" === $"y.c" && $"x.p" < $"y.p")
+      .groupBy($"x.p".as("p_a"), $"y.p".as("p_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val withA = exact.join(
+      broadcast(sk.select($"p".as("p_a"), $"sk".as("sk_a"), $"n".as("n_a"))), "p_a")
+    val both = withA.join(
+      broadcast(sk.select($"p".as("p_b"), $"sk".as("sk_b"), $"n".as("n_b"))), "p_b")
+    both.select(
+      $"p_a", $"p_b", $"n_a", $"n_b",
+      ($"n_a" + $"n_b" - $"n_inter").as("n_union"), $"n_inter",
+      withinPct(KmvSketchAgg.kmvEstimate($"sk_a", K), $"n_a", 0.25)
+        .as("est_a_ok"),
+      withinPct(KmvSketchAgg.kmvEstimate($"sk_b", K), $"n_b", 0.25)
+        .as("est_b_ok"),
+      withinPct(KmvSketchAgg.kmvUnionEstimate($"sk_a", $"sk_b", K),
+        $"n_a" + $"n_b" - $"n_inter", 0.25).as("est_union_ok"),
+      withinPct(KmvSketchAgg.kmvIntersectEstimate($"sk_a", $"sk_b", K),
+        $"n_inter", 0.30).as("est_inter_ok"))
+      .orderBy($"p_a", $"p_b")
+  }
 
   val oracles: Map[String, String] = Map(
     // Exact distinct recomputed by DuckDB; the three sketch-quality bits
@@ -289,6 +341,25 @@ object SketchQueries {
     // the four theta-sketch quality bits are pinned to 1 (bounds in the
     // sk06 entry — 4σ at k=256, deterministic hash)
     "sk06_theta_intersection" ->
+      """WITH du AS (SELECT DISTINCT o_orderpriority AS p, o_custkey AS c
+        |            FROM orders),
+        |sizes AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM du GROUP BY 1),
+        |pairs AS (SELECT x.p AS p_a, y.p AS p_b,
+        |                 CAST(COUNT(*) AS BIGINT) AS n_inter
+        |          FROM du x JOIN du y ON x.c = y.c AND x.p < y.p
+        |          GROUP BY 1, 2)
+        |SELECT p_a, p_b, sa.n AS n_a, sb.n AS n_b,
+        |       sa.n + sb.n - n_inter AS n_union, n_inter,
+        |       CAST(1 AS BIGINT) AS est_a_ok, CAST(1 AS BIGINT) AS est_b_ok,
+        |       CAST(1 AS BIGINT) AS est_union_ok,
+        |       CAST(1 AS BIGINT) AS est_inter_ok
+        |FROM pairs JOIN sizes sa ON sa.p = p_a JOIN sizes sb ON sb.p = p_b
+        |ORDER BY p_a, p_b""".stripMargin,
+
+    // IDENTICAL SQL to sk06 by design: the hash match across the two
+    // entries is the persisted≡fresh equivalence certificate (the dd17
+    // pattern applied to the sketch tier)
+    "sk07_persisted_synopses" ->
       """WITH du AS (SELECT DISTINCT o_orderpriority AS p, o_custkey AS c
         |            FROM orders),
         |sizes AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM du GROUP BY 1),
