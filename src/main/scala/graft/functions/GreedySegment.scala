@@ -38,8 +38,15 @@ case class GreedyPieceCount(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (StringType, ArrayType(StringType, _)) =>
+      case (StringType, ArrayType(StringType, _)) if right.foldable =>
         TypeCheckResult.TypeCheckSuccess
+      case (StringType, ArrayType(StringType, _)) =>
+        // the parse memo keys on the ArrayData instance; a non-foldable
+        // vocab would hand it mutable row-buffer views (silently wrong
+        // segmentations) — the vocabulary is an index artifact, not data
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a FOLDABLE vocabulary (a literal array " +
+            "artifact), not a per-row column")
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects (string, array<string>), got " +
           s"(${l.simpleString}, ${r.simpleString})")
@@ -81,7 +88,8 @@ object GreedySegment {
       while (i < vocab.numElements()) {
         val p = vocab.getUTF8String(i).toString
         set.add(p)
-        if (p.length > maxLen) maxLen = p.length
+        val cp = p.codePointCount(0, p.length) // code points, like the walk
+        if (cp > maxLen) maxLen = cp
         i += 1
       }
       hit = (set, maxLen)
@@ -101,20 +109,28 @@ object GreedySegment {
     segmentWith(word, set, maxLen)
   }
 
+  /** Greedy walk over CODE POINTS, not UTF-16 code units — Spark's
+    * `substring`/`length` (vocab fit) and DuckDB's `substr` (oracle
+    * replay) both count code points, so the matcher must too or a
+    * non-BMP character (astral-plane CJK, emoji) would misalign the
+    * piece boundaries between the three implementations. */
   def segmentWith(word: String, vocab: java.util.HashSet[String],
                   maxLen: Int): Array[String] = {
+    val cps = word.codePoints().toArray
+    def slice(from: Int, until: Int): String =
+      new String(cps, from, until - from)
     val out = Array.newBuilder[String]
     var i = 0
-    val n = word.length
+    val n = cps.length
     while (i < n) {
       var l = math.min(maxLen, n - i)
       var adv = 1
       var found = false
       while (!found && l >= 2) {
-        if (vocab.contains(word.substring(i, i + l))) { adv = l; found = true }
+        if (vocab.contains(slice(i, i + l))) { adv = l; found = true }
         l -= 1
       }
-      out += word.substring(i, i + adv)
+      out += slice(i, i + adv)
       i += adv
     }
     out.result()

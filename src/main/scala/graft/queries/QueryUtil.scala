@@ -42,4 +42,11 @@ object QueryUtil {
   /** DuckDB-side twin of [[sumMoney]]: exact money sum of expression `x`. */
   def sqlSumMoney(x: String): String =
     s"CAST(SUM(CAST(round(($x)*100) AS BIGINT)) AS BIGINT)/100.0"
+
+  /** Sketch-quality bit: |est − exact| / exact ≤ bound → 1, else 0. One
+    * shared definition so the bound semantics can't silently diverge
+    * between the batch sketch family (sk*) and its streaming twins (st*). */
+  def withinPct(est: Column, exact: Column, bound: Double): Column =
+    when(abs(est.cast("double") - exact.cast("double")) / exact.cast("double") <= bound, 1L)
+      .otherwise(0L)
 }

@@ -45,10 +45,8 @@ import QueryUtil._
   */
 object SketchQueries {
 
-  /** |est − exact| / exact ≤ bound → 1, else 0 (sketch-quality bit). */
-  private def withinPct(est: Column, exact: Column, bound: Double): Column =
-    when(abs(est.cast("double") - exact.cast("double")) / exact.cast("double") <= bound, 1L)
-      .otherwise(0L)
+  // sketch-quality bit: QueryUtil.withinPct (shared with the streaming
+  // twins so the bound semantics stay pinned together)
 
   val queries: Map[String, Q] = Map(
     // HLL distinct: direct sketch, merged-from-group-partials sketch, and

@@ -1141,10 +1141,7 @@ object StreamQueries {
       import s.implicits._
       val K = KmvStateK
       val (out, q) = kmvWindowReplay(s, dir)
-      val lastW = org.apache.spark.sql.expressions.Window
-        .partitionBy($"window").orderBy($"n_events".desc)
-      val days = out.withColumn("rn", row_number().over(lastW))
-        .filter($"rn" === 1)
+      val days = finalPerWindow(out)
         .select(to_date($"window.start").as("d"), $"sk")
       val finalState = q.lastProgress.stateOperators.headOption
         .map(_.numRowsTotal).getOrElse(-1L)
@@ -1165,16 +1162,13 @@ object StreamQueries {
         .join(broadcast(days.select(date_sub($"d", 1).as("d_prev"), $"sk".as("sk_b"))), "d_prev")
         .join(sizes.select($"d".as("d_prev"), $"n".as("n_prev")), "d_prev")
         .join(sizes.select(date_sub($"d", 1).as("d_prev"), $"n".as("n_next")), "d_prev")
-      def okPct(est: Column, exact: Column, bound: Double) =
-        when(abs(est - exact.cast("double")) / exact.cast("double") <= bound, 1L)
-          .otherwise(0L)
       withSk.select(
         date_format($"d_prev", "yyyy-MM-dd").as("d_prev"),
         date_format(date_add($"d_prev", 1), "yyyy-MM-dd").as("d_next"),
         $"n_prev", $"n_next", $"n_returning",
-        okPct(kmvEstimate($"sk_a", K), $"n_prev", 0.25).as("est_prev_ok"),
-        okPct(kmvEstimate($"sk_b", K), $"n_next", 0.25).as("est_next_ok"),
-        okPct(kmvIntersectEstimate($"sk_a", $"sk_b", K), $"n_returning", 0.30)
+        withinPct(kmvEstimate($"sk_a", K), $"n_prev", 0.25).as("est_prev_ok"),
+        withinPct(kmvEstimate($"sk_b", K), $"n_next", 0.25).as("est_next_ok"),
+        withinPct(kmvIntersectEstimate($"sk_a", $"sk_b", K), $"n_returning", 0.30)
           .as("est_returning_ok"),
         lit(purgedOk).as("state_purged_ok"))
         .orderBy($"d_prev")
@@ -1373,11 +1367,17 @@ object StreamQueries {
   /** st26's synopsis size (shared with its StreamSpec probe). */
   private[graft] val KmvStateK = 256
 
-  /** st26's replay: per-day KMV user synopses built in streaming state
-    * under the st24/st25 purging posture (2-day watermark over the
-    * time-ordered 4-quarter chunks). */
-  private[graft] def kmvWindowReplay(s: org.apache.spark.sql.SparkSession,
-                                     dir: String)
+  /** THE purging-watermark replay scaffold, shared by the whole
+    * sketch-in-state family (st24 HLL++, st25 CMS, st26 KMV): the
+    * time-ordered 4-quarter event chunks replayed one file per
+    * micro-batch under a 2-day watermark over 1-day windows, with the
+    * given sketch aggregate alongside the per-window event count. One
+    * definition so a posture change (watermark, chunking, ts unit)
+    * cannot silently diverge between the families. Returns the raw
+    * update-mode memory sink (every emission) plus the query; use
+    * [[finalPerWindow]] for the last emission per window. */
+  private def purgingWindowReplay(s: org.apache.spark.sql.SparkSession,
+                                  dir: String, sketchAgg: Column)
       : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
     import s.implicits._
     val scratch = ensureOrderedEventChunks(s, dir)
@@ -1391,32 +1391,33 @@ object StreamQueries {
     val agg = replay
       .withWatermark("ts", "2 days")
       .groupBy(window($"ts", "1 day").as("window"))
-      .agg(count(lit(1)).as("n_events"),
-        graft.functions.KmvSketchAgg.kmv($"user_id", KmvStateK).as("sk"))
+      .agg(count(lit(1)).as("n_events"), sketchAgg)
     StreamRunner.toMemoryWithQuery(agg)
   }
+
+  /** Last (= cumulative-final) emission per window from an update-mode
+    * sink: the row with the highest running event count. */
+  private[graft] def finalPerWindow(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window")).orderBy(col("n_events").desc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** st26's replay: per-day KMV user synopses built in streaming state
+    * under the st24/st25 purging posture. Raw sink — st26 and its
+    * StreamSpec probe both dedupe via [[finalPerWindow]]'s logic. */
+  private[graft] def kmvWindowReplay(s: org.apache.spark.sql.SparkSession,
+                                     dir: String)
+      : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) =
+    purgingWindowReplay(s, dir,
+      graft.functions.KmvSketchAgg.kmv(col("user_id"), KmvStateK).as("sk"))
 
   private[graft] def purgingSketchReplay(s: org.apache.spark.sql.SparkSession,
                                          dir: String)
       : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
-    import s.implicits._
-    val scratch = ensureOrderedEventChunks(s, dir)
-    val raw = StructType(Schemas.events.map {
-      case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
-      case f => f
-    })
-    val replay = s.readStream.schema(raw)
-      .option("maxFilesPerTrigger", 1).parquet(scratch)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = replay
-      .withWatermark("ts", "2 days")
-      .groupBy(window($"ts", "1 day").as("window"))
-      .agg(count(lit(1)).as("n_events"),
-        approx_count_distinct($"user_id", 0.02).as("approx_users"))
-    val (out, q) = StreamRunner.toMemoryWithQuery(agg)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"window").orderBy($"n_events".desc)
-    (out.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn"), q)
+    val (out, q) = purgingWindowReplay(s, dir,
+      approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+    (finalPerWindow(out), q)
   }
 
   /** st25's streaming leg, shared with StreamSpec: the st24 treatment for
@@ -1432,25 +1433,10 @@ object StreamQueries {
   private[graft] def purgingCmsReplay(s: org.apache.spark.sql.SparkSession,
                                       dir: String)
       : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
-    import s.implicits._
-    val scratch = ensureOrderedEventChunks(s, dir)
-    val raw = StructType(Schemas.events.map {
-      case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
-      case f => f
-    })
-    val replay = s.readStream.schema(raw)
-      .option("maxFilesPerTrigger", 1).parquet(scratch)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = replay
-      .withWatermark("ts", "2 days")
-      .groupBy(window($"ts", "1 day").as("window"))
-      .agg(count(lit(1)).as("n_events"),
-        expr("count_min_sketch(user_id, CAST(0.001 AS DOUBLE), CAST(0.999 AS DOUBLE), 42)")
-          .as("cms"))
-    val (out, q) = StreamRunner.toMemoryWithQuery(agg)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"window").orderBy($"n_events".desc)
-    (out.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn"), q)
+    val (out, q) = purgingWindowReplay(s, dir,
+      expr("count_min_sketch(user_id, CAST(0.001 AS DOUBLE), CAST(0.999 AS DOUBLE), 42)")
+        .as("cms"))
+    (finalPerWindow(out), q)
   }
 
   /** st22's CSV chunk fixture: the documents table as 3 headerless CSV

@@ -153,9 +153,11 @@ class CodegenSpec extends SparkSuite {
   }
 
   check("GreedyPieceCount", _.isInstanceOf[GreedyPieceCount]) {
-    // words built from the token fixture (null rows exercise null paths)
+    // a genuinely NULLABLE word column (concat_ws never returns null, so
+    // it alone would leave the expression's null branch untested)
     base.select(col("id"), GreedySegment.pieceCountCol(
-      concat_ws("", col("toks")),
+      when(col("id") % 9 =!= 0 || col("id") === 0,
+        concat_ws("", col("toks"))),
       Seq("tok", "ok1", "to", "k2")).as("v"))
   }
 

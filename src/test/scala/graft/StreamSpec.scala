@@ -447,10 +447,7 @@ class StreamSpec extends SparkSuite {
     import s.implicits._
     import org.apache.spark.sql.functions._
     val (out, q) = graft.queries.StreamQueries.kmvWindowReplay(s, sf)
-    val lastW = org.apache.spark.sql.expressions.Window
-      .partitionBy($"window").orderBy($"n_events".desc)
-    val streamed = out.withColumn("rn", row_number().over(lastW))
-      .filter($"rn" === 1)
+    val streamed = graft.queries.StreamQueries.finalPerWindow(out)
       .select($"window.start".as("w"), $"sk").orderBy($"w")
       .collect().map(r => (r.get(0), r.getSeq[Long](1)))
     assert(q.lastProgress.batchId >= 3,

@@ -253,5 +253,13 @@ class TextOpsSpec extends SparkSuite {
     // is WordPiece's production behavior and what the oracle replays;
     // a future "optimization" to minimal DP must show up here.
     assert(segmentSeq("abcd", Seq("ab", "bcd")) == Seq("ab", "c", "d"))
+    // CODE-POINT semantics: 𝕏 is a supplementary-plane char (2 UTF-16
+    // units); Spark substring and DuckDB substr both count code points,
+    // so 'a𝕏' is a length-2 piece and the surrogate pair never splits
+    assert(segmentSeq("a𝕏b", Seq("a𝕏")) ==
+      Seq("a𝕏", "b"))
+    assert(segmentSeq("𝕏𝕏", Seq.empty)
+      == Seq("𝕏", "𝕏"),
+      "fallback must consume whole code points, not surrogate halves")
   }
 }
