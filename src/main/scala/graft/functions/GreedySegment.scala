@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
@@ -65,6 +63,48 @@ case class GreedyPieceCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[GreedyPieceCount]]'s round-trip twin: the total CODE-POINT length
+  * of the word's greedy segmentation — Σ |piece| over the SAME walk. By
+  * construction (the walk always advances and every piece is a slice of
+  * the word) this equals the word's own code-point length; emitting it
+  * through the real segmentation is what gives the tx34 round-trip
+  * certificate teeth: a walk that skipped or double-consumed characters
+  * would break the equality, and the oracle sums RAW token lengths with
+  * no segmentation machinery at all. */
+case class GreedyDecodedLen(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def prettyName: String = "greedy_decoded_len"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StringType, _)) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (StringType, ArrayType(StringType, _)) =>
+        // same foldable-vocab precondition as greedy_piece_count: the
+        // parse memo keys on the ArrayData instance
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a FOLDABLE vocabulary (a literal array " +
+            "artifact), not a per-row column")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, array<string>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override protected def nullSafeEval(word: Any, vocab: Any): Any =
+    GreedySegment.decodedLen(word.asInstanceOf[UTF8String],
+      vocab.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (w, v) => s"graft.functions.GreedySegment.decodedLen($w, $v)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GreedyDecodedLen =
+    copy(left = newLeft, right = newRight)
+}
+
 object GreedySegment {
 
   def pieceCountCol(word: Column, vocab: Seq[String]): Column =
@@ -72,16 +112,31 @@ object GreedySegment {
       ColumnBridge.expression(word),
       Literal.create(vocab, ArrayType(StringType))))
 
-  /** Identity-keyed vocab parse memo: one literal array instance per
-    * plan, probed per row — parse once. Bounded alongside use (a session
-    * runs a handful of vocabularies; entries are tiny). */
-  private val parsed =
-    new ConcurrentHashMap[ArrayData, (java.util.HashSet[String], Int)]()
+  def decodedLenCol(word: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(GreedyDecodedLen(
+      ColumnBridge.expression(word),
+      Literal.create(vocab, ArrayType(StringType))))
+
+  /** Vocab parse memo: one literal array instance per plan, probed per
+    * row — parse once. Bounded as a true access-ordered LRU: each task
+    * deserializes its own codegen-reference copy of the literal, so the
+    * map sees several content-equal (or representation-heterogeneous)
+    * keys per vocabulary; evicting only the ELDEST entry keeps hot
+    * vocabularies resident, where the previous clear-everything
+    * eviction forced per-row re-parses for every live vocab once the
+    * map spilled (a perf cliff, not a correctness issue). */
+  private val MaxVocabs = 64
+  private val parsed = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[ArrayData, (java.util.HashSet[String], Int)](
+      16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[ArrayData, (java.util.HashSet[String], Int)])
+          : Boolean = size() > MaxVocabs
+    })
 
   private def vocabSet(vocab: ArrayData): (java.util.HashSet[String], Int) = {
     var hit = parsed.get(vocab)
     if (hit == null) {
-      if (parsed.size > 64) parsed.clear()
       val set = new java.util.HashSet[String]()
       var maxLen = 1
       var i = 0
@@ -101,6 +156,19 @@ object GreedySegment {
   /** Number of greedy longest-match pieces (called from codegen). */
   def pieceCount(word: UTF8String, vocab: ArrayData): Long =
     segment(word.toString, vocab).length.toLong
+
+  /** Total code-point length of the greedy segmentation (called from
+    * codegen) — the decode side of the tx34 round-trip certificate. */
+  def decodedLen(word: UTF8String, vocab: ArrayData): Long = {
+    val pieces = segment(word.toString, vocab)
+    var i = 0
+    var n = 0L
+    while (i < pieces.length) {
+      n += pieces(i).codePointCount(0, pieces(i).length)
+      i += 1
+    }
+    n
+  }
 
   /** The segmentation itself — spec/debug surface; the catalog path only
     * ships counts. */

@@ -45,8 +45,15 @@ object QueryUtil {
 
   /** Sketch-quality bit: |est − exact| / exact ≤ bound → 1, else 0. One
     * shared definition so the bound semantics can't silently diverge
-    * between the batch sketch family (sk*) and its streaming twins (st*). */
+    * between the batch sketch family (sk*) and its streaming twins (st*).
+    * A zero exact value can't anchor a relative bound, so it is handled
+    * explicitly: the bit is 1 iff the estimate is also (exactly) zero —
+    * without the guard the ratio is NaN and a PERFECT estimate of an
+    * empty set would read as a red quality bit. */
   def withinPct(est: Column, exact: Column, bound: Double): Column =
-    when(abs(est.cast("double") - exact.cast("double")) / exact.cast("double") <= bound, 1L)
-      .otherwise(0L)
+    when(exact.cast("double") === 0.0,
+        when(est.cast("double") === 0.0, 1L).otherwise(0L))
+      .otherwise(
+        when(abs(est.cast("double") - exact.cast("double")) / exact.cast("double") <= bound, 1L)
+          .otherwise(0L))
 }

@@ -638,9 +638,10 @@ object RelationalQueries {
     // rule — completeness, ranges, domain membership, composite-key
     // uniqueness — verifies in ONE scan + ONE partial-capable aggregate
     // (conditional sums + one COUNT DISTINCT over the key struct), not a
-    // pass per rule; the two referential-integrity rules are left-anti
-    // probes against broadcastable key sets, attached as 1-row scalars
-    // (structural scalar-attach pattern). Output = one row per named
+    // pass per rule; the two referential-integrity rules are UNHINTED
+    // left-anti probes over pre-aggregated fact keys (see below),
+    // attached as 1-row scalars (structural scalar-attach pattern).
+    // Output = one row per named
     // rule with its violation count and pass bit: the audit a 100 TB
     // ingest gate runs nightly, priced at one corpus read. The composite
     // key rule reports REAL violations here (the synthetic lineitem
@@ -660,14 +661,24 @@ object RelationalQueries {
         viol($"l_extendedprice" <= 0.0).as("v_price_nonpos"),
         viol(!$"l_returnflag".isin("A", "N", "R")).as("v_flag_domain"),
         viol(!$"l_linestatus".isin("O", "F")).as("v_status_domain"))
-      val fkOrders = li.select($"l_orderkey")
-        .join(broadcast(Tables.orders(s, dir).select($"o_orderkey")),
+      // FK probes with NO broadcast hint: orders/part scale WITH the fact
+      // table, so forcing them into a driver-collected broadcast is the
+      // collected-dimension OOM at 100× — the fact side is pre-aggregated
+      // to per-key counts instead (map-side combine shrinks the anti-join
+      // exchange from fact ROWS to distinct KEYS, ~4× for orders here and
+      // more for part), and the join shape is left to AQE: broadcast when
+      // the key table is genuinely small, shuffled anti-join when it is
+      // not. Violation count is the sum of per-key counts over unmatched
+      // keys — identical to the per-row count. PlanSpec pins that no
+      // multi-row side of this plan carries a broadcast hint.
+      val fkOrders = li.groupBy($"l_orderkey").agg(count(lit(1)).as("n"))
+        .join(Tables.orders(s, dir).select($"o_orderkey"),
           $"l_orderkey" === $"o_orderkey", "left_anti")
-        .agg(count(lit(1)).as("v_fk_orders"))
-      val fkPart = li.select($"l_partkey")
-        .join(broadcast(Tables.part(s, dir).select($"p_partkey")),
+        .agg(coalesce(sum($"n"), lit(0L)).as("v_fk_orders"))
+      val fkPart = li.groupBy($"l_partkey").agg(count(lit(1)).as("n"))
+        .join(Tables.part(s, dir).select($"p_partkey"),
           $"l_partkey" === $"p_partkey", "left_anti")
-        .agg(count(lit(1)).as("v_fk_part"))
+        .agg(coalesce(sum($"n"), lit(0L)).as("v_fk_part"))
       def rule(name: String, v: Column) =
         struct(lit(name).as("rule"), $"n_rows".as("n_checked"),
           v.cast("long").as("n_violations"),

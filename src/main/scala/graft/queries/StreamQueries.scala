@@ -81,18 +81,30 @@ object StreamQueries {
 
   /** The streaming purchase-line feed: streaming lineitem scan (pruned to
     * the three needed columns) → stream-static join with orders → typed
-    * `PurchaseLine`s. Shared by the state-machine queries. The static
-    * dimension is broadcast EXPLICITLY: AQE is disabled inside stateful
-    * streaming plans, so without the hint the join shape rides on the
-    * static side's size estimate — the hint is what holds at scale.
-    * (Same plan as the multibatch twin; pinned in StreamSpec.) */
-  private[graft] def purchaseStream(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    * `PurchaseLine`s. Shared by the state-machine queries.
+    *
+    * JOIN-SHAPE HONESTY: `orders` here stands in for the bounded
+    * per-invoice metadata dimension the reference's pipeline joins
+    * against — but it is the order-HEADER side of the fact table, so it
+    * scales with the facts and the broadcast hint only holds while the
+    * static side fits the broadcast budget (AQE is disabled inside
+    * stateful streaming plans, so without the hint the join shape rides
+    * on the static side's size estimate). At the scale where the static
+    * side outgrows broadcast, the right plan is the per-micro-batch
+    * SHUFFLED stream-static join — `broadcastDim = false` — which st27
+    * runs against the same oracle as st01, with both regimes' shuffle
+    * volumes measured in SCALE.md (the dd18/dd07 treatment).
+    * (Broadcast plan pinned in StreamSpec.) */
+  private[graft] def purchaseStream(s: org.apache.spark.sql.SparkSession, dir: String,
+                                    broadcastDim: Boolean = true) = {
     import s.implicits._
     val needed = Set("l_orderkey", "l_quantity", "l_extendedprice")
     val schema = StructType(Schemas.lineitem.filter(f => needed(f.name)))
+    val dim = Tables.orders(s, dir)
     purchaseLines(
       StreamSources.parquetStream(s, dir, "lineitem", schema)
-        .join(broadcast(Tables.orders(s, dir)), $"l_orderkey" === $"o_orderkey"), s)
+        .join(if (broadcastDim) broadcast(dim) else dim,
+          $"l_orderkey" === $"o_orderkey"), s)
   }
 
   private val chunkDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -545,6 +557,37 @@ object StreamQueries {
           $"avg_unit_price", $"min_unit_price", $"max_unit_price",
           $"time_of_day", $"number_items", $"lines")
         .orderBy($"invoice_no")
+    },
+
+    // st01's SHUFFLED-REGIME twin: the same single-batch stateful replay,
+    // but the stream-static join runs WITHOUT the broadcast hint and with
+    // broadcast-by-stats disabled for the run — the plan the pipeline
+    // needs once the static side outgrows the broadcast budget (orders is
+    // the order-header side of the fact table, not a bounded dimension;
+    // see [[purchaseStream]]). The static side is hash-exchanged per
+    // micro-batch instead of collected to the driver; the join regime
+    // must not change a single emitted aggregate, so the oracle is
+    // st01's. Both regimes' shuffle volumes are measured in SCALE.md
+    // (the dd18/dd07 regime-table treatment).
+    "st27_invoice_state_shuffled" -> { (s, dir) =>
+      import s.implicits._
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "-1")
+      // toMemory runs the streaming query EAGERLY, so the conf governs
+      // the stream-static join; the lazy projection over the memory sink
+      // below no longer needs it
+      try
+        StreamRunner.toMemory(InvoiceStateMachine(
+            purchaseStream(s, dir, broadcastDim = false), idleTimeoutMs = 0L))
+          .select($"invoice_no".cast("long").as("invoice_no"),
+            $"avg_unit_price", $"min_unit_price", $"max_unit_price",
+            $"time_of_day", $"number_items", $"lines")
+          .orderBy($"invoice_no")
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     },
 
     // The reference's COMPLETE online pipeline (`InvoicePipeline.main`):
@@ -1068,11 +1111,7 @@ object StreamQueries {
     "st24_stream_hll_purge" -> { (s, dir) =>
       import s.implicits._
       val (finals, q) = purgingSketchReplay(s, dir)
-      val nDays = Tables.events(s, dir)
-        .select(to_date($"ts").as("d")).distinct().count()
-      val finalState = q.lastProgress.stateOperators.headOption
-        .map(_.numRowsTotal).getOrElse(-1L)
-      val purgedOk = if (finalState >= 1 && finalState <= nDays / 2) 1L else 0L
+      val purgedOk = purgedOkBit(s, dir, q)
       val exact = Tables.events(s, dir)
         .groupBy(window($"ts", "1 day").as("window"))
         .agg(countDistinct($"user_id").as("exact_users"))
@@ -1100,11 +1139,7 @@ object StreamQueries {
     "st25_stream_cms_purge" -> { (s, dir) =>
       import s.implicits._
       val (finals, q) = purgingCmsReplay(s, dir)
-      val nDays = Tables.events(s, dir)
-        .select(to_date($"ts").as("d")).distinct().count()
-      val finalState = q.lastProgress.stateOperators.headOption
-        .map(_.numRowsTotal).getOrElse(-1L)
-      val purgedOk = if (finalState >= 1 && finalState <= nDays / 2) 1L else 0L
+      val purgedOk = purgedOkBit(s, dir, q)
       val topW = org.apache.spark.sql.expressions.Window
         .partitionBy($"window").orderBy($"n".desc, $"user_id")
       val top3 = Tables.events(s, dir)
@@ -1143,11 +1178,7 @@ object StreamQueries {
       val (out, q) = kmvWindowReplay(s, dir)
       val days = finalPerWindow(out)
         .select(to_date($"window.start").as("d"), $"sk")
-      val finalState = q.lastProgress.stateOperators.headOption
-        .map(_.numRowsTotal).getOrElse(-1L)
-      val nDays = Tables.events(s, dir)
-        .select(to_date($"ts").as("d")).distinct().count()
-      val purgedOk = if (finalState >= 1 && finalState <= nDays / 2) 1L else 0L
+      val purgedOk = purgedOkBit(s, dir, q)
       // exact twin (batch): per-day distinct users + next-day overlap
       val du = Tables.events(s, dir)
         .select(to_date($"ts").as("d"), $"user_id").distinct()
@@ -1172,6 +1203,61 @@ object StreamQueries {
           .as("est_returning_ok"),
         lit(purgedOk).as("state_purged_ok"))
         .orderBy($"d_prev")
+    },
+
+    // Quantile sketches INSIDE streaming state — closing the last sketch
+    // family's streaming loop (HLL has st12/st24, CMS st13/st25, KMV
+    // st26): per-day Greenwald-Khanna summaries (`percentile_approx`
+    // partials) merge through the state store across the time-ordered
+    // 4-quarter replay under the st24/st25/st26 purging posture (2-day
+    // watermark over 1-day windows, closed windows evicted mid-stream).
+    // The state row per window is the fixed-size GK summary, not the
+    // values — windowed percentiles over an unbounded stream with
+    // bounded state. Hash-checked columns are the exact per-day event
+    // count and the exact interpolated percentiles recomputed batch-side
+    // (DuckDB `quantile_cont`, round(4) — the sk02 contract). The sketch
+    // bits certify the HONEST guarantee — GK is a RANK contract, not a
+    // value contract (the returned value is a real data point; exact
+    // interpolation can sit several % away in VALUE at small n even
+    // when the rank is perfect) — so each bit pins the merged summary's
+    // returned value to within (2 + 1%·n) RANKS of its target quantile,
+    // measured by re-ranking the value against the day's data (the +2
+    // absorbs order-statistic discreteness and value ties; 1%·n covers
+    // the designed 1/accuracy rank error with merge headroom).
+    // state_purged_ok pins the mid-stream eviction.
+    "st28_stream_quantile_purge" -> { (s, dir) =>
+      import s.implicits._
+      val (out, q) = purgingQuantileReplay(s, dir)
+      val finals = finalPerWindow(out)
+        .select($"window", $"n_events",
+          element_at($"pq", 1).as("p50_sk"), element_at($"pq", 2).as("p90_sk"))
+      val purgedOk = purgedOkBit(s, dir, q)
+      val exact = Tables.events(s, dir)
+        .groupBy(window($"ts", "1 day").as("window"))
+        .agg(expr("percentile(value, 0.5D)").as("p50_exact"),
+          expr("percentile(value, 0.9D)").as("p90_exact"))
+      // re-rank the sketch values against the raw day: one broadcast of
+      // the ≤(days-in-flight)-row finals frame, one hash aggregate
+      val ranks = Tables.events(s, dir)
+        .select(window($"ts", "1 day").as("window"), $"value")
+        .join(broadcast(finals.select($"window", $"p50_sk", $"p90_sk")), "window")
+        .groupBy($"window")
+        .agg(sum(when($"value" <= $"p50_sk", 1L).otherwise(0L)).as("r50"),
+          sum(when($"value" <= $"p90_sk", 1L).otherwise(0L)).as("r90"),
+          count(lit(1)).as("n"))
+      def rankOk(r: Column, quantile: Double) =
+        when(abs(r - lit(quantile) * $"n") <= lit(2.0) + lit(0.01) * $"n", 1L)
+          .otherwise(0L)
+      finals.join(exact, "window").join(ranks, "window")
+        .select(
+          date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          $"n_events",
+          round($"p50_exact", 4).as("p50_exact"),
+          round($"p90_exact", 4).as("p90_exact"),
+          rankOk($"r50", 0.5).as("p50_rank_ok"),
+          rankOk($"r90", 0.9).as("p90_rank_ok"),
+          lit(purgedOk).as("state_purged_ok"))
+        .orderBy($"w_start")
     },
 
     "st12_stream_hll_window" -> { (s, dir) =>
@@ -1395,6 +1481,31 @@ object StreamQueries {
     StreamRunner.toMemoryWithQuery(agg)
   }
 
+  /** The purge certificate shared by the sketch-in-state family
+    * (st24 HLL++, st25 CMS, st26 KMV, st28 quantiles): the terminated
+    * query's resident state rows must be BOTH nonzero and at most half
+    * the day count — under the 2-day watermark only the watermark-open
+    * tail (~2–3 windows) may remain; without purging it is ALL windows.
+    * The bound's PRECONDITION is a data shape: on a fixture spanning
+    * only a few distinct days the legitimate open tail can exceed
+    * nDays/2 and the bit would flip red even though purging worked — so
+    * the span is asserted up front and a short/skewed SF fails NAMING
+    * the data-shape cause instead of emitting a confusing red bit. */
+  private def purgedOkBit(s: org.apache.spark.sql.SparkSession, dir: String,
+                          q: org.apache.spark.sql.streaming.StreamingQuery): Long = {
+    val nDays = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("d")).distinct().count()
+    require(nDays >= 12,
+      s"the purge certificate needs >= 12 distinct event days (got $nDays " +
+        s"in $dir): with a 2-day watermark over 1-day windows the " +
+        "watermark-open tail is ~2-3 windows, so the <= nDays/2 bound is " +
+        "only meaningful on a longer span — regenerate or rescale the " +
+        "events table")
+    val finalState = q.lastProgress.stateOperators.headOption
+      .map(_.numRowsTotal).getOrElse(-1L)
+    if (finalState >= 1 && finalState <= nDays / 2) 1L else 0L
+  }
+
   /** Last (= cumulative-final) emission per window from an update-mode
     * sink: the row with the highest running event count. */
   private[graft] def finalPerWindow(df: DataFrame): DataFrame = {
@@ -1439,6 +1550,17 @@ object StreamQueries {
     (finalPerWindow(out), q)
   }
 
+  /** st28's replay, shared with its StreamSpec probe: per-day
+    * Greenwald-Khanna quantile summaries (`percentile_approx` partials,
+    * accuracy 10000) built in streaming state under the st24/st25/st26
+    * purging posture. Raw update-mode sink — callers dedupe via
+    * [[finalPerWindow]]. */
+  private[graft] def purgingQuantileReplay(s: org.apache.spark.sql.SparkSession,
+                                           dir: String)
+      : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) =
+    purgingWindowReplay(s, dir,
+      expr("percentile_approx(value, array(0.5D, 0.9D), 10000)").as("pq"))
+
   /** st22's CSV chunk fixture: the documents table as 3 headerless CSV
     * chunk files plus one injected file of malformed lines (a
     * type-invalid long, a surplus column). Memoized per (dir, content)
@@ -1481,6 +1603,25 @@ object StreamQueries {
 
   val oracles: Map[String, String] = Map(
     "st01_invoice_state" -> s"$weightedAggSql ORDER BY invoice_no",
+
+    // st01's oracle verbatim: the shuffled stream-static join regime must
+    // not change a single emitted aggregate
+    "st27_invoice_state_shuffled" -> s"$weightedAggSql ORDER BY invoice_no",
+
+    // exact per-day counts + interpolated percentiles (the sk02
+    // round(4) contract); the GK rank-contract bits and the purge bit
+    // are pinned to 1 (bounds in the st28 entry)
+    "st28_stream_quantile_purge" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(quantile_cont(value, 0.5), 4) AS p50_exact,
+        |       round(quantile_cont(value, 0.9), 4) AS p90_exact,
+        |       CAST(1 AS BIGINT) AS p50_rank_ok,
+        |       CAST(1 AS BIGINT) AS p90_rank_ok,
+        |       CAST(1 AS BIGINT) AS state_purged_ok
+        |FROM events
+        |GROUP BY date_trunc('day', ts)
+        |ORDER BY w_start""".stripMargin,
 
     // The final per-key emission of the chunked replay must equal the same
     // batch aggregate — cross-batch state folding is exact.

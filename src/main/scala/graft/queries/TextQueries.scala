@@ -89,28 +89,60 @@ object TextQueries {
     * rounds, so the key folds in the documents file fingerprint). The
     * session identity is part of the key because the cached vocabulary
     * is a localCheckpoint'd DataFrame: its blocks live on THIS session's
-    * executors and must not leak across sessions. */
+    * executors and must not leak across sessions. The identity used is
+    * `sessionUUID` — STABLE and never reused, unlike an identity hash,
+    * which the JVM can hand a later session after GC (serving a cached
+    * DataFrame bound to a dead session) — and entries owned by a
+    * stopped session are evicted on every access, so a long-lived JVM
+    * that cycles sessions doesn't pin dead checkpoint blocks forever. */
   private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (Seq[(Long, String, String, String, Long)], org.apache.spark.sql.DataFrame)]()
+    String, (org.apache.spark.sql.SparkSession,
+             (Seq[(Long, String, String, String, Long)], org.apache.spark.sql.DataFrame))]()
+
+  private def sessionId(s: org.apache.spark.sql.SparkSession): String =
+    org.apache.spark.sql.graftbridge.SessionBridge.sessionUUID(s)
 
   private def bpeTrained(s: org.apache.spark.sql.SparkSession, dir: String)
       : (Seq[(Long, String, String, String, Long)], org.apache.spark.sql.DataFrame) = {
-    val prefix = s"${System.identityHashCode(s)}|$dir|"
+    val prefix = s"${sessionId(s)}|$dir|"
     val key = prefix + StreamQueries.sourceId(s, dir, "documents")
-    // evict superseded fingerprints for this (session, dir) — a stale
-    // entry pins its localCheckpoint'd blocks forever in a long-lived
-    // JVM that regenerates testdata in place (the driver does, between
-    // rounds); same-prefix-different-fingerprint entries can never be
-    // served again, so drop them before caching the fresh one
-    val it = bpeMemo.keySet().iterator()
+    // evictions, before every lookup: (a) same-prefix SUPERSEDED
+    // fingerprints — the driver regenerates testdata in place between
+    // rounds, and a stale entry pins its localCheckpoint'd blocks
+    // forever while never being served again; (b) entries owned by a
+    // STOPPED session — their blocks are already gone with the session,
+    // and the map must not hold the session object for the JVM lifetime
+    val it = bpeMemo.entrySet().iterator()
     while (it.hasNext) {
-      val k = it.next()
-      if (k.startsWith(prefix) && k != key) it.remove()
+      val e = it.next()
+      val k = e.getKey
+      if (e.getValue._1.sparkContext.isStopped ||
+        (k.startsWith(prefix) && k != key)) it.remove()
     }
-    bpeMemo.computeIfAbsent(key, _ => bpeTrainLoop(s, dir))
+    bpeMemo.computeIfAbsent(key, _ => (s, bpeTrainLoop(s, dir)))._2
   }
 
   private val Stopwords = Seq("the", "a")
+
+  /** The tx33/tx34 WordPiece vocabulary fit, shared so the encode entry
+    * and its round-trip twin certify the SAME artifact: every
+    * per-position substring of length 2–4 of the distinct-word
+    * dictionary, weighted by word count, top-48 by (weight desc, piece
+    * asc) via TakeOrderedAndProject — a bounded driver artifact (the BPE
+    * merge-table posture). Single characters are the implicit fallback
+    * tier, so segmentation is total and lossless by construction. */
+  private def wordpieceVocab(words: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import words.sparkSession.implicits._
+    words
+      .select($"wc", explode(expr(
+        """flatten(transform(sequence(2, 4), L ->
+          |  filter(transform(sequence(1, length(w)),
+          |                   i -> substring(w, i, L)),
+          |         p -> length(p) = L)))""".stripMargin)).as("piece"))
+      .groupBy($"piece").agg(sum($"wc").as("wt"))
+      .orderBy($"wt".desc, $"piece").limit(48)
+      .select($"piece").collect().map(_.getString(0)).toSeq
+  }
 
   val queries: Map[String, Q] = Map(
     // Token/char statistics — pure projection, stays in codegen.
@@ -463,12 +495,21 @@ object TextQueries {
     // than passing everything.
     "dd18_bloom_decontaminate" -> { (s, dir) =>
       import s.implicits._
+      // The shingle frame is PERSISTED: the sizing count, the Bloom
+      // build, the prune certificate, and the candidate join are four
+      // separate actions, and without the cache each re-executes the
+      // documents scan + tokenize + shingle lineage — at 100 TB the
+      // tokenize IS the dominant cost, so the corpus must be read once.
+      // MEMORY_AND_DISK: a shingle frame at scale outgrows executor
+      // memory and must spill, not recompute. The blocks are reclaimed
+      // by the ContextCleaner once the result frame is dropped.
       val sh = Tables.documents(s, dir)
         .withColumn("split", TextOps.contentSplit($"text", 0.9))
         .withColumn("_toks", TextOps.tokens($"text"))
         .filter(size($"_toks") >= 8)
         .select($"doc_id", $"split",
           explode(graft.ops.Dedup.shingleHashes($"_toks", 8)).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val valShRaw = sh.filter($"split" === "val").select($"h")
       // sizing count: partial-agg action (1 row per partition crosses the
       // wire); raw instance count ≥ distinct count, so the bloom is sized
@@ -887,15 +928,7 @@ object TextQueries {
         .select($"doc_id", explode(TextOps.tokens($"text")).as("w"))
         .filter(length($"w") >= 1)
       val words = toks.groupBy($"w").agg(count(lit(1)).as("wc"))
-      val vocab = words
-        .select($"wc", explode(expr(
-          """flatten(transform(sequence(2, 4), L ->
-            |  filter(transform(sequence(1, length(w)),
-            |                   i -> substring(w, i, L)),
-            |         p -> length(p) = L)))""".stripMargin)).as("piece"))
-        .groupBy($"piece").agg(sum($"wc").as("wt"))
-        .orderBy($"wt".desc, $"piece").limit(48)
-        .select($"piece").collect().map(_.getString(0)).toSeq
+      val vocab = wordpieceVocab(words)
       val dict = words.select($"w",
         graft.functions.GreedySegment.pieceCountCol($"w", vocab)
           .as("n_pieces"),
@@ -905,6 +938,41 @@ object TextQueries {
         .agg(count(lit(1)).as("n_words"),
           sum($"n_pieces").as("n_wp_tokens"),
           sum($"n_chars_w").as("n_chars"))
+        .orderBy($"doc_id")
+    },
+
+    // tx33's ROUND-TRIP twin — the tx32 treatment, closing the WordPiece
+    // family's loop the way BPE closed its: greedy segmentation is
+    // lossless BY CONSTRUCTION (every piece is a slice of the word and
+    // the walk always advances), so decode∘encode = id; this entry
+    // certifies it under the oracle instead of trusting the argument.
+    // The dictionary runs the native walk's decode side
+    // (`greedy_decoded_len` — Σ code-point piece lengths through the
+    // REAL segmentation), per doc Spark sums those decoded lengths,
+    // while the oracle sums raw token lengths with NO segmentation
+    // machinery at all — the hashes agree iff the walk consumed every
+    // character of every corpus word exactly once. vocab_lossless
+    // additionally pins the dictionary-level equality as a 1-row
+    // broadcast scalar (the tx32 cert shape). Same scale posture as
+    // tx33: the expression runs over the vocab-bounded dictionary, the
+    // corpus pays one broadcast join + one hash aggregate.
+    "tx34_wordpiece_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("w"))
+        .filter(length($"w") >= 1)
+      val words = toks.groupBy($"w").agg(count(lit(1)).as("wc"))
+      val vocab = wordpieceVocab(words)
+      val dict = words.select($"w",
+        graft.functions.GreedySegment.decodedLenCol($"w", vocab).as("n_dec"),
+        length($"w").cast("long").as("n_chars_w"))
+      val cert = dict.agg(
+        min(($"n_dec" === $"n_chars_w").cast("long")).as("vocab_lossless"))
+      toks.join(broadcast(dict.select($"w", $"n_dec")), "w")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum($"n_dec").as("n_decoded_chars"))
+        .crossJoin(broadcast(cert))
         .orderBy($"doc_id")
     },
 
@@ -1611,6 +1679,20 @@ object TextQueries {
         |JOIN dict USING (w)
         |WHERE length(d.w) >= 1
         |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
+
+    // the round-trip tooth: NO segmentation machinery on the oracle side
+    // at all — raw per-doc token lengths; Spark's side must reproduce
+    // them THROUGH encode→decode (greedy walk + summed piece lengths),
+    // so the hash matches iff decode∘encode = id on every corpus word
+    "tx34_wordpiece_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(length(w)) AS BIGINT) AS n_decoded_chars,
+        |  CAST(1 AS BIGINT) AS vocab_lossless
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |      FROM documents)
+        |WHERE length(w) >= 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same domain derivation, dedup election, and cap rule — two window
     // passes over the narrow (domain, digest, id) projection

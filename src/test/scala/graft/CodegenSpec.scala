@@ -161,6 +161,15 @@ class CodegenSpec extends SparkSuite {
       Seq("tok", "ok1", "to", "k2")).as("v"))
   }
 
+  check("GreedyDecodedLen", _.isInstanceOf[GreedyDecodedLen]) {
+    // same nullable-word fixture as GreedyPieceCount; the decode side of
+    // the tx34 round-trip certificate must fuse and null-propagate too
+    base.select(col("id"), GreedySegment.decodedLenCol(
+      when(col("id") % 9 =!= 0 || col("id") === 0,
+        concat_ws("", col("toks"))),
+      Seq("tok", "ok1", "to", "k2")).as("v"))
+  }
+
   check("CmsEstimate", _.isInstanceOf[CmsEstimate]) {
     val cms = CountMinSketch.create(0.01, 0.99, 42)
     (0L until 200L).foreach(v => cms.addLong(v % 13))

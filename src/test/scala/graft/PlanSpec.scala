@@ -329,6 +329,36 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q40: no broadcast hint on a side that scales with the fact table") {
+    // The r15 shape forced broadcast(orders.select(o_orderkey)) /
+    // broadcast(part.select(p_partkey)) under the FK anti-joins — a
+    // driver OOM at 100× because orders/part grow WITH lineitem. The
+    // fixed shape leaves the anti-join UNHINTED (AQE broadcasts only
+    // when the key table is genuinely small at runtime) and hints only
+    // the 1-row certificate attaches. Pin: every broadcast hint in the
+    // analyzed plan sits on a LOGICALLY max-1-row subtree (a global
+    // aggregate), never on a table-scaling frame.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = SparkEntry.queries("q40_constraint_audit")(spark, sf)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.nonEmpty,
+      "q40 lost its 1-row scalar attaches entirely — pin is vacuous")
+    val bad = hints.filterNot(_.child.maxRows.exists(_ <= 1))
+    assert(bad.isEmpty,
+      s"q40 carries a broadcast hint on a multi-row (table-scaling) side " +
+        s"— the collected-dimension OOM at 100×:\n${bad.mkString("\n")}")
+    // negative control: the OLD r15 shape IS caught by this pin
+    val s = spark
+    import s.implicits._
+    val old = graft.model.Tables.lineitem(s, sf).select($"l_orderkey")
+      .join(broadcast(graft.model.Tables.orders(s, sf).select($"o_orderkey")),
+        $"l_orderkey" === $"o_orderkey", "left_anti")
+      .agg(count(lit(1)).as("v_fk_orders"))
+    val oldHints = old.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(oldHints.nonEmpty && oldHints.exists(!_.child.maxRows.exists(_ <= 1)),
+      "the r15 hinted-key-set shape no longer trips the pin — teeth lost")
+  }
+
   test("negative control: dropping q03's broadcast hint is caught by the pin") {
     // the same join tree WITHOUT the hint: with stats-based broadcast off,
     // no BroadcastHashJoin appears — proving the q03 pin fails when the

@@ -504,6 +504,61 @@ class StreamSpec extends SparkSuite {
       s"$violations day(s) whose final merged CMS undercounts the top user")
   }
 
+  test("st28: per-day GK quantile summaries merge through streaming state " +
+    "under the purging watermark, within the designed rank bound of exact") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (out, q) = graft.queries.StreamQueries.purgingQuantileReplay(s, sf)
+    val finals = graft.queries.StreamQueries.finalPerWindow(out)
+    val streamed = finals
+      .select($"window.start".as("w"), $"n_events",
+        element_at($"pq", 1).as("p50"), element_at($"pq", 2).as("p90"))
+      .orderBy($"w").collect()
+    assert(q.lastProgress.batchId >= 3,
+      s"expected >=4 micro-batches, lastBatchId=${q.lastProgress.batchId}")
+    // purge certificate: only the watermark-open tail stays resident
+    val resident = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(streamed.length > 6, s"need a multi-window replay, got ${streamed.length}")
+    assert(resident >= 1 && resident <= streamed.length / 2,
+      s"state rows at termination = $resident of ${streamed.length} windows — " +
+        "the watermark did not purge the GK state (or purged everything)")
+    // the cross-batch state merge must honor GK's RANK contract against
+    // the raw day (a VALUE bound would be wrong: the summary returns a
+    // real data point, and order-statistic gaps at small n put it
+    // several % away in value even at perfect rank) — same (2 + 1%·n)
+    // bound the st28 entry certifies under the oracle
+    val byDay = graft.model.Tables.events(s, sf)
+      .select(window($"ts", "1 day")("start").as("w"), $"value")
+      .collect().groupBy(_.get(0)).view.mapValues(_.map(_.getDouble(1))).toMap
+    streamed.foreach { sr =>
+      val vals = byDay(sr.get(0))
+      val n = vals.length
+      for ((v, q) <- Seq((sr.getDouble(2), 0.5), (sr.getDouble(3), 0.9))) {
+        val rank = vals.count(_ <= v)
+        assert(math.abs(rank - q * n) <= 2.0 + 0.01 * n,
+          s"merged p$q value $v ranks $rank of $n (target ${q * n}) for " +
+            s"window ${sr.get(0)} — outside the GK rank contract")
+      }
+    }
+  }
+
+  test("st27: the SHUFFLED stream-static join regime emits the identical " +
+    "state-machine aggregates as st01's broadcast regime") {
+    val s = spark
+    import s.implicits._
+    // the regime twin must agree with the broadcast entry ROW FOR ROW —
+    // the join shape is an execution choice, never a semantics choice
+    val shuffled = graft.SparkEntry.queries("st27_invoice_state_shuffled")(s, sf)
+      .collect()
+    val broadcastR = graft.SparkEntry.queries("st01_invoice_state")(s, sf)
+      .collect()
+    assert(shuffled.length == broadcastR.length && shuffled.length > 0,
+      s"row counts diverged: ${shuffled.length} vs ${broadcastR.length}")
+    assert(shuffled.sameElements(broadcastR),
+      "shuffled-regime state machine diverged from the broadcast regime")
+  }
+
   test("st14's outer join emits genuinely unmatched clicks (not vacuously inner)") {
     val s = spark
     import s.implicits._
@@ -592,6 +647,32 @@ class StreamSpec extends SparkSuite {
     val plan = out.toString("UTF-8")
     assert(plan.contains("BroadcastHashJoin"),
       s"stream-static join must broadcast the static orders side; got:\n$plan")
+  }
+
+  test("st27's shuffled regime genuinely avoids the broadcast (pinned plan)") {
+    // the negative control for the regime pair: with the hint dropped
+    // and broadcast-by-stats off, the stream-static join must plan as a
+    // per-micro-batch shuffle — otherwise the st27 regime measurement
+    // (SCALE.md) silently times the broadcast plan twice
+    val s = spark
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "-1")
+    try {
+      val (df, q) = StreamRunner.toMemoryWithQuery(
+        InvoiceStateMachine(
+          graft.queries.StreamQueries.purchaseStream(spark, sf, broadcastDim = false),
+          idleTimeoutMs = 0L))
+      assert(df.count() > 0)
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) { q.explain() }
+      val plan = out.toString("UTF-8")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"the shuffled-regime twin still broadcasts:\n$plan")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
   test("st18: crash between sink write and commit recovers from the checkpoint to the batch answer") {

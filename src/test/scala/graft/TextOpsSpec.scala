@@ -262,4 +262,17 @@ class TextOpsSpec extends SparkSuite {
       == Seq("𝕏", "𝕏"),
       "fallback must consume whole code points, not surrogate halves")
   }
+
+  test("tx34 decoded length: Σ piece code-points == word code-points, " +
+    "incl. non-BMP and the null path") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val vocab = new GenericArrayData(
+      Seq("ab", "bcd", "a𝕏").map(UTF8String.fromString).toArray[Any])
+    for (w <- Seq("", "a", "abcd", "abcabcab", "a𝕏b", "𝕏𝕏"))
+      assert(graft.functions.GreedySegment.decodedLen(
+        UTF8String.fromString(w), vocab) == w.codePointCount(0, w.length),
+        s"decoded length of '$w' diverged from its code-point count — " +
+          "the walk skipped or double-consumed characters")
+  }
 }
