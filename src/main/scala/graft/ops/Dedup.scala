@@ -169,6 +169,29 @@ object Dedup {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
   }
 
+  /** Parameter-sidecar read memo: the `_params` assert is a 1-row Spark
+    * job (~0.5 s of scheduler overhead at any SF — the r15→r16 dd17
+    * regression), but the sidecar is immutable once written, so one read
+    * per DISTINCT ARTIFACT suffices. Keyed on the sidecar's file listing
+    * (path, length, mtime) — a rewritten index rotates the key, exactly
+    * the `chunkDirs`/`sourceId` stale-data posture — via a plain
+    * filesystem stat (no Spark job). */
+  private val lshParamsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int)]()
+
+  private def fileKey(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def walk(path: org.apache.hadoop.fs.Path): Seq[String] = {
+      val st = fs.getFileStatus(path)
+      if (st.isDirectory)
+        fs.listStatus(path).toSeq.sortBy(_.getPath.toString).flatMap(c => walk(c.getPath))
+      else Seq(s"${st.getPath}|${st.getLen}|${st.getModificationTime}")
+    }
+    java.lang.Long.toHexString(
+      walk(p).sorted.foldLeft(17L)((h, e) => h * 31 + e.hashCode))
+  }
+
   /** Load a [[writeLshBandIndex]] artifact, FAILING LOUDLY if the
     * caller's expected band parameters differ from the ones the index
     * was built with (the silent-corruption precondition of
@@ -176,9 +199,12 @@ object Dedup {
   def readLshBandIndex(s: org.apache.spark.sql.SparkSession, path: String,
                        shingleK: Int = 3, numBands: Int = 8,
                        rowsPerBand: Int = 4): DataFrame = {
-    val p = s.read.parquet(s"$path/_params").head()
-    val (k, b, r) = (p.getAs[Int]("shingle_k"), p.getAs[Int]("num_bands"),
-      p.getAs[Int]("rows_per_band"))
+    val (k, b, r) = lshParamsMemo.computeIfAbsent(
+      s"$path|${fileKey(s, s"$path/_params")}", _ => {
+        val p = s.read.parquet(s"$path/_params").head()
+        (p.getAs[Int]("shingle_k"), p.getAs[Int]("num_bands"),
+          p.getAs[Int]("rows_per_band"))
+      })
     require(k == shingleK && b == numBands && r == rowsPerBand,
       s"LSH index at $path was built with (shingleK=$k, numBands=$b, " +
         s"rowsPerBand=$r) but is being probed with (shingleK=$shingleK, " +
