@@ -50,7 +50,13 @@ class RocksDbStateStoreSpec extends SparkSuite {
     // filter runs above the store; a divergence here would mean the drop
     // model the st19/st20 oracles encode is provider-specific
     "st19_late_data_audit",
-    "st20_append_window_flush")
+    "st20_append_window_flush",
+    // r16 additions: the SHUFFLED stream-static regime (per-batch join
+    // exchange feeding the same fold state) and GK quantile summaries in
+    // state under the purging watermark (variable-length serialized
+    // summary buffers — a different binary-state class than HLL/CMS)
+    "st27_invoice_state_shuffled",
+    "st28_stream_quantile_purge")
 
   for (name <- StatefulSuite)
     test(s"$name: identical output under RocksDB and default state stores") {
