@@ -1260,6 +1260,104 @@ object StreamQueries {
         .orderBy($"w_start")
     },
 
+    // STREAMING NEAR-DUP INGEST GATE with a SELF-MAINTAINING LSH index —
+    // dd17's persisted artifact EVOLVING inside one streaming query, the
+    // crawl-ingest loop (probe → gate → index-append) end to end: each
+    // micro-batch (a content-addressed third of the corpus, replayed in
+    // deterministic mtime order) probes the index accumulated from every
+    // EARLIER arrival (exact content digests + LSH band table), drops
+    // exact and near (J ≥ 0.5) duplicates of any earlier-arriving doc,
+    // emits its keepers through the idempotent atomic-rename sink, and
+    // APPENDS its own digests/bands/text to the index for the next
+    // batch. Arrival order is content-addressed (chunk = doc_id % 3,
+    // within-batch by doc_id), so "earlier" is a pure function of the
+    // data and the WHOLE sequential process replays exactly in DuckDB:
+    // dropped iff SOME earlier arrival shares the digest or reaches the
+    // Jaccard threshold. EVERY arrival indexes its bands (keeper or not
+    // — the index-everything-emit-once posture), so chains through
+    // dropped docs drop identically on both sides. Scale shape: history
+    // text is re-read ONLY for candidate partners (dd17's left-semi
+    // prune — the full history is never re-shingled); per batch the
+    // probe shuffles (band, id) pairs and the narrow digest set; all
+    // index appends go through the per-batch atomic-commit protocol, so
+    // an at-least-once retry can neither duplicate index rows nor emit
+    // a keeper twice.
+    "st29_stream_lsh_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val scratch = ensureDocChunks(s, dir, 3)
+      val base = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
+        "lshstream-").toString
+      val (bandsDir, digestsDir, corpusDir, sinkDir) =
+        (s"$base/bands", s"$base/digests", s"$base/corpus", s"$base/keepers")
+      val stream = s.readStream.schema(Schemas.documents)
+        .option("maxFilesPerTrigger", 1).parquet(scratch)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b0: DataFrame, batchId: Long) =>
+          val s2 = b0.sparkSession
+          import s2.implicits._
+          val batch = b0.cache()
+          try {
+            def have(p: String) = new java.io.File(p).exists()
+            def rd(p: String) = graft.stream.IdempotentSink.read(s2, p)
+            val withH = batch.withColumn("h", md5($"text".cast("binary")))
+            // exact rule: dup of any earlier arrival — index digests
+            // cover earlier batches, the window covers earlier in-batch
+            val wD = org.apache.spark.sql.expressions.Window
+              .partitionBy($"h").orderBy($"doc_id")
+            val dropExactBatch = withH.withColumn("rn", row_number().over(wD))
+              .filter($"rn" > 1).select($"doc_id")
+            val dropExactHist =
+              if (have(digestsDir))
+                withH.join(rd(digestsDir), Seq("h"), "left_semi").select($"doc_id")
+              else Seq.empty[Long].toDF("doc_id")
+            // near rule: band buckets union index rows with fresh rows —
+            // identical bucket membership to a full-corpus run
+            val bands =
+              if (have(bandsDir)) rd(bandsDir)
+              else Seq.empty[(Long, Long)].toDF("id", "band")
+            val history =
+              if (have(corpusDir)) rd(corpusDir)
+              else Seq.empty[(Long, String)].toDF("doc_id", "text")
+            val pairs = graft.ops.Dedup.minHashDupPairsWithIndex(
+                batch, bands, history, "doc_id", "text",
+                shingleK = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+              .select($"id_a", $"id_b")
+            val und = pairs
+              .unionByName(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
+            val batchIds = batch.select($"doc_id")
+            val dropNear = und
+              .join(batchIds.select($"doc_id".as("id_b")), "id_b")
+              .join(batchIds.select($"doc_id".as("id_a"),
+                lit(true).as("partner_new")), Seq("id_a"), "left")
+              .filter(!coalesce($"partner_new", lit(false)) || $"id_a" < $"id_b")
+              .select($"id_b".as("doc_id")).distinct()
+            val dropped = dropExactBatch.unionByName(dropExactHist)
+              .unionByName(dropNear).distinct()
+            val keepers = batch.join(dropped, Seq("doc_id"), "left_anti")
+              .select($"doc_id", $"n_chars")
+            graft.stream.IdempotentSink.writeBatch(keepers, sinkDir, batchId)
+            // index-append: EVERY arrival, through the same atomic
+            // per-batch commit (an at-least-once retry appends nothing)
+            graft.stream.IdempotentSink.writeBatch(
+              graft.ops.Dedup.lshBandIndex(batch, "doc_id", "text",
+                shingleK = 3, numBands = 8, rowsPerBand = 4),
+              bandsDir, batchId)
+            graft.stream.IdempotentSink.writeBatch(
+              withH.select($"h").distinct(), digestsDir, batchId)
+            graft.stream.IdempotentSink.writeBatch(
+              batch.select($"doc_id", $"text"), corpusDir, batchId)
+          } finally { batch.unpersist(); () }
+        }
+        .start()
+      q.awaitTermination()
+      graft.stream.IdempotentSink.read(s, sinkDir)
+        .select($"doc_id", $"n_chars")
+        .orderBy($"doc_id")
+    },
+
     "st12_stream_hll_window" -> { (s, dir) =>
       import s.implicits._
       val (finals, _) = windowedSketchReplay(s, dir, nFiles = 3)
@@ -1561,6 +1659,41 @@ object StreamQueries {
     purgingWindowReplay(s, dir,
       expr("percentile_approx(value, array(0.5D, 0.9D), 10000)").as("pq"))
 
+  /** st29's chunk fixture: the documents table split into `nFiles`
+    * CONTENT-ADDRESSED chunks (`doc_id % nFiles` — the oracle recomputes
+    * membership), each a single parquet file with strictly increasing
+    * mtimes so `maxFilesPerTrigger=1` replays chunk 0 → 1 → … in a
+    * deterministic batch order (the [[ensureLateChunks]] mtime trick).
+    * Batch identity is load-bearing: st29's "earlier arrival" drop rule
+    * is a pure function of (chunk, doc_id), so the whole sequential
+    * ingest replays exactly in DuckDB. */
+  private[graft] def ensureDocChunks(s: org.apache.spark.sql.SparkSession,
+                                     dir: String, nFiles: Int): String =
+    chunkDirs.computeIfAbsent(s"docpq|$dir|$nFiles|${sourceId(s, dir, "documents")}", _ => {
+      val scratch = new java.io.File(
+        s"target/stream-scratch/doc_chunks_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$nFiles")
+        .getAbsolutePath
+      val docs = Tables.documents(s, dir)
+      val base = System.currentTimeMillis()
+      for (c <- 0 until nFiles) {
+        val tmp = s"$scratch/_tmp_$c"
+        docs.filter(col("doc_id") % nFiles === c)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written under $tmp"))
+        val dest = new java.io.File(s"$scratch/chunk_$c.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dest.setLastModified(base + c * 2000L)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+      }
+      scratch
+    })
+
   /** st22's CSV chunk fixture: the documents table as 3 headerless CSV
     * chunk files plus one injected file of malformed lines (a
     * type-invalid long, a surplus column). Memoized per (dir, content)
@@ -1607,6 +1740,52 @@ object StreamQueries {
     // st01's oracle verbatim: the shuffled stream-static join regime must
     // not change a single emitted aggregate
     "st27_invoice_state_shuffled" -> s"$weightedAggSql ORDER BY invoice_no",
+
+    // The full sequential-ingest replay: exact 3-shingle Jaccard over
+    // the whole corpus (recall at 8×4 bands @ J>=0.5 is 100% at the
+    // check SFs — dd15's pinned premise, same machinery), with the
+    // arrival order recomputed from (doc_id % 3, doc_id); a doc
+    // survives iff NO earlier arrival shares its digest or reaches the
+    // threshold. The hash match certifies the evolving-index stream
+    // lands on the exact sequential answer.
+    "st29_stream_lsh_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(t) < 3
+        |           THEN [array_to_string(t, ' ')]
+        |           ELSE list_transform(generate_series(1, len(t) - 2),
+        |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |         END) AS shingles
+        |  FROM toks),
+        |post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |         FROM post l JOIN post r ON l.shingle = r.shingle
+        |                                AND l.doc_id < r.doc_id),
+        |pairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+        |  WHERE len(list_intersect(a.shingles, b.shingles))
+        |        / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
+        |und AS (SELECT id_a, id_b FROM pairs
+        |        UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs),
+        |d AS (SELECT doc_id, n_chars, md5(text) AS h, doc_id % 3 AS ck
+        |      FROM documents),
+        |drop_exact AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY ck, doc_id) AS rn
+        |    FROM d) WHERE rn > 1),
+        |drop_near AS (
+        |  SELECT DISTINCT u.id_b AS doc_id
+        |  FROM und u
+        |  JOIN d b ON u.id_b = b.doc_id
+        |  JOIN d p ON u.id_a = p.doc_id
+        |  WHERE p.ck < b.ck OR (p.ck = b.ck AND u.id_a < u.id_b)),
+        |dropped AS (SELECT doc_id FROM drop_exact
+        |            UNION SELECT doc_id FROM drop_near)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM d
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
 
     // exact per-day counts + interpolated percentiles (the sk02
     // round(4) contract); the GK rank-contract bits and the purge bit

@@ -543,6 +543,38 @@ class StreamSpec extends SparkSuite {
     }
   }
 
+  test("st29: the evolving LSH index gates arrivals against EARLIER " +
+    "batches, not just in-batch dedup") {
+    val s = spark
+    import s.implicits._
+    val out = graft.SparkEntry.queries("st29_stream_lsh_dedup")(s, sf).cache()
+    val keepers = out.select($"doc_id").as[Long].collect().toSet
+    val total = graft.model.Tables.documents(s, sf).count()
+    assert(keepers.nonEmpty && keepers.size < total,
+      s"gate vacuous: ${keepers.size} keepers of $total docs — nothing dropped")
+    // ≥1 dropped arrival whose ONLY earlier partners live in EARLIER
+    // chunks: that drop can only have been served by the index
+    // accumulated from prior micro-batches (in-batch dedup cannot see
+    // those partners), so the probe fails if the index-append → probe
+    // loop silently stops working even while in-batch dedup keeps the
+    // keeper count plausible
+    val pairs = graft.ops.Dedup.minHashDupPairs(
+        graft.model.Tables.documents(s, sf), "doc_id", "text",
+        shingleK = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    def ck(id: Long) = id % 3
+    val und = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) } // (partner, doc)
+    val crossOnlyDropped = und.groupBy(_._2).collect {
+      case (doc, ps) if !keepers(doc) &&
+        ps.exists { case (p, _) => ck(p) < ck(doc) } &&
+        !ps.exists { case (p, _) => ck(p) == ck(doc) && p < doc } => doc
+    }
+    assert(crossOnlyDropped.nonEmpty,
+      "no arrival was dropped solely via the cross-batch index — the " +
+        "evolving-index path went untested")
+    out.unpersist()
+  }
+
   test("st27: the SHUFFLED stream-static join regime emits the identical " +
     "state-machine aggregates as st01's broadcast regime") {
     val s = spark
