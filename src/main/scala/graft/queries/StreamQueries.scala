@@ -156,6 +156,7 @@ object StreamQueries {
     })
 
   val builds: Map[String, B] = Map(
+    "build_doc_chunks" -> ((s, dir) => { ensureDocChunks(s, dir, 3); () }),
     "build_stream_chunks" -> ((s, dir) => { ensureStreamChunks(s, dir, 3); () }),
     "build_event_chunks" -> ((s, dir) => { ensureEventChunks(s, dir, 3); () }),
     "build_late_chunks" -> ((s, dir) => { ensureLateChunks(s, dir); () }),
@@ -1358,6 +1359,96 @@ object StreamQueries {
         .orderBy($"doc_id")
     },
 
+    // STREAMING VECTOR SEARCH against the PERSISTED IVF index — an12's
+    // restart artifact serving a QUERY STREAM (nearline retrieval:
+    // embeddings of newly arrived items looked up against the corpus as
+    // they land). The index — driver-side centroids + distributed
+    // (id, cell) assignment table — is built and WRITTEN ONCE before the
+    // stream starts; each micro-batch re-READS the assignment parquet
+    // (a scan, never a re-clustering) and runs the identical probe
+    // arithmetic as an02/an12, appending its top-k lists through the
+    // idempotent sink. Certification is an02's inline-bit pattern (raw
+    // neighbor ids are IVF-internals-bound): per-query k_returned /
+    // in_corpus_ok / not_self_ok / ordered_ok, the an03-calibrated
+    // recall floor vs the exact brute-force answer (same query set as
+    // an01/an02, so the floor is the already-certified one), plus the
+    // an12 equivalence ACROSS THE STREAMING BOUNDARY — the accumulated
+    // sink must equal the one-shot loaded-index search bit for bit
+    // (stream_batch_equal). Scale shape: per batch the corpus is probed
+    // only in the queries' cells (assignment join), queries broadcast;
+    // at 100 TB the assignment table is bucketed by cell so the probe
+    // reads only probed buckets.
+    "st30_stream_ann_topk" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val key = s"emb-$dir"
+      val centers = graft.ops.Similarity.coarseQuantizer(
+        emb, "vec_id", "embedding", key, nCells = 16, seed = 42L)
+      val base = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
+        "annstream-").toString
+      val sinkDir = s"$base/topk"
+      // the one-time index write (the an12 artifact posture)
+      graft.ops.Similarity.ivfAssignments(emb, "vec_id", "embedding", centers)
+        .write.mode("overwrite").parquet(s"$base/assignments")
+      val scratch = ensureEmbQueryChunks(s, dir, 3)
+      val stream = s.readStream.schema(Schemas.embeddings)
+        .option("maxFilesPerTrigger", 1).parquet(scratch)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b0: DataFrame, batchId: Long) =>
+          val s2 = b0.sparkSession
+          val topk = graft.ops.Similarity.ivfTopKWithIndex(
+            Tables.embeddings(s2, dir), b0, "vec_id", "embedding", k = 5,
+            centers = centers,
+            assignments = s2.read.parquet(s"$base/assignments"), nProbe = 4)
+          graft.stream.IdempotentSink.writeBatch(topk, sinkDir, batchId)
+        }
+        .start()
+      q.awaitTermination()
+      val streamed = graft.stream.IdempotentSink.read(s, sinkDir)
+      val queries = emb.filter($"vec_id" < 10)
+      // an12's equivalence cert, across the streaming boundary
+      val oneShot = graft.ops.Similarity.ivfTopKWithIndex(
+        emb, queries, "vec_id", "embedding", k = 5,
+        centers = centers,
+        assignments = s.read.parquet(s"$base/assignments"), nProbe = 4)
+      val equal = streamed
+        .select($"query_id", $"rank", $"neighbor_id".as("n_s"), $"cosine".as("c_s"))
+        .join(oneShot.select($"query_id", $"rank",
+          $"neighbor_id".as("n_b"), $"cosine".as("c_b")),
+          Seq("query_id", "rank"), "full_outer")
+        .agg(sum(when($"n_s".isNull || $"n_b".isNull || $"n_s" =!= $"n_b" ||
+            abs($"c_s" - $"c_b") > 1e-15, 1L).otherwise(0L)).as("n_diff"))
+        .select(when($"n_diff" === 0, 1L).otherwise(0L).as("stream_batch_equal"))
+      // an02's recall floor vs the exact answer (same query set → the
+      // an03-calibrated >= 0.5 @ nProbe=4 bar applies verbatim)
+      val exact = graft.ops.Similarity.bruteForceTopK(
+          emb, queries, "vec_id", "embedding", k = 5)
+        .select($"query_id".as("qid"), $"neighbor_id".as("nid"))
+      val recall = exact.join(
+          streamed.select($"query_id".as("q2"), $"neighbor_id".as("n2"), lit(1L).as("hit")),
+          $"qid" === $"q2" && $"nid" === $"n2", "left")
+        .agg((sum(coalesce($"hit", lit(0L))).cast("double") / count(lit(1))).as("recall"))
+        .select(when($"recall" >= 0.5, 1L).otherwise(0L).as("recall_ok"))
+      val corpus = emb.select($"vec_id".as("neighbor_id"), lit(1L).as("in_corpus"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"rank")
+      streamed
+        .join(broadcast(corpus), Seq("neighbor_id"), "left")
+        .withColumn("prev_cos", lag($"cosine", 1).over(wOrd))
+        .groupBy($"query_id")
+        .agg(count(lit(1)).as("k_returned"),
+          min(coalesce($"in_corpus", lit(0L))).as("in_corpus_ok"),
+          min(when($"neighbor_id" =!= $"query_id", 1L).otherwise(0L)).as("not_self_ok"),
+          min(when($"prev_cos".isNull || $"cosine" <= $"prev_cos", 1L)
+            .otherwise(0L)).as("ordered_ok"))
+        .crossJoin(broadcast(recall))
+        .crossJoin(broadcast(equal))
+        .orderBy($"query_id")
+    },
+
     "st12_stream_hll_window" -> { (s, dir) =>
       import s.implicits._
       val (finals, _) = windowedSketchReplay(s, dir, nFiles = 3)
@@ -1694,6 +1785,37 @@ object StreamQueries {
       scratch
     })
 
+  /** st30's chunk fixture: the an01/an02 query set (`vec_id < 10`) split
+    * into `nFiles` content-addressed chunks (`vec_id % nFiles`), each a
+    * single parquet file with strictly increasing mtimes — the
+    * [[ensureDocChunks]] construction for the embeddings table. */
+  private[graft] def ensureEmbQueryChunks(s: org.apache.spark.sql.SparkSession,
+                                          dir: String, nFiles: Int): String =
+    chunkDirs.computeIfAbsent(s"embq|$dir|$nFiles|${sourceId(s, dir, "embeddings")}", _ => {
+      val scratch = new java.io.File(
+        s"target/stream-scratch/embq_chunks_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$nFiles")
+        .getAbsolutePath
+      val q0 = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      val base = System.currentTimeMillis()
+      for (c <- 0 until nFiles) {
+        val tmp = s"$scratch/_tmp_$c"
+        q0.filter(col("vec_id") % nFiles === c)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written under $tmp"))
+        val dest = new java.io.File(s"$scratch/chunk_$c.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dest.setLastModified(base + c * 2000L)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+      }
+      scratch
+    })
+
   /** st22's CSV chunk fixture: the documents table as 3 headerless CSV
     * chunk files plus one injected file of malformed lines (a
     * type-invalid long, a surplus column). Memoized per (dir, content)
@@ -1740,6 +1862,20 @@ object StreamQueries {
     // st01's oracle verbatim: the shuffled stream-static join regime must
     // not change a single emitted aggregate
     "st27_invoice_state_shuffled" -> s"$weightedAggSql ORDER BY invoice_no",
+
+    // an02's constant-bit oracle shape plus the cross-boundary
+    // equivalence bit: every certificate is computed in the entry and
+    // pinned to 1 here (the raw neighbor ids are IVF-internals-bound —
+    // the an02/an12 rationale)
+    "st30_stream_ann_topk" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k_returned,
+        |       CAST(1 AS BIGINT) AS in_corpus_ok,
+        |       CAST(1 AS BIGINT) AS not_self_ok,
+        |       CAST(1 AS BIGINT) AS ordered_ok,
+        |       CAST(1 AS BIGINT) AS recall_ok,
+        |       CAST(1 AS BIGINT) AS stream_batch_equal
+        |FROM embeddings WHERE vec_id < 10
+        |ORDER BY query_id""".stripMargin,
 
     // The full sequential-ingest replay: exact 3-shingle Jaccard over
     // the whole corpus (recall at 8×4 bands @ J>=0.5 is 100% at the

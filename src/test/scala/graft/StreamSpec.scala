@@ -575,6 +575,27 @@ class StreamSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("st30: the query stream crosses 3 micro-batches and every ANN " +
+    "certificate holds, incl. streamed == one-shot loaded-index search") {
+    val s = spark
+    import s.implicits._
+    // batch premise: the content-addressed fixture must be 3 one-file
+    // chunks, or AvailableNow + maxFilesPerTrigger=1 stops crossing
+    // batch boundaries and the entry degrades to a one-shot search
+    val scratch = graft.queries.StreamQueries.ensureEmbQueryChunks(s, sf, 3)
+    val chunks = new java.io.File(scratch).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(chunks == 3, s"expected 3 chunk files, got $chunks")
+    val out = graft.SparkEntry.queries("st30_stream_ann_topk")(s, sf).collect()
+    assert(out.length == 10, s"expected 10 query rows, got ${out.length}")
+    for (r <- out; c <- Seq("k_returned", "in_corpus_ok", "not_self_ok",
+      "ordered_ok", "recall_ok", "stream_batch_equal")) {
+      val v = r.getLong(r.fieldIndex(c))
+      val want = if (c == "k_returned") 5L else 1L
+      assert(v == want, s"query ${r.getLong(0)}: $c = $v, want $want")
+    }
+  }
+
   test("st27: the SHUFFLED stream-static join regime emits the identical " +
     "state-machine aggregates as st01's broadcast regime") {
     val s = spark
