@@ -329,6 +329,67 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  /** Entries allowed a broadcast hint on a >1-row LOGICAL subtree. The
+    * r15 verdict's only two weak findings were forced broadcasts of
+    * fact-scaling frames (q40's FK key sets, purchaseStream's orders) —
+    * this sweep makes that failure mode structural: any NEW multi-row
+    * broadcast hint outside this list fails the suite until its
+    * boundedness is argued here. Every entry is bounded by construction:
+    *  - an01–an12, an06/an10: the fixed ≤10-vector query set and the
+    *    brute-force recall ground-truth frames derived from it (the
+    *    documented ANN baseline posture);
+    *  - q03: the canonical dimension-side broadcast (the q03 pin's whole
+    *    point; its negative control proves the hint is load-bearing);
+    *  - q20: a pre-aggregated frame keyed on the bounded group domain;
+    *  - q24: the distinct-value dictionary (bounded cardinality by
+    *    construction — the dictionary-encode premise);
+    *  - q33/tx18/tx19/tx24: the ≤256-row stripe/boundary/rate frames
+    *    (the striped prefix-sum pattern);
+    *  - ev17: the per-day aggregate frame (≤ calendar days);
+    *  - sk06/sk07: per-group KMV synopses over the bounded audited-group
+    *    set (≤8k+4 B each — the KB-artifact posture);
+    *  - tx29/tx32/tx33/tx34: the distinct-word dictionary with per-word
+    *    token counts (vocabulary growth, sub-corpus by Heaps' law — the
+    *    blessed tx29 scale shape: the corpus pays one broadcast join). */
+  private val multiRowHintWhitelist: Set[String] = Set(
+    "an01_cosine_topk_brute", "an02_cosine_topk_ivf", "an03_ivf_recall",
+    "an04_pq_recall", "an05_ivfpq_recall", "an06_jaccard_topk",
+    "an07_filtered_topk", "an09_sq8_recall", "an10_maxsim_topk",
+    "an11_opq_recall", "an12_index_persistence",
+    "ev17_rolling_actives",
+    "q03_revenue_by_segment", "q20_outer_join", "q24_dict_encode",
+    "q33_range_partition_plan",
+    "sk06_theta_intersection", "sk07_persisted_synopses",
+    "tx18_sequence_packing", "tx19_mixture_rebalance",
+    "tx24_deterministic_shuffle",
+    "tx29_bpe_encode", "tx32_bpe_decode_roundtrip",
+    "tx33_wordpiece_encode", "tx34_wordpiece_roundtrip")
+
+  test("catalog sweep: no broadcast hint on an unbounded (fact-scaling) side") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val offenders = batchQueries.flatMap { case (name, fn) =>
+      val hints = fn(spark, sf).queryExecution.analyzed.collect {
+        case h: ResolvedHint => h }
+      val multi = hints.filterNot(_.child.maxRows.exists(_ <= 1))
+      if (multi.nonEmpty && !multiRowHintWhitelist(name))
+        Some(s"$name (${multi.map(_.child.nodeName).mkString(", ")})")
+      else None
+    }
+    assert(offenders.isEmpty,
+      "broadcast hint on a multi-row side outside the boundedness " +
+        s"whitelist — the q40/purchaseStream failure mode:\n" +
+        offenders.mkString("\n"))
+    // teeth both ways: every whitelisted name must still CARRY a
+    // multi-row hint, or the list is stale and silently over-permissive
+    val stale = multiRowHintWhitelist.filter { name =>
+      SparkEntry.queries(name)(spark, sf).queryExecution.analyzed.collect {
+        case h: ResolvedHint if !h.child.maxRows.exists(_ <= 1) => h
+      }.isEmpty
+    }
+    assert(stale.isEmpty,
+      s"whitelisted entries no longer carry a multi-row hint — prune them: $stale")
+  }
+
   test("q40: no broadcast hint on a side that scales with the fact table") {
     // The r15 shape forced broadcast(orders.select(o_orderkey)) /
     // broadcast(part.select(p_partkey)) under the FK anti-joins — a
