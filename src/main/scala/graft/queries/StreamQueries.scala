@@ -1449,6 +1449,65 @@ object StreamQueries {
         .orderBy($"query_id")
     },
 
+    // STREAMING DETERMINISTIC FIXED-k SAMPLE — tx20's streaming twin,
+    // closing the sampling family's loop (the st29/st30 treatment): the
+    // per-source k content-hash-smallest docs maintained across
+    // micro-batches as a BOUNDED versioned artifact. The selection rule
+    // is a semilattice — top-k(A ∪ B) = top-k(top-k(A) ∪ top-k(B)) — so
+    // each batch folds its own per-source top-k into the previous
+    // artifact and re-elects, and the final artifact equals the one-shot
+    // batch answer EXACTLY (the deterministic replacement for reservoir
+    // sampling: no RNG, duplicates elect identically, stable under
+    // replay and partitioning). State is the artifact itself: ≤
+    // n_sources × k rows at EVERY version regardless of stream length —
+    // pinned by state_bounded_ok over all versions — where a naive
+    // sample-at-the-end holds the whole stream. Versioned artifact
+    // writes are deterministic functions of (previous version, batch),
+    // so an at-least-once retry rewrites byte-identical content.
+    "st31_stream_fixed_k_sample" -> { (s, dir) =>
+      import s.implicits._
+      val K = 5
+      val scratch = ensureDocChunks(s, dir, 3)
+      val base = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
+        "ksample-").toString
+      def vDir(i: Long) = s"$base/v$i"
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      def topK(df: DataFrame) = df
+        .withColumn("_rk", row_number().over(w)).filter(col("_rk") <= K)
+        .drop("_rk")
+      val stream = s.readStream.schema(Schemas.documents)
+        .option("maxFilesPerTrigger", 1).parquet(scratch)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b0: DataFrame, batchId: Long) =>
+          val s2 = b0.sparkSession
+          val batchTop = topK(b0.select(col("source"), col("doc_id"),
+            col("n_chars"), md5(col("text").cast("binary")).as("h")))
+          val merged =
+            if (batchId == 0) batchTop
+            else topK(s2.read.parquet(vDir(batchId - 1)).unionByName(batchTop))
+          merged.write.mode("overwrite").parquet(vDir(batchId))
+        }
+        .start()
+      q.awaitTermination()
+      val versions = Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("v")).map(_.getName.drop(1).toLong).sorted
+      val nSources = Tables.documents(s, dir).select($"source").distinct().count()
+      // the bounded-state certificate: EVERY version's artifact must fit
+      // the n_sources × k budget (the whole point vs a naive reservoir)
+      val boundedOk = versions.forall(v =>
+        s.read.parquet(vDir(v)).count() <= nSources * K)
+      s.read.parquet(vDir(versions.last))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select($"source", $"rank", $"doc_id", $"n_chars",
+          lit(versions.length.toLong).as("n_versions"),
+          lit(if (boundedOk) 1L else 0L).as("state_bounded_ok"))
+        .orderBy($"source", $"rank")
+    },
+
     "st12_stream_hll_window" -> { (s, dir) =>
       import s.implicits._
       val (finals, _) = windowedSketchReplay(s, dir, nFiles = 3)
@@ -1862,6 +1921,20 @@ object StreamQueries {
     // st01's oracle verbatim: the shuffled stream-static join regime must
     // not change a single emitted aggregate
     "st27_invoice_state_shuffled" -> s"$weightedAggSql ORDER BY invoice_no",
+
+    // tx20's oracle verbatim plus the pinned batch count and
+    // bounded-state bit — the fold across versions must land on the
+    // exact one-shot answer
+    "st31_stream_fixed_k_sample" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY md5(text), doc_id) AS rank
+        |  FROM documents)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars,
+        |       CAST(3 AS BIGINT) AS n_versions,
+        |       CAST(1 AS BIGINT) AS state_bounded_ok
+        |FROM r WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
 
     // an02's constant-bit oracle shape plus the cross-boundary
     // equivalence bit: every certificate is computed in the entry and

@@ -596,6 +596,28 @@ class StreamSpec extends SparkSuite {
     }
   }
 
+  test("st31: the fixed-k sample folds across versions — electees span " +
+    "batches and the artifact stays bounded") {
+    val s = spark
+    import s.implicits._
+    val out = graft.SparkEntry.queries("st31_stream_fixed_k_sample")(s, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_versions")) == 3L, "expected 3 artifact versions")
+      assert(r.getLong(r.fieldIndex("state_bounded_ok")) == 1L,
+        "artifact exceeded the n_sources × k budget at some version")
+    }
+    // the fold genuinely crossed batches: some source's final sample
+    // mixes docs from different content-addressed chunks (all-one-chunk
+    // would mean later batches never displaced or joined the artifact)
+    val spansChunks = out.groupBy(_.getString(0)).exists { case (_, rows) =>
+      rows.map(r => r.getLong(r.fieldIndex("doc_id")) % 3).distinct.length >= 2
+    }
+    assert(spansChunks,
+      "no source's final sample spans multiple chunks — the cross-batch " +
+        "fold went unexercised")
+  }
+
   test("st27: the SHUFFLED stream-static join regime emits the identical " +
     "state-machine aggregates as st01's broadcast regime") {
     val s = spark
