@@ -118,21 +118,24 @@ object GreedySegment {
       Literal.create(vocab, ArrayType(StringType))))
 
   /** Vocab parse memo: one literal array instance per plan, probed per
-    * row — parse once. Bounded as a true access-ordered LRU: each task
-    * deserializes its own codegen-reference copy of the literal, so the
-    * map sees several content-equal (or representation-heterogeneous)
-    * keys per vocabulary; evicting only the ELDEST entry keeps hot
-    * vocabularies resident, where the previous clear-everything
-    * eviction forced per-row re-parses for every live vocab once the
-    * map spilled (a perf cliff, not a correctness issue). */
+    * row — parse once. Each task deserializes its own codegen-reference
+    * copy of the literal, so the map sees several content-equal (or
+    * representation-heterogeneous) keys per vocabulary and must stay
+    * bounded. The hot-path get is a plain lock-free ConcurrentHashMap
+    * probe — an access-ordered LinkedHashMap would turn every get into
+    * a structural write under one global monitor, serializing all
+    * executor threads on the codegen hot path — with LRU order kept
+    * SEPARATELY as a per-entry logical access stamp (one lazySet per
+    * get). Eviction is a rare sweep on insert overflow: drop the
+    * lowest-stamped entries back to the budget, keeping hot
+    * vocabularies resident. */
   private val MaxVocabs = 64
-  private val parsed = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[ArrayData, (java.util.HashSet[String], Int)](
-      16, 0.75f, /* accessOrder = */ true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[ArrayData, (java.util.HashSet[String], Int)])
-          : Boolean = size() > MaxVocabs
-    })
+  private val accessClock = new java.util.concurrent.atomic.AtomicLong(0L)
+  private final class Entry(val set: java.util.HashSet[String], val maxLen: Int) {
+    val stamp = new java.util.concurrent.atomic.AtomicLong(accessClock.incrementAndGet())
+  }
+  private val parsed =
+    new java.util.concurrent.ConcurrentHashMap[ArrayData, Entry]()
 
   private def vocabSet(vocab: ArrayData): (java.util.HashSet[String], Int) = {
     var hit = parsed.get(vocab)
@@ -147,10 +150,29 @@ object GreedySegment {
         if (cp > maxLen) maxLen = cp
         i += 1
       }
-      hit = (set, maxLen)
-      parsed.put(vocab, hit)
+      hit = new Entry(set, maxLen)
+      val prev = parsed.putIfAbsent(vocab, hit)
+      if (prev != null) hit = prev
+      else if (parsed.size() > MaxVocabs) evictCold()
+    } else hit.stamp.lazySet(accessClock.incrementAndGet())
+    (hit.set, hit.maxLen)
+  }
+
+  /** Drop the least-recently-stamped entries back to the budget. Runs
+    * only when an insert overflows the cap (vocabularies are artifacts,
+    * not per-row data — overflow is rare), under a lock so concurrent
+    * overflowing inserts don't sweep twice; gets stay lock-free
+    * throughout. */
+  private def evictCold(): Unit = parsed.synchronized {
+    val over = parsed.size() - MaxVocabs
+    if (over > 0) {
+      val it = parsed.entrySet().iterator()
+      val all = new java.util.ArrayList[(Long, ArrayData)]()
+      while (it.hasNext) { val e = it.next(); all.add((e.getValue.stamp.get(), e.getKey)) }
+      all.sort((a, b) => java.lang.Long.compare(a._1, b._1))
+      var i = 0
+      while (i < over && i < all.size()) { parsed.remove(all.get(i)._2); i += 1 }
     }
-    hit
   }
 
   /** Number of greedy longest-match pieces (called from codegen). */

@@ -135,6 +135,21 @@ object Dedup {
     verifyPairs(cand, sh, threshold)
   }
 
+  /** Partition count for the persisted band-index layout: band rows are
+    * written under `band_bucket = pmod(hash(band), BandBuckets)` Hive
+    * directories, so an incremental probe's partition-pruning filter
+    * (`band_bucket IN fresh-set`) skips non-matching buckets at the SCAN
+    * — the probe never even lists, let alone reads, index rows whose
+    * band cannot collide with the new batch. 16 suits the test SFs; at
+    * corpus scale the constant rises with the index (it is persisted in
+    * the `_params` sidecar and asserted at load, like the band
+    * parameters — a probe against a different bucketing would silently
+    * skip the wrong partitions). */
+  val BandBuckets = 16
+
+  /** The bucket key of a band value under the persisted layout. */
+  def bandBucket(band: Column): Column = pmod(hash(band), lit(BandBuckets))
+
   /** The PERSISTABLE LSH index artifact: the banded signature table —
     * one `(id, band)` row per band key of each document's MinHash
     * signature, ~`numBands`·16 B per doc. Written to parquet once when a
@@ -161,11 +176,18 @@ object Dedup {
                         path: String, shingleK: Int = 3, numBands: Int = 8,
                         rowsPerBand: Int = 4): Unit = {
     val s = docs.sparkSession
+    // Hive-partitioned by band bucket so an incremental probe is a
+    // scan-level SKIP of non-matching buckets, not a full-index read;
+    // the repartition bounds the file count to one per bucket per write
+    // (at corpus scale: per bucket per task wave — still bucket-local)
     lshBandIndex(docs, idCol, textCol, shingleK, numBands, rowsPerBand)
-      .write.mode("overwrite").parquet(s"$path/bands")
+      .withColumn("band_bucket", bandBucket(col("band")))
+      .repartition(BandBuckets, col("band_bucket"))
+      .write.mode("overwrite").partitionBy("band_bucket")
+      .parquet(s"$path/bands")
     import s.implicits._
-    Seq((shingleK, numBands, rowsPerBand))
-      .toDF("shingle_k", "num_bands", "rows_per_band")
+    Seq((shingleK, numBands, rowsPerBand, BandBuckets))
+      .toDF("shingle_k", "num_bands", "rows_per_band", "band_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
   }
 
@@ -177,7 +199,7 @@ object Dedup {
     * the `chunkDirs`/`sourceId` stale-data posture — via a plain
     * filesystem stat (no Spark job). */
   private val lshParamsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int, Int)]()
 
   private def fileKey(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -188,8 +210,13 @@ object Dedup {
         fs.listStatus(path).toSeq.sortBy(_.getPath.toString).flatMap(c => walk(c.getPath))
       else Seq(s"${st.getPath}|${st.getLen}|${st.getModificationTime}")
     }
-    java.lang.Long.toHexString(
-      walk(p).sorted.foldLeft(17L)((h, e) => h * 31 + e.hashCode))
+    // SHA-256 of the full listing string, not folded 32-bit hashCodes:
+    // the memo guards a loud-failure assert, so a key collision (or a
+    // rewrite preserving per-file length+mtime hash) must not silently
+    // serve stale band parameters. The listing is tiny (1-row sidecar).
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(walk(p).sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
   }
 
   /** Load a [[writeLshBandIndex]] artifact, FAILING LOUDLY if the
@@ -199,18 +226,25 @@ object Dedup {
   def readLshBandIndex(s: org.apache.spark.sql.SparkSession, path: String,
                        shingleK: Int = 3, numBands: Int = 8,
                        rowsPerBand: Int = 4): DataFrame = {
-    val (k, b, r) = lshParamsMemo.computeIfAbsent(
+    val (k, b, r, bb) = lshParamsMemo.computeIfAbsent(
       s"$path|${fileKey(s, s"$path/_params")}", _ => {
         val p = s.read.parquet(s"$path/_params").head()
+        val buckets =
+          if (p.schema.fieldNames.contains("band_buckets"))
+            p.getAs[Int]("band_buckets")
+          else -1 // pre-bucketing artifact: fails the require below
         (p.getAs[Int]("shingle_k"), p.getAs[Int]("num_bands"),
-          p.getAs[Int]("rows_per_band"))
+          p.getAs[Int]("rows_per_band"), buckets)
       })
-    require(k == shingleK && b == numBands && r == rowsPerBand,
+    require(k == shingleK && b == numBands && r == rowsPerBand && bb == BandBuckets,
       s"LSH index at $path was built with (shingleK=$k, numBands=$b, " +
-        s"rowsPerBand=$r) but is being probed with (shingleK=$shingleK, " +
-        s"numBands=$numBands, rowsPerBand=$rowsPerBand) — band keys are " +
-        "positional, so a mismatched probe would silently corrupt the " +
-        "candidate set; rebuild the index or match its parameters")
+        s"rowsPerBand=$r, bandBuckets=$bb) but is being probed with " +
+        s"(shingleK=$shingleK, numBands=$numBands, " +
+        s"rowsPerBand=$rowsPerBand, bandBuckets=$BandBuckets) — band keys " +
+        "are positional and the bucket layout drives partition pruning, " +
+        "so a mismatched probe would silently corrupt the candidate set; " +
+        "rebuild the index or match its parameters")
+    // the partition column rides along so probes can partition-prune on it
     s.read.parquet(s"$path/bands")
   }
 
@@ -249,12 +283,52 @@ object Dedup {
                                history: DataFrame, idCol: String, textCol: String,
                                shingleK: Int = 3, numBands: Int = 8,
                                rowsPerBand: Int = 4, threshold: Double = 0.7,
-                               maxBucket: Int = 64): DataFrame = {
+                               maxBucket: Int = 64,
+                               newBands: Option[DataFrame] = None): DataFrame = {
     val newSh = shingled(newDocs, idCol, textCol, shingleK)
-    val newBanded = newSh
-      .withColumn("sig", minHashSignature(col("shingles"), numBands * rowsPerBand))
-      .select(col("id"), explode(bandKeys(col("sig"), numBands, rowsPerBand)).as("band"))
-    val banded = bandIndex.select(col("id"), col("band"), lit(0).as("fresh"))
+    // the fresh band frame feeds BOTH the index prune and the probe union
+    // — truncate its lineage so the signature (the expensive expression)
+    // is computed once, not once per consumer. Callers that already built
+    // the batch's band table (st29 appends it to the index anyway) pass
+    // it in via `newBands` and pay nothing extra.
+    val newBanded = newBands.getOrElse(newSh
+        .withColumn("sig", minHashSignature(col("shingles"), numBands * rowsPerBand))
+        .select(col("id"), explode(bandKeys(col("sig"), numBands, rowsPerBand)).as("band"))
+        .localCheckpoint())
+    // SCALE SHAPE — the index is pruned to the fresh batch's bands BEFORE
+    // the bucket aggregate, so per-batch probe work is proportional to
+    // the buckets the batch actually touches, not the total accumulated
+    // index (which would make B batches quadratic in stream length).
+    // The answer is provably unchanged: bucketPairs groups by band and
+    // the fresh>=1 filter keeps only pairs with a fresh member, so a
+    // band absent from the batch can emit nothing, while a band present
+    // in the batch keeps ALL its index rows (the prunes below have no
+    // false negatives, so the group survives intact — including its
+    // size, so the maxBucket cap fires identically; a Bloom false
+    // positive only admits a history-only band, which emits nothing).
+    //  - partition-level: if the index carries the persisted layout's
+    //    `band_bucket` column, a ≤BandBuckets-value IN filter prunes
+    //    non-matching Hive partitions at the scan (a bounded driver pull
+    //    — at most BandBuckets ints);
+    //  - row-level: a Bloom over the batch's band keys, probed MAP-SIDE
+    //    on the index scan (the dd18 runtime-filter posture). Unlike a
+    //    semi join — whose sort-merge plan shuffle-writes the whole
+    //    index before AQE can flip it to broadcast — the codegen
+    //    might_contain literal never puts the index through an exchange:
+    //    only surviving rows reach the bucket aggregate's shuffle.
+    val scanPruned =
+      if (bandIndex.columns.contains("band_bucket")) {
+        val buckets = newBanded.select(bandBucket(col("band"))).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        bandIndex.filter(col("band_bucket").isin(buckets: _*)).drop("band_bucket")
+      } else bandIndex
+    // sized on the raw instance count (≥ distinct — an over-sized Bloom
+    // only gains accuracy); newBanded is checkpointed, so the count and
+    // the Bloom build re-scan a materialized frame, not the signatures
+    val bloom = Sketches.bloomBytes(newBanded, "band",
+      expectedItems = newBanded.count(), fpp = 0.01)
+    val prunedIndex = scanPruned.filter(Sketches.mightContain(bloom, col("band")))
+    val banded = prunedIndex.select(col("id"), col("band"), lit(0).as("fresh"))
       .unionByName(newBanded.select(col("id"), col("band"), lit(1).as("fresh")))
     // payload leads with id, so bucket pairs keep a < b on ids; pairs
     // with no fresh member are history-history — skipped before verify

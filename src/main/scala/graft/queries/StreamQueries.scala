@@ -426,6 +426,7 @@ object StreamQueries {
     val base = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
       "dimref-").toString
+    graft.stream.StreamRunner.deleteOnExit(base)
     val dimPath = s"$base/dim"
     val outPath = s"$base/out"
     val users = Tables.events(s, dir).select($"user_id").distinct()
@@ -509,6 +510,7 @@ object StreamQueries {
     val base = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
       "crash-").toString
+    graft.stream.StreamRunner.deleteOnExit(base)
     val sinkDir = s"$base/sink"
     val ckpt = s"$base/ckpt"
     val crashPending = new java.util.concurrent.atomic.AtomicBoolean(true)
@@ -571,24 +573,25 @@ object StreamQueries {
     // st01's. Both regimes' shuffle volumes are measured in SCALE.md
     // (the dd18/dd07 regime-table treatment).
     "st27_invoice_state_shuffled" -> { (s, dir) =>
-      import s.implicits._
-      val key = "spark.sql.autoBroadcastJoinThreshold"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "-1")
+      // broadcast-by-stats is disabled on a CHILD session (per-session
+      // conf isolation), not by mutating the shared session's conf: a
+      // query planned concurrently on the caller's session (a parallel
+      // bench or test runner) must not silently lose its stats-based
+      // broadcasts for the duration of this streaming run. The child
+      // shares the SparkContext, so the memory-sink table it returns is
+      // readable like any other DataFrame.
+      val s2 = s.newSession()
+      import s2.implicits._
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       // toMemory runs the streaming query EAGERLY, so the conf governs
       // the stream-static join; the lazy projection over the memory sink
       // below no longer needs it
-      try
-        StreamRunner.toMemory(InvoiceStateMachine(
-            purchaseStream(s, dir, broadcastDim = false), idleTimeoutMs = 0L))
-          .select($"invoice_no".cast("long").as("invoice_no"),
-            $"avg_unit_price", $"min_unit_price", $"max_unit_price",
-            $"time_of_day", $"number_items", $"lines")
-          .orderBy($"invoice_no")
-      finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
+      StreamRunner.toMemory(InvoiceStateMachine(
+          purchaseStream(s2, dir, broadcastDim = false), idleTimeoutMs = 0L))
+        .select($"invoice_no".cast("long").as("invoice_no"),
+          $"avg_unit_price", $"min_unit_price", $"max_unit_price",
+          $"time_of_day", $"number_items", $"lines")
+        .orderBy($"invoice_no")
     },
 
     // The reference's COMPLETE online pipeline (`InvoicePipeline.main`):
@@ -629,6 +632,7 @@ object StreamQueries {
       val base = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
         "router-").toString
+      graft.stream.StreamRunner.deleteOnExit(base)
       val stream = StreamRunner.asStream(kafkaShapedOrders(Tables.orders(s, dir)))
       Router.runToSinks(stream, base)
       Router.Routes.map { r =>
@@ -753,6 +757,7 @@ object StreamQueries {
       val base = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
         "asof-").toString
+      graft.stream.StreamRunner.deleteOnExit(base)
       graft.stream.StreamRunner.pinnedStatePartitions(s) {
       val q = ev.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -956,6 +961,7 @@ object StreamQueries {
       val outBase = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
         "squarantine-").toString
+      graft.stream.StreamRunner.deleteOnExit(outBase)
       val corruptByBatch =
         new java.util.concurrent.ConcurrentHashMap[Long, Long]()
       graft.stream.StreamRunner.pinnedStatePartitions(s) {
@@ -1009,6 +1015,7 @@ object StreamQueries {
       val snapBase = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
         "supsert-").toString
+      graft.stream.StreamRunner.deleteOnExit(snapBase)
       val lastVersion = new java.util.concurrent.atomic.AtomicLong(-1L)
       graft.stream.StreamRunner.pinnedStatePartitions(s) {
       val q = replay.writeStream
@@ -1276,19 +1283,23 @@ object StreamQueries {
     // dropped iff SOME earlier arrival shares the digest or reaches the
     // Jaccard threshold. EVERY arrival indexes its bands (keeper or not
     // — the index-everything-emit-once posture), so chains through
-    // dropped docs drop identically on both sides. Scale shape: history
-    // text is re-read ONLY for candidate partners (dd17's left-semi
-    // prune — the full history is never re-shingled); per batch the
-    // probe shuffles (band, id) pairs and the narrow digest set; all
-    // index appends go through the per-batch atomic-commit protocol, so
-    // an at-least-once retry can neither duplicate index rows nor emit
-    // a keeper twice.
+    // dropped docs drop identically on both sides. Scale shape: the
+    // band index is bucket-partitioned on disk and PRUNED TO THE
+    // BATCH'S BANDS before the probe — per batch the work is
+    // proportional to the buckets the batch touches, NOT the total
+    // accumulated index (which would make B batches quadratic in
+    // stream length); history text is re-read ONLY for candidate
+    // partners (dd17's left-semi prune — the full history is never
+    // re-shingled); all index appends go through the per-batch
+    // atomic-commit protocol, so an at-least-once retry can neither
+    // duplicate index rows nor emit a keeper twice.
     "st29_stream_lsh_dedup" -> { (s, dir) =>
       import s.implicits._
       val scratch = ensureDocChunks(s, dir, 3)
       val base = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
         "lshstream-").toString
+      graft.stream.StreamRunner.deleteOnExit(base)
       val (bandsDir, digestsDir, corpusDir, sinkDir) =
         (s"$base/bands", s"$base/digests", s"$base/corpus", s"$base/keepers")
       val stream = s.readStream.schema(Schemas.documents)
@@ -1315,16 +1326,35 @@ object StreamQueries {
                 withH.join(rd(digestsDir), Seq("h"), "left_semi").select($"doc_id")
               else Seq.empty[Long].toDF("doc_id")
             // near rule: band buckets union index rows with fresh rows —
-            // identical bucket membership to a full-corpus run
-            val bands =
-              if (have(bandsDir)) rd(bandsDir)
-              else Seq.empty[(Long, Long)].toDF("id", "band")
+            // identical bucket membership to a full-corpus run. The
+            // batch's own band table is built ONCE (lineage truncated)
+            // and reused three ways: bucket selection, the probe union
+            // (via `newBands`), and the index append below.
+            val newBands = graft.ops.Dedup.lshBandIndex(batch, "doc_id",
+                "text", shingleK = 3, numBands = 8, rowsPerBand = 4)
+              .localCheckpoint()
+            // SCAN-LEVEL SKIP: the index is laid out one directory per
+            // band bucket (writeRoutedBatch below), so only buckets the
+            // batch touches are even LISTED — per-batch probe input is
+            // proportional to matching buckets, not the accumulated
+            // index (the bounded driver pull is ≤ Dedup.BandBuckets
+            // ints); minHashDupPairsWithIndex then row-prunes what was
+            // read to the batch's exact band set before the union.
+            val freshBuckets = newBands
+              .select(graft.ops.Dedup.bandBucket($"band").as("bkt"))
+              .distinct().collect().map(_.getInt(0)).sorted
+            val bands = freshBuckets.toSeq
+              .map(b => s"$bandsDir/$b").filter(have)
+              .map(rd)
+              .reduceOption(_ unionByName _)
+              .getOrElse(Seq.empty[(Long, Long)].toDF("id", "band"))
             val history =
               if (have(corpusDir)) rd(corpusDir)
               else Seq.empty[(Long, String)].toDF("doc_id", "text")
             val pairs = graft.ops.Dedup.minHashDupPairsWithIndex(
                 batch, bands, history, "doc_id", "text",
-                shingleK = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+                shingleK = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5,
+                newBands = Some(newBands))
               .select($"id_a", $"id_b")
             val und = pairs
               .unionByName(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
@@ -1341,11 +1371,15 @@ object StreamQueries {
               .select($"doc_id", $"n_chars")
             graft.stream.IdempotentSink.writeBatch(keepers, sinkDir, batchId)
             // index-append: EVERY arrival, through the same atomic
-            // per-batch commit (an at-least-once retry appends nothing)
-            graft.stream.IdempotentSink.writeBatch(
-              graft.ops.Dedup.lshBandIndex(batch, "doc_id", "text",
-                shingleK = 3, numBands = 8, rowsPerBand = 4),
-              bandsDir, batchId)
+            // per-batch commit (an at-least-once retry appends nothing);
+            // bands land in the bucket-partitioned layout — ONE
+            // partitionBy job, one atomic rename per populated bucket —
+            // so the next batch's probe can skip non-matching buckets
+            // at the directory listing
+            graft.stream.IdempotentSink.writeRoutedBatch(
+              newBands.withColumn("band_bucket",
+                graft.ops.Dedup.bandBucket($"band")),
+              bandsDir, "band_bucket", batchId)
             graft.stream.IdempotentSink.writeBatch(
               withH.select($"h").distinct(), digestsDir, batchId)
             graft.stream.IdempotentSink.writeBatch(
@@ -1387,6 +1421,7 @@ object StreamQueries {
       val base = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
         "annstream-").toString
+      graft.stream.StreamRunner.deleteOnExit(base)
       val sinkDir = s"$base/topk"
       // the one-time index write (the an12 artifact posture)
       graft.ops.Similarity.ivfAssignments(emb, "vec_id", "embedding", centers)
@@ -1471,6 +1506,7 @@ object StreamQueries {
       val base = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
         "ksample-").toString
+      graft.stream.StreamRunner.deleteOnExit(base)
       def vDir(i: Long) = s"$base/v$i"
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
@@ -1543,6 +1579,7 @@ object StreamQueries {
     val viewBase = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
       "ivm-").toString
+    graft.stream.StreamRunner.deleteOnExit(viewBase)
     val lastVersion = new java.util.concurrent.atomic.AtomicLong(-1L)
     graft.stream.StreamRunner.pinnedStatePartitions(s) {
     val q = replay.writeStream

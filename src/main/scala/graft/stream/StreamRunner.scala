@@ -116,9 +116,10 @@ object StreamRunner {
   }
 
   /** Scratch inputs created by [[asStream]] must outlive the returned
-    * stream (readers list the dir per trigger), so they are deleted at
-    * JVM exit instead of eagerly. */
-  private[stream] def deleteOnExit(dir: String): Unit =
+    * stream (readers list the dir per trigger) — and foreachBatch sink
+    * dirs must outlive the lazy DataFrame returned over them — so they
+    * are deleted at JVM exit instead of eagerly. */
+  private[graft] def deleteOnExit(dir: String): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       deleteRecursively(new java.io.File(dir))))
 

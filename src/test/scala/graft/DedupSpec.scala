@@ -77,6 +77,87 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("index probe shuffle is proportional to the batch, not the " +
+    "accumulated index (the r16 weak finding, pinned)") {
+    val s = spark
+    import s.implicits._
+    // 2000 mutually-unrelated history docs (distinct token sets, so band
+    // keys collide only for genuine near-dups) and a 2-doc batch: one
+    // exact dup of history doc 7, one unrelated newcomer.
+    def txt(i: Long) = (0 until 12).map(j => s"w${j}x$i").mkString(" ")
+    val hist = (0L until 2000L).map(i => (i, txt(i))).toDF("doc_id", "text")
+    val batch = Seq((9001L, txt(7)), (9002L, txt(777777L)))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lsh-idx-prune-").toString
+    Dedup.writeLshBandIndex(hist, "doc_id", "text", dir,
+      shingleK = 3, numBands = 8, rowsPerBand = 4)
+    val bands = Dedup.readLshBandIndex(s, dir, 3, 8, 4)
+    val indexRows = bands.count() // 2000 docs × 8 bands
+    assert(bands.columns.contains("band_bucket"),
+      "persisted layout must carry the partition column for scan pruning")
+    var got: Set[(Long, Long, Double)] = Set.empty
+    val recs = shuffleRecords {
+      got = Dedup.minHashDupPairsWithIndex(batch, bands, hist,
+          "doc_id", "text", shingleK = 3, numBands = 8, rowsPerBand = 4,
+          threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    assert(got == Set((7L, 9001L, 1.0)),
+      s"probe answer wrong after pruning: $got")
+    // the substance: probe-side shuffle must NOT carry the index. The
+    // budget is index/10 — generous headroom over the actual ~(batch
+    // bands + Bloom false positives + verify joins) while being far
+    // below any full-index re-shuffle (which alone would be ≥ indexRows).
+    assert(recs < indexRows / 10,
+      s"probe shuffled $recs records against a $indexRows-row index — " +
+        "the accumulated index is crossing an exchange again")
+  }
+
+  test("persisted band index: a foreign band_buckets layout in the " +
+    "sidecar is rejected (partition pruning would skip wrong buckets)") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.model.Tables.documents(s, sf)
+      .select($"doc_id", $"text").limit(20)
+    val dir = java.nio.file.Files.createTempDirectory("lsh-idx-bb-").toString
+    Dedup.writeLshBandIndex(docs, "doc_id", "text", dir,
+      shingleK = 3, numBands = 8, rowsPerBand = 4)
+    assert(Dedup.readLshBandIndex(s, dir, 3, 8, 4).count() > 0)
+    // simulate an index written under a different bucket constant: the
+    // sidecar rewrite also rotates the params memo key (mtime/length),
+    // so the stale memo entry cannot mask the mismatch
+    Seq((3, 8, 4, Dedup.BandBuckets * 2))
+      .toDF("shingle_k", "num_bands", "rows_per_band", "band_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_params")
+    val e = intercept[IllegalArgumentException](
+      Dedup.readLshBandIndex(s, dir, 3, 8, 4))
+    assert(e.getMessage.contains("bucket layout drives partition pruning"),
+      s"unexpected message: ${e.getMessage}")
+  }
+
+  /** Total shuffle-write records observed while `body` runs (listener-bus
+    * events are async, so poll until the counter is stable). */
+  private def shuffleRecords(body: => Unit): Long = {
+    val recs = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(te.taskMetrics)
+          .foreach(m => recs.addAndGet(m.shuffleWriteMetrics.recordsWritten): Unit)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var prev = -1L
+      var cur = recs.get()
+      var spins = 0
+      while (cur != prev && spins < 50) {
+        prev = cur; Thread.sleep(200); cur = recs.get(); spins += 1
+      }
+      cur
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("simhash: identical docs → hamming 0; near docs → small hamming") {
     val sigs = docsDf.select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
