@@ -283,6 +283,83 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     },
 
+    // dd11 IN PRODUCTION CONFIG — the swap dd11's own comment names:
+    // the identical pipeline (pairs → connected components → min-id
+    // keeper election) with the pair stage on the BLOCKED
+    // embeddingDupPairs (dd04's bounded IVF-cell config: capped cells,
+    // 2 probes, exact per-pair verification — never O(n²)) instead of
+    // the exact all-pairs walk. Raw verdicts are quantizer-bound (cell
+    // assignment decides WHICH true pairs are found), so the entry
+    // certifies the operator inline, the an02/tx07 pattern:
+    //  - n_docs / n_true_pairs: data-derived scalars the DuckDB oracle
+    //    recomputes independently (hash-checked at every SF);
+    //  - precision_ok: every blocked pair re-found in the exact pair
+    //    set (structural — the pipeline exact-verifies each candidate —
+    //    but asserted, not assumed);
+    //  - recall_ok: the dd10 production-point floor (≥ 0.45 at
+    //    nProbe=2/maxCell=256, the calibrated noise-floor regime)
+    //    carried inline;
+    //  - election wiring: coverage_ok (exactly one verdict per doc),
+    //    edges_ok (every found pair lands in ONE cluster),
+    //    keeper_member_ok (every elected keeper is a member that elects
+    //    itself), keeper_is_min_ok (each cluster's label is its min
+    //    member). The component machinery itself is oracle-pinned by
+    //    dd05's recursive-CTE transitive closure on the text tier.
+    // dd11 stays as the certified exact baseline; this is the plan a
+    // 100 TB corpus actually runs.
+    "dd19_semantic_keepers_blocked" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Similarity.embeddingDupPairs(emb, "vec_id", "embedding",
+          threshold = 0.4, quantizerKey = s"emb-dup-$dir")
+        .select($"id_a", $"id_b")
+        .localCheckpoint() // feeds components + three certificate joins
+      val verdicts = emb.select($"vec_id")
+        .join(Dedup.connectedComponents(pairs)
+            .select($"id".as("vec_id"), $"comp"),
+          Seq("vec_id"), "left")
+        .select($"vec_id", coalesce($"comp", $"vec_id").as("keeper_id"))
+        .localCheckpoint() // feeds four certificate aggregates
+      val coverage = verdicts.agg(
+        count(lit(1)).as("n_docs"),
+        when(countDistinct($"vec_id") === count(lit(1)), 1L).otherwise(0L)
+          .as("coverage_ok"))
+      val edgesOk = pairs
+        .join(verdicts.select($"vec_id".as("id_a"), $"keeper_id".as("ka")), "id_a")
+        .join(verdicts.select($"vec_id".as("id_b"), $"keeper_id".as("kb")), "id_b")
+        .agg(coalesce(min(when($"ka" === $"kb", 1L).otherwise(0L)), lit(1L))
+          .as("edges_ok"))
+      val keeperMin = verdicts.groupBy($"keeper_id")
+        .agg(min($"vec_id").as("mn"))
+        .agg(coalesce(min(when($"keeper_id" === $"mn", 1L).otherwise(0L)),
+          lit(1L)).as("keeper_is_min_ok"))
+      val keeperSelf = verdicts.select($"keeper_id".as("vec_id")).distinct()
+        .join(verdicts.filter($"vec_id" === $"keeper_id"),
+          Seq("vec_id"), "left_anti")
+        .agg(when(count(lit(1)) === 0, 1L).otherwise(0L).as("keeper_member_ok"))
+      // the dd10 certificate inline: exact ground truth is materialized
+      // once and feeds both the recall floor and the precision assert
+      val exact = Similarity.allPairsCosine(emb, "vec_id", "embedding",
+        threshold = 0.4).localCheckpoint()
+      val truth = exact
+        .join(pairs.withColumn("hit", lit(1L)), Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_true_pairs"),
+          (sum(coalesce($"hit", lit(0L))).cast("double") / count(lit(1)))
+            .as("recall"))
+        .select($"n_true_pairs",
+          when($"recall" >= 0.45, 1L).otherwise(0L).as("recall_ok"))
+      val precision = pairs
+        .join(exact.withColumn("ex", lit(1L)), Seq("id_a", "id_b"), "left")
+        .agg(coalesce(min(coalesce($"ex", lit(0L))), lit(1L))
+          .as("precision_ok"))
+      coverage
+        .crossJoin(broadcast(truth))
+        .crossJoin(broadcast(precision))
+        .crossJoin(broadcast(edgesOk))
+        .crossJoin(broadcast(keeperMin))
+        .crossJoin(broadcast(keeperSelf))
+    },
+
     // Pair list → duplicate clusters (connected components over the exact
     // dd03 pairs): keeper selection is per GROUP, so this is the step that
     // turns near-dup detection into an actual dedup pass. Oracle-checked
@@ -1541,6 +1618,25 @@ object PipelineQueries {
         |SELECT CAST(6 AS BIGINT), CAST(n_true_pairs AS BIGINT),
         |       0.9, CAST(1 AS BIGINT) FROM t
         |ORDER BY n_probe""".stripMargin,
+
+    // dd19: n_docs and n_true_pairs are DuckDB's independent recomputes
+    // (the O(n²) exact replay lives here in the oracle); the six
+    // certificate bits are pinned to 1 — the an03/dd10 constant-oracle
+    // contract for quantizer-bound operators.
+    "dd19_semantic_keepers_blocked" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |t AS (SELECT count(*) AS n_true_pairs
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_docs,
+        |       CAST(1 AS BIGINT) AS coverage_ok,
+        |       CAST(t.n_true_pairs AS BIGINT) AS n_true_pairs,
+        |       CAST(1 AS BIGINT) AS recall_ok,
+        |       CAST(1 AS BIGINT) AS precision_ok,
+        |       CAST(1 AS BIGINT) AS edges_ok,
+        |       CAST(1 AS BIGINT) AS keeper_is_min_ok,
+        |       CAST(1 AS BIGINT) AS keeper_member_ok
+        |FROM t""".stripMargin,
 
     // Constant oracle, same contract as an03: PQ must clear each
     // shortlist setting's calibrated recall bar at any SF (see the an04
