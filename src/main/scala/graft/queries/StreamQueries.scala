@@ -624,6 +624,39 @@ object StreamQueries {
         .orderBy($"w_start")
     },
 
+    // st02's CADENCE-FIDELITY twin — the reference's emit-every-slide
+    // behavior (`reduceByKeyAndWindow` prints the 8-minute count each
+    // minute, ZERO-count windows included; SURVEY §2.9 #3's documented
+    // divergence, closed here on the value surface): one emission per
+    // slide tick across the replay's whole span, 0 where no purchase
+    // fell in the window. The streamed aggregate is st02's verbatim;
+    // the tick grid is synthesized from the data span (an A6-style
+    // 2-scalar pull — a finite replay has no processing-time clock, so
+    // the reference's wall-clock cadence maps to the event-time tick
+    // sequence its run would have printed while data flowed) and
+    // left-joins the emitted counts, zero-filling the gaps. Values are
+    // st02's oracle-pinned counts; DENSITY is pinned by the oracle's
+    // own generate_series grid — a missing or spurious tick fails the
+    // row-count/hash compare.
+    "st33_cancel_window_heartbeat" -> { (s, dir) =>
+      import s.implicits._
+      val span = Tables.events(s, dir).filter($"event_type" === "purchase")
+        .agg(min($"ts"), max($"ts")).head()
+      val (mn, mx) = (span.getTimestamp(0), span.getTimestamp(1))
+      val purchases = StreamSources.eventsStream(s, dir)
+        .filter($"event_type" === "purchase")
+      val counts =
+        StreamRunner.toMemory(CancellationWindow.slidingCounts(purchases, "ts"))
+      val grid = s.range(1).select(explode(sequence(
+          date_trunc("minute", lit(mn)) - expr("INTERVAL 7 MINUTES"),
+          date_trunc("minute", lit(mx)),
+          expr("INTERVAL 1 MINUTE"))).as("ws"))
+        .select(date_format($"ws", "yyyy-MM-dd HH:mm:ss").as("w_start"))
+      grid.join(counts, Seq("w_start"), "left")
+        .select($"w_start", coalesce($"n", lit(0L)).as("n"))
+        .orderBy($"w_start")
+    },
+
     // F1/F2/F4 + S5: three-way routing with real sink fan-out — the
     // streaming query writes each route to its own parquet sink via
     // foreachBatch; the query output is the union read back from disk.
@@ -861,6 +894,53 @@ object StreamQueries {
         .select($"click_id", $"purchase_id")
       StreamRunner.toMemory(joined, mode = "append")
         .filter($"click_id" >= 0)
+        .orderBy($"click_id", $"purchase_id")
+    },
+
+    // Stream-stream FULL OUTER join — the last join mode (inner st10,
+    // left st14): clicks and purchases of the same user matched in the
+    // hour after the click, and BOTH unmatched sides must still emit
+    // null-extended — the CDC/reconciliation shape ("which clicks
+    // converted, which purchases appeared with no attributable click").
+    // st14's scaffold verbatim, symmetrized: both REAL sides stop at
+    // max−2h (outer rows on a side only flush when the watermark passes
+    // their join window, and the watermark can't pass the last rows'
+    // windows without later rows), and each side carries a watermark
+    // HEARTBEAT at max ts (never matches: user −1 vs −2; never flushes
+    // itself: its own window never closes, and its null-extended row is
+    // filtered by id sign). The terminal no-data micro-batch advances
+    // the watermark to max ts — a 1 h margin past every real row's
+    // window on BOTH sides — flushing all outer rows regardless of
+    // boundary strictness. Oracle: the plain batch full join under the
+    // same cutoff; join state stays watermark-bounded on both sides.
+    "st32_stream_full_outer_join" -> { (s, dir) =>
+      import s.implicits._
+      val maxTs = Tables.events(s, dir).agg(max($"ts")).first().getTimestamp(0)
+      val ev = StreamSources.eventsStream(s, dir)
+      val clicks = ev
+        .filter($"event_type" === "click" &&
+          $"ts" <= lit(maxTs) - expr("INTERVAL 2 HOURS"))
+        .select($"event_id".as("click_id"), $"user_id", $"ts")
+        .unionByName(ev.filter($"ts" === lit(maxTs))
+          .select((-$"event_id" - 1).as("click_id"), lit(-1L).as("user_id"), $"ts"))
+        .withWatermark("ts", "0 seconds")
+      val purchases = StreamSources.eventsStream(s, dir)
+        .filter($"event_type" === "purchase" &&
+          $"ts" <= lit(maxTs) - expr("INTERVAL 2 HOURS"))
+        .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+          $"ts".as("p_ts"))
+        .unionByName(StreamSources.eventsStream(s, dir)
+          .filter($"ts" === lit(maxTs))
+          .select((-$"event_id" - 1).as("purchase_id"), lit(-2L).as("p_user"),
+            $"ts".as("p_ts")))
+        .withWatermark("p_ts", "0 seconds")
+      val joined = clicks.join(purchases,
+        expr("user_id = p_user AND p_ts >= ts AND p_ts < ts + INTERVAL 1 HOUR"),
+        "full_outer")
+        .select($"click_id", $"purchase_id")
+      StreamRunner.toMemory(joined, mode = "append")
+        .filter(coalesce($"click_id", lit(0L)) >= 0 &&
+          coalesce($"purchase_id", lit(0L)) >= 0)
         .orderBy($"click_id", $"purchase_id")
     },
 
@@ -2327,6 +2407,41 @@ object StreamQueries {
         |  ON c.user_id = p.p_user AND c.ts >= p.p_ts
         | AND c.ts < p.p_ts + INTERVAL 1 HOUR
         |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // the batch FULL join under the same symmetric 2-hour cutoff
+    "st32_stream_full_outer_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'
+        |             AND ts <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+        |      FROM events WHERE event_type = 'purchase'
+        |        AND ts <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR)
+        |SELECT c.click_id, p.purchase_id
+        |FROM c FULL JOIN p
+        |  ON c.user_id = p.p_user AND p.p_ts >= c.ts
+        | AND p.p_ts < c.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // st02's values densified onto the full slide-tick grid: one row
+    // per minute tick across the purchase span, zero-filled — the grid
+    // itself is the cadence assertion
+    "st33_cancel_window_heartbeat" ->
+      """WITH b AS (SELECT date_trunc('minute', min(ts)) - INTERVAL 7 MINUTE AS lo,
+        |                  date_trunc('minute', max(ts)) AS hi
+        |           FROM events WHERE event_type = 'purchase'),
+        |grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS ws
+        |         FROM b),
+        |c AS (SELECT ws, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM (SELECT unnest(generate_series(
+        |                     date_trunc('minute', ts) - INTERVAL 7 MINUTE,
+        |                     date_trunc('minute', ts),
+        |                     INTERVAL 1 MINUTE)) AS ws
+        |            FROM events WHERE event_type = 'purchase')
+        |      GROUP BY ws)
+        |SELECT strftime(g.ws, '%Y-%m-%d %H:%M:%S') AS w_start,
+        |       COALESCE(c.n, CAST(0 AS BIGINT)) AS n
+        |FROM grid g LEFT JOIN c ON g.ws = c.ws
+        |ORDER BY w_start""".stripMargin,
 
     // identical to ev05's oracle — the streaming composition must not
     // change the as-of result

@@ -645,6 +645,44 @@ class StreamSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("st32's full outer join flushes BOTH unmatched sides (and still matches)") {
+    val s = spark
+    import s.implicits._
+    val out = graft.SparkEntry.queries("st32_stream_full_outer_join")(s, sf).cache()
+    val leftOnly = out.filter($"purchase_id".isNull).count()
+    val rightOnly = out.filter($"click_id".isNull).count()
+    val matched = out.filter($"click_id".isNotNull && $"purchase_id".isNotNull).count()
+    assert(leftOnly > 0, "no null-purchase rows — the left outer-flush path never ran")
+    assert(rightOnly > 0, "no null-click rows — the right outer-flush path never ran")
+    assert(matched > 0, "no matched rows — the join itself is vacuous")
+    out.unpersist()
+  }
+
+  test("st33 heartbeat grid is dense (every slide tick), zero ticks genuinely " +
+    "emitted, nonzero ticks identical to st02") {
+    val s = spark
+    import s.implicits._
+    val out = graft.SparkEntry.queries("st33_cancel_window_heartbeat")(s, sf).cache()
+    val n = out.count()
+    val distinctTicks = out.select($"w_start").distinct().count()
+    assert(n == distinctTicks, "duplicate slide ticks in the heartbeat grid")
+    // density: tick count == minutes between first and last tick + 1
+    val span = out.agg(min($"w_start"), max($"w_start")).head()
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val lo = java.time.LocalDateTime.parse(span.getString(0), fmt)
+    val hi = java.time.LocalDateTime.parse(span.getString(1), fmt)
+    val expected = java.time.Duration.between(lo, hi).toMinutes + 1
+    assert(n == expected, s"grid has holes: $n ticks, span says $expected")
+    assert(out.filter($"n" === 0).count() > 0,
+      "no zero-count ticks — the heartbeat adds nothing over st02 on this data")
+    val nonzero = out.filter($"n" > 0).orderBy($"w_start").collect()
+    val st02 = graft.SparkEntry.queries("st02_cancel_window")(s, sf)
+      .orderBy($"w_start").collect()
+    assert(nonzero.sameElements(st02),
+      "nonzero heartbeat ticks diverged from st02's windowed counts")
+    out.unpersist()
+  }
+
   test("st15 incremental view crosses >=3 snapshot merges and equals batch recompute") {
     val s = spark
     import s.implicits._
