@@ -150,6 +150,17 @@ object Dedup {
   /** The bucket key of a band value under the persisted layout. */
   def bandBucket(band: Column): Column = pmod(hash(band), lit(BandBuckets))
 
+  /** One aggregate job over a band frame: (touched bucket set — at most
+    * [[BandBuckets]] groups — and total band-row count). Feeds both the
+    * directory-level index skip and the Bloom sizing of
+    * [[minHashDupPairsWithIndex]]. */
+  def bandSummary(bands: DataFrame): (Seq[Int], Long) = {
+    val rows = bands
+      .groupBy(bandBucket(col("band")).as("bkt")).agg(count(lit(1)).as("n"))
+      .collect()
+    (rows.map(_.getInt(0)).toSeq.sorted, rows.map(_.getLong(1)).sum)
+  }
+
   /** The PERSISTABLE LSH index artifact: the banded signature table —
     * one `(id, band)` row per band key of each document's MinHash
     * signature, ~`numBands`·16 B per doc. Written to parquet once when a
@@ -284,7 +295,10 @@ object Dedup {
                                shingleK: Int = 3, numBands: Int = 8,
                                rowsPerBand: Int = 4, threshold: Double = 0.7,
                                maxBucket: Int = 64,
-                               newBands: Option[DataFrame] = None): DataFrame = {
+                               newBands: Option[DataFrame] = None,
+                               newBandSummary: Option[(Seq[Int], Long)] = None,
+                               historyFor: Option[DataFrame => DataFrame] = None)
+      : DataFrame = {
     val newSh = shingled(newDocs, idCol, textCol, shingleK)
     // the fresh band frame feeds BOTH the index prune and the probe union
     // — truncate its lineage so the signature (the expensive expression)
@@ -316,18 +330,29 @@ object Dedup {
     //    index before AQE can flip it to broadcast — the codegen
     //    might_contain literal never puts the index through an exchange:
     //    only surviving rows reach the bucket aggregate's shuffle.
+    // ONE aggregate job over the (checkpointed) fresh bands yields both
+    // the touched-bucket set (≤ BandBuckets groups) and the instance
+    // count that sizes the Bloom (≥ distinct — an over-sized Bloom only
+    // gains accuracy); callers that already computed it (st29 needs the
+    // bucket set to list index directories BEFORE calling) pass it in
+    val (buckets, freshBands) = newBandSummary.getOrElse(bandSummary(newBanded))
     val scanPruned =
-      if (bandIndex.columns.contains("band_bucket")) {
-        val buckets = newBanded.select(bandBucket(col("band"))).distinct()
-          .collect().map(_.getInt(0)).toSeq
+      if (bandIndex.columns.contains("band_bucket"))
         bandIndex.filter(col("band_bucket").isin(buckets: _*)).drop("band_bucket")
-      } else bandIndex
-    // sized on the raw instance count (≥ distinct — an over-sized Bloom
-    // only gains accuracy); newBanded is checkpointed, so the count and
-    // the Bloom build re-scan a materialized frame, not the signatures
-    val bloom = Sketches.bloomBytes(newBanded, "band",
-      expectedItems = newBanded.count(), fpp = 0.01)
-    val prunedIndex = scanPruned.filter(Sketches.mightContain(bloom, col("band")))
+      else bandIndex
+    // job-free emptiness check (a known-empty local relation): the first
+    // batch of a stream probes an empty index — skip the Bloom build (a
+    // per-batch aggregate job) entirely
+    val knownEmpty = scanPruned.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.isEmpty
+      case _ => false
+    }
+    val prunedIndex =
+      if (knownEmpty) scanPruned
+      else scanPruned.filter(Sketches.mightContain(
+        Sketches.bloomBytes(newBanded, "band",
+          expectedItems = freshBands, fpp = 0.01), col("band")))
     val banded = prunedIndex.select(col("id"), col("band"), lit(0).as("fresh"))
       .unionByName(newBanded.select(col("id"), col("band"), lit(1).as("fresh")))
     // payload leads with id, so bucket pairs keep a < b on ids; pairs
@@ -345,8 +370,18 @@ object Dedup {
       .localCheckpoint()
     val partnerIds = cand.select(col("id_a").as("pid"))
       .unionByName(cand.select(col("id_b").as("pid"))).distinct()
-    val histNeeded = history.join(partnerIds,
-      history(idCol) === col("pid"), "left_semi")
+    // history text is fetched ONLY for candidate partners. When the
+    // caller owns a bucketed history artifact (st29's corpus dirs), the
+    // `historyFor` point-lookup loader replaces the full-table semi join
+    // — input: the partner-id frame (one `pid` long column); contract:
+    // return (at least) those partners' (idCol, textCol) rows — so the
+    // history SCAN, not just the join output, is proportional to the
+    // candidates' buckets instead of the accumulated corpus.
+    val histNeeded = historyFor match {
+      case Some(load) => load(partnerIds)
+      case None => history.join(partnerIds,
+        history(idCol) === col("pid"), "left_semi")
+    }
     verifyPairs(cand,
       newSh.unionByName(shingled(histNeeded, idCol, textCol, shingleK)), threshold)
   }

@@ -1420,21 +1420,26 @@ object StreamQueries {
             // index (the bounded driver pull is ≤ Dedup.BandBuckets
             // ints); minHashDupPairsWithIndex then row-prunes what was
             // read to the batch's exact band set before the union.
-            val freshBuckets = newBands
-              .select(graft.ops.Dedup.bandBucket($"band").as("bkt"))
-              .distinct().collect().map(_.getInt(0)).sorted
-            val bands = freshBuckets.toSeq
+            val summary @ (freshBuckets, _) = graft.ops.Dedup.bandSummary(newBands)
+            val bucketPaths = freshBuckets
               .map(b => s"$bandsDir/$b").filter(have)
-              .map(rd)
-              .reduceOption(_ unionByName _)
-              .getOrElse(Seq.empty[(Long, Long)].toDF("id", "band"))
+            val bands =
+              if (bucketPaths.isEmpty) Seq.empty[(Long, Long)].toDF("id", "band")
+              else s2.read.option("recursiveFileLookup", "true")
+                .parquet(bucketPaths: _*) // ONE scan over the matching buckets
+            // The digest semi join and the partner-text fetch ride
+            // stats-based broadcast at this SF; the regimes past the
+            // broadcast budget are already built and pinned elsewhere —
+            // a dd18-style Bloom for the digest probe, and the
+            // bucketed point-lookup loader (Dedup.minHashDupPairsWithIndex
+            // `historyFor`, DedupSpec-pinned) for the corpus text.
             val history =
               if (have(corpusDir)) rd(corpusDir)
               else Seq.empty[(Long, String)].toDF("doc_id", "text")
             val pairs = graft.ops.Dedup.minHashDupPairsWithIndex(
                 batch, bands, history, "doc_id", "text",
                 shingleK = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5,
-                newBands = Some(newBands))
+                newBands = Some(newBands), newBandSummary = Some(summary))
               .select($"id_a", $"id_b")
             val und = pairs
               .unionByName(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))

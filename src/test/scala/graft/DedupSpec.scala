@@ -113,6 +113,50 @@ class DedupSpec extends SparkSuite {
         "the accumulated index is crossing an exchange again")
   }
 
+  test("historyFor point-lookup loader: bucketed partner-text fetch answers " +
+    "identically to the full-table semi join (the 100 TB corpus shape)") {
+    val s = spark
+    import s.implicits._
+    def txt(i: Long) = (0 until 12).map(j => s"v${j}y$i").mkString(" ")
+    val hist = (0L until 200L).map(i => (i, txt(i))).toDF("doc_id", "text")
+    val batch = Seq((9001L, txt(7)), (9002L, txt(555555L)))
+      .toDF("doc_id", "text")
+    val bands = Dedup.lshBandIndex(hist, "doc_id", "text",
+      shingleK = 3, numBands = 8, rowsPerBand = 4).localCheckpoint()
+    // corpus persisted one directory per id bucket — the artifact layout
+    // a streaming ingest loop maintains so partner text is a point
+    // lookup instead of a full-history scan
+    val dir = java.nio.file.Files.createTempDirectory("corpus-bkt-").toString
+    hist.withColumn("b", pmod(hash($"doc_id"), lit(Dedup.BandBuckets)))
+      .write.partitionBy("b").mode("overwrite").parquet(dir)
+    var loaderBuckets = -1
+    val loader = (partnerIds: org.apache.spark.sql.DataFrame) => {
+      val bkts = partnerIds
+        .select(pmod(hash($"pid"), lit(Dedup.BandBuckets)).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      loaderBuckets = bkts.size
+      val dirs = bkts.map(k => s"$dir/b=$k")
+        .filter(p => new java.io.File(p).exists())
+      val h =
+        if (dirs.isEmpty) Seq.empty[(Long, String)].toDF("doc_id", "text")
+        else s.read.parquet(dirs: _*)
+      h.join(partnerIds, h("doc_id") === col("pid"), "left_semi")
+    }
+    def run(historyFor: Option[org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame], history: org.apache.spark.sql.DataFrame) =
+      Dedup.minHashDupPairsWithIndex(batch, bands, history, "doc_id", "text",
+          shingleK = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5,
+          historyFor = historyFor)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaLoader = run(Some(loader), Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    val viaSemiJoin = run(None, hist)
+    assert(viaLoader == viaSemiJoin && viaLoader == Set((7L, 9001L, 1.0)),
+      s"point-lookup path diverged: loader=$viaLoader semi=$viaSemiJoin")
+    assert(loaderBuckets >= 1 && loaderBuckets < Dedup.BandBuckets,
+      s"loader read $loaderBuckets buckets — expected a strict subset for " +
+        "a 1-partner candidate set (the whole point of the layout)")
+  }
+
   test("persisted band index: a foreign band_buckets layout in the " +
     "sidecar is rejected (partition pruning would skip wrong buckets)") {
     val s = spark
