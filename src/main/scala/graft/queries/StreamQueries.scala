@@ -1569,6 +1569,91 @@ object StreamQueries {
         .orderBy($"query_id")
     },
 
+    // STREAMING ANN INDEX INGEST — the st29 treatment for the ANN tier,
+    // closing the an12/st30 loop from the WRITE side: st30 serves a
+    // query stream against a once-written index; here the index ITSELF
+    // evolves inside a streaming query. Each micro-batch of newly
+    // arrived embeddings is assigned to the PERSISTED centroids (fixed
+    // retrieval geometry — cells never move after the initial fit;
+    // re-clustering per batch would silently invalidate every earlier
+    // assignment) and appended to the (id, cell) assignment artifact
+    // through the per-batch atomic commit, so an at-least-once retry
+    // appends nothing. Certification (cell ids are k-means-internals-
+    // bound, so the an02/tx07 inline-bit pattern):
+    //  - n_vectors + coverage_ok: the accumulated artifact covers every
+    //    corpus vector exactly once (count = DuckDB's independent
+    //    count; distinct = total);
+    //  - n_index_batches: the replay genuinely crossed 3 appends;
+    //  - ingest_equal: accumulated artifact ≡ one-shot ivfAssignments
+    //    over the full corpus, row for row — assignment is a pure
+    //    function of (vector, centroids), so batch boundaries must not
+    //    move a single cell;
+    //  - search_equal: an an02-shape probe served from the ACCUMULATED
+    //    artifact ≡ the same probe from the one-shot artifact, bit for
+    //    bit — the evolved index SERVES identically (st30's equivalence
+    //    bit, now across the ingest boundary too).
+    // Scale shape: per batch the work is one narrow (id, cell)
+    // assignment projection over the batch (centroids ride the closure,
+    // nearest-cell is codegen arithmetic) + one atomic parquet commit —
+    // the accumulated index is never re-read, let alone re-clustered,
+    // during ingest.
+    "st34_stream_ann_ingest" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val centers = graft.ops.Similarity.coarseQuantizer(
+        emb, "vec_id", "embedding", s"emb-$dir", nCells = 16, seed = 42L)
+      val base = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
+        "annindex-").toString
+      graft.stream.StreamRunner.deleteOnExit(base)
+      val idxDir = s"$base/assignments"
+      val scratch = ensureEmbChunks(s, dir, 3)
+      val stream = s.readStream.schema(Schemas.embeddings)
+        .option("maxFilesPerTrigger", 1).parquet(scratch)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b0: DataFrame, batchId: Long) =>
+          graft.stream.IdempotentSink.writeBatch(
+            graft.ops.Similarity.ivfAssignments(
+              b0, "vec_id", "embedding", centers),
+            idxDir, batchId)
+        }
+        .start()
+      q.awaitTermination()
+      val streamedIdx = graft.stream.IdempotentSink.read(s, idxDir)
+      val oneShotIdx = graft.ops.Similarity.ivfAssignments(
+        emb, "vec_id", "embedding", centers)
+      val nBatches = Option(new java.io.File(idxDir).listFiles())
+        .getOrElse(Array.empty).count(_.getName.startsWith("b"))
+      val coverage = streamedIdx.agg(
+        count(lit(1)).as("n_vectors"),
+        when(countDistinct($"vec_id") === count(lit(1)), 1L).otherwise(0L)
+          .as("coverage_ok"))
+      val ingestEqual = streamedIdx.select($"vec_id", $"cell".as("c_s"))
+        .join(oneShotIdx.select($"vec_id", $"cell".as("c_b")),
+          Seq("vec_id"), "full_outer")
+        .agg(sum(when($"c_s".isNull || $"c_b".isNull || $"c_s" =!= $"c_b", 1L)
+          .otherwise(0L)).as("n_diff"))
+        .select(when($"n_diff" === 0, 1L).otherwise(0L).as("ingest_equal"))
+      val queries = emb.filter($"vec_id" < 10)
+      def probe(idx: DataFrame) = graft.ops.Similarity.ivfTopKWithIndex(
+        emb, queries, "vec_id", "embedding", k = 5,
+        centers = centers, assignments = idx, nProbe = 4)
+      val searchEqual = probe(streamedIdx)
+        .select($"query_id", $"rank", $"neighbor_id".as("n_s"), $"cosine".as("c_s"))
+        .join(probe(oneShotIdx).select($"query_id", $"rank",
+          $"neighbor_id".as("n_b"), $"cosine".as("c_b")),
+          Seq("query_id", "rank"), "full_outer")
+        .agg(sum(when($"n_s".isNull || $"n_b".isNull || $"n_s" =!= $"n_b" ||
+            abs($"c_s" - $"c_b") > 1e-15, 1L).otherwise(0L)).as("n_diff"))
+        .select(when($"n_diff" === 0, 1L).otherwise(0L).as("search_equal"))
+      coverage
+        .withColumn("n_index_batches", lit(nBatches.toLong))
+        .crossJoin(broadcast(ingestEqual))
+        .crossJoin(broadcast(searchEqual))
+    },
+
     // STREAMING DETERMINISTIC FIXED-k SAMPLE — tx20's streaming twin,
     // closing the sampling family's loop (the st29/st30 treatment): the
     // per-source k content-hash-smallest docs maintained across
@@ -1970,6 +2055,37 @@ object StreamQueries {
     * into `nFiles` content-addressed chunks (`vec_id % nFiles`), each a
     * single parquet file with strictly increasing mtimes — the
     * [[ensureDocChunks]] construction for the embeddings table. */
+  /** The FULL embeddings table as `nFiles` content-addressed chunk files
+    * (vec_id % nFiles), mtime-ordered — the ingest replay fixture for
+    * st34 (where the stream IS the corpus arriving), vs
+    * [[ensureEmbQueryChunks]] which streams only the an01 query set. */
+  private[graft] def ensureEmbChunks(s: org.apache.spark.sql.SparkSession,
+                                     dir: String, nFiles: Int): String =
+    chunkDirs.computeIfAbsent(s"embfull|$dir|$nFiles|${sourceId(s, dir, "embeddings")}", _ => {
+      val scratch = new java.io.File(
+        s"target/stream-scratch/emb_chunks_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$nFiles")
+        .getAbsolutePath
+      val all = Tables.embeddings(s, dir)
+      val base = System.currentTimeMillis()
+      for (c <- 0 until nFiles) {
+        val tmp = s"$scratch/_tmp_$c"
+        all.filter(col("vec_id") % nFiles === c)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written under $tmp"))
+        val dest = new java.io.File(s"$scratch/chunk_$c.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dest.setLastModified(base + c * 2000L)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+      }
+      scratch
+    })
+
   private[graft] def ensureEmbQueryChunks(s: org.apache.spark.sql.SparkSession,
                                           dir: String, nFiles: Int): String =
     chunkDirs.computeIfAbsent(s"embq|$dir|$nFiles|${sourceId(s, dir, "embeddings")}", _ => {
@@ -2426,6 +2542,16 @@ object StreamQueries {
         |  ON c.user_id = p.p_user AND p.p_ts >= c.ts
         | AND p.p_ts < c.ts + INTERVAL 1 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // n_vectors is DuckDB's independent corpus count; the equivalence
+    // and coverage bits plus the 3-append replay depth are pinned — the
+    // an03/dd10 constant-oracle contract for quantizer-bound outputs
+    "st34_stream_ann_ingest" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors,
+        |       CAST(1 AS BIGINT) AS coverage_ok,
+        |       CAST(3 AS BIGINT) AS n_index_batches,
+        |       CAST(1 AS BIGINT) AS ingest_equal,
+        |       CAST(1 AS BIGINT) AS search_equal""".stripMargin,
 
     // st02's values densified onto the full slide-tick grid: one row
     // per minute tick across the purchase span, zero-filled — the grid
