@@ -582,6 +582,13 @@ object StreamQueries {
       // readable like any other DataFrame.
       val s2 = s.newSession()
       import s2.implicits._
+      // newSession inherits only builder-time options, not runtime conf —
+      // carry over the caller's state-store settings (provider class,
+      // RocksDB changelog flags) or the provider matrix / bench overrides
+      // would silently not apply to this entry
+      s.conf.getAll
+        .filter(_._1.startsWith("spark.sql.streaming.stateStore"))
+        .foreach { case (k, v) => s2.conf.set(k, v) }
       s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       // toMemory runs the streaming query EAGERLY, so the conf governs
       // the stream-static join; the lazy projection over the memory sink

@@ -56,7 +56,11 @@ class RocksDbStateStoreSpec extends SparkSuite {
     // state under the purging watermark (variable-length serialized
     // summary buffers — a different binary-state class than HLL/CMS)
     "st27_invoice_state_shuffled",
-    "st28_stream_quantile_purge")
+    "st28_stream_quantile_purge",
+    // r17: symmetric stream-stream join state with BOTH-SIDES outer-row
+    // tracking — a different state class again (two keyed buffers plus
+    // matched-flags for null-extension on both sides)
+    "st32_stream_full_outer_join")
 
   for (name <- StatefulSuite)
     test(s"$name: identical output under RocksDB and default state stores") {
