@@ -259,6 +259,33 @@ object Dedup {
     s.read.parquet(s"$path/bands")
   }
 
+  /** The probe's index-prune stage, separated so specs can pin ITS plan
+    * (the verify tail downstream is lineage-truncated, hiding this scan):
+    * partition-level `band_bucket IN (touched buckets)` when the index
+    * carries the persisted layout's partition column, then the map-side
+    * Bloom over the batch's band keys. Both prune levels are
+    * false-negative-free, so bucket membership for batch-touching bands
+    * is exactly the full run's (see [[minHashDupPairsWithIndex]]). */
+  private[graft] def pruneIndexToBatch(bandIndex: DataFrame, newBanded: DataFrame,
+                                       buckets: Seq[Int], freshBands: Long): DataFrame = {
+    val scanPruned =
+      if (bandIndex.columns.contains("band_bucket"))
+        bandIndex.filter(col("band_bucket").isin(buckets: _*)).drop("band_bucket")
+      else bandIndex
+    // job-free emptiness check (a known-empty local relation): the first
+    // batch of a stream probes an empty index — skip the Bloom build (a
+    // per-batch aggregate job) entirely
+    val knownEmpty = scanPruned.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.isEmpty
+      case _ => false
+    }
+    if (knownEmpty) scanPruned
+    else scanPruned.filter(Sketches.mightContain(
+      Sketches.bloomBytes(newBanded, "band",
+        expectedItems = freshBands, fpp = 0.01), col("band")))
+  }
+
   /** Incremental near-dup pairs of a NEW batch against (and within) a
     * corpus whose history side is represented by a persisted
     * [[lshBandIndex]]: only the new docs are shingled and signed; band
@@ -336,23 +363,7 @@ object Dedup {
     // gains accuracy); callers that already computed it (st29 needs the
     // bucket set to list index directories BEFORE calling) pass it in
     val (buckets, freshBands) = newBandSummary.getOrElse(bandSummary(newBanded))
-    val scanPruned =
-      if (bandIndex.columns.contains("band_bucket"))
-        bandIndex.filter(col("band_bucket").isin(buckets: _*)).drop("band_bucket")
-      else bandIndex
-    // job-free emptiness check (a known-empty local relation): the first
-    // batch of a stream probes an empty index — skip the Bloom build (a
-    // per-batch aggregate job) entirely
-    val knownEmpty = scanPruned.queryExecution.optimizedPlan match {
-      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        l.data.isEmpty
-      case _ => false
-    }
-    val prunedIndex =
-      if (knownEmpty) scanPruned
-      else scanPruned.filter(Sketches.mightContain(
-        Sketches.bloomBytes(newBanded, "band",
-          expectedItems = freshBands, fpp = 0.01), col("band")))
+    val prunedIndex = pruneIndexToBatch(bandIndex, newBanded, buckets, freshBands)
     val banded = prunedIndex.select(col("id"), col("band"), lit(0).as("fresh"))
       .unionByName(newBanded.select(col("id"), col("band"), lit(1).as("fresh")))
     // payload leads with id, so bucket pairs keep a < b on ids; pairs

@@ -111,6 +111,39 @@ class DedupSpec extends SparkSuite {
     assert(recs < indexRows / 10,
       s"probe shuffled $recs records against a $indexRows-row index — " +
         "the accumulated index is crossing an exchange again")
+    // NEGATIVE CONTROL (the q03/q40 pattern): the UNPRUNED shape — the
+    // r16 plan, whole index unioned into the band-keyed aggregate —
+    // blows the same budget, so the pin above cannot pass vacuously
+    val newBanded = Dedup.lshBandIndex(batch, "doc_id", "text",
+      shingleK = 3, numBands = 8, rowsPerBand = 4)
+    val unioned = bands.drop("band_bucket")
+      .select($"id", $"band", lit(0).as("fresh"))
+      .unionByName(newBanded.select($"id", $"band", lit(1).as("fresh")))
+    val unprunedRecs = shuffleRecords {
+      // collect_list has no map-side combine, so the exchange carries
+      // every union row — exactly what the old probe paid
+      unioned.groupBy($"band").agg(collect_list($"id"))
+        .write.mode("overwrite").format("noop").save()
+    }
+    assert(unprunedRecs >= indexRows,
+      s"negative control shuffled only $unprunedRecs records (< $indexRows) " +
+        "— the unpruned shape no longer trips the budget, teeth lost")
+    // PLAN pin: the probe's index-prune stage (the production
+    // pruneIndexToBatch, planned directly — the verify tail downstream
+    // is lineage-truncated and would hide this scan) must carry BOTH
+    // prune levels: a band_bucket partition filter (directory/partition
+    // skip) and the map-side Bloom probe (might_contain), ahead of any
+    // exchange
+    val (bkts, nB) = Dedup.bandSummary(newBanded)
+    val probePlan = Dedup.pruneIndexToBatch(bands, newBanded, bkts, nB)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(probePlan.contains("might_contain"),
+      "probe plan lost the Bloom prune on the index scan")
+    assert(probePlan.contains("PartitionFilters: [") &&
+      probePlan.contains("band_bucket"),
+      "probe plan lost the band_bucket partition filter — the scan reads " +
+        "every bucket directory again")
   }
 
   test("historyFor point-lookup loader: bucketed partner-text fetch answers " +
