@@ -1398,6 +1398,7 @@ object StreamQueries {
           val s2 = b0.sparkSession
           import s2.implicits._
           val batch = b0.cache()
+          var newBandsRef: Option[DataFrame] = None
           try {
             def have(p: String) = new java.io.File(p).exists()
             def rd(p: String) = graft.stream.IdempotentSink.read(s2, p)
@@ -1414,12 +1415,16 @@ object StreamQueries {
               else Seq.empty[Long].toDF("doc_id")
             // near rule: band buckets union index rows with fresh rows —
             // identical bucket membership to a full-corpus run. The
-            // batch's own band table is built ONCE (lineage truncated)
-            // and reused three ways: bucket selection, the probe union
-            // (via `newBands`), and the index append below.
+            // batch's own band table is built ONCE (persisted — the
+            // bandSummary aggregate below materializes the cache in the
+            // same job, one cheaper than a dedicated localCheckpoint
+            // pass) and reused four ways: bucket selection, the Bloom
+            // build, the probe union (via `newBands`), and the index
+            // append; unpersisted with the batch in the finally below.
             val newBands = graft.ops.Dedup.lshBandIndex(batch, "doc_id",
                 "text", shingleK = 3, numBands = 8, rowsPerBand = 4)
-              .localCheckpoint()
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            newBandsRef = Some(newBands)
             // SCAN-LEVEL SKIP: the index is laid out one directory per
             // band bucket (writeRoutedBatch below), so only buckets the
             // batch touches are even LISTED — per-batch probe input is
@@ -1476,7 +1481,10 @@ object StreamQueries {
               withH.select($"h").distinct(), digestsDir, batchId)
             graft.stream.IdempotentSink.writeBatch(
               batch.select($"doc_id", $"text"), corpusDir, batchId)
-          } finally { batch.unpersist(); () }
+          } finally {
+            newBandsRef.foreach(_.unpersist())
+            batch.unpersist(): Unit
+          }
         }
         .start()
       q.awaitTermination()
