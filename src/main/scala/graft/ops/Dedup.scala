@@ -327,15 +327,19 @@ object Dedup {
                                historyFor: Option[DataFrame => DataFrame] = None)
       : DataFrame = {
     val newSh = shingled(newDocs, idCol, textCol, shingleK)
-    // the fresh band frame feeds BOTH the index prune and the probe union
-    // — truncate its lineage so the signature (the expensive expression)
-    // is computed once, not once per consumer. Callers that already built
-    // the batch's band table (st29 appends it to the index anyway) pass
-    // it in via `newBands` and pay nothing extra.
+    // the fresh band frame feeds the band summary, the Bloom build and
+    // the probe union — persist it so the signature (the expensive
+    // expression) is computed once, not once per consumer; the summary
+    // aggregate below materializes the cache in the same job (one
+    // cheaper than a dedicated checkpoint pass), and the blocks are
+    // reclaimed by the ContextCleaner once the result frame is dropped
+    // (the dd18 posture). Callers that already built the batch's band
+    // table (st29 appends it to the index anyway) pass it in via
+    // `newBands` and pay nothing extra.
     val newBanded = newBands.getOrElse(newSh
         .withColumn("sig", minHashSignature(col("shingles"), numBands * rowsPerBand))
         .select(col("id"), explode(bandKeys(col("sig"), numBands, rowsPerBand)).as("band"))
-        .localCheckpoint())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // SCALE SHAPE — the index is pruned to the fresh batch's bands BEFORE
     // the bucket aggregate, so per-batch probe work is proportional to
     // the buckets the batch actually touches, not the total accumulated
