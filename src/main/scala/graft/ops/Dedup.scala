@@ -176,9 +176,11 @@ object Dedup {
       .select(col("id"), explode(bandKeys(col("sig"), numBands, rowsPerBand)).as("band"))
 
   /** Persist an [[lshBandIndex]] WITH its band parameters: the band rows
-    * go to `path/bands`, and a 1-row `path/_params` sidecar records
-    * (shingle_k, num_bands, rows_per_band). Band keys are positional —
-    * an index probed under different parameters silently corrupts the
+    * go to `path/bands` (Hive-partitioned by [[bandBucket]] so probes
+    * partition-prune), and a 1-row `path/_params` sidecar records
+    * (shingle_k, num_bands, rows_per_band, band_buckets). Band keys are
+    * positional and the bucket layout drives partition pruning — an
+    * index probed under different parameters silently corrupts the
     * candidate set — so when the write and read sites live in different
     * jobs (the daily-crawl restart posture) the parameters must travel
     * WITH the artifact and be asserted at load, not re-supplied from

@@ -419,6 +419,49 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
+    // tx09's EXPLAIN twin — the per-document curation AUDIT every
+    // production corpus build owes its users: not just which docs
+    // survived, but WHY each one dropped (the first failing gate in the
+    // pipeline's fixed rule order) and WHICH doc shadows it. Verdicts,
+    // in order: exact_dup (not its digest group's min-id keeper),
+    // near_dup (an exact keeper whose J≥0.5 component elects a smaller
+    // member — dd01's LSH params; dd01/dd15's green rows certify the
+    // capped-LSH pair set equals exact Jaccard on this corpus, and the
+    // oracle replays exact Jaccard + a recursive-CTE closure), then
+    // low_quality, then non_english, else kept. keeper_id = the digest
+    // keeper / the component label / itself — the actionable "replace
+    // me with" pointer. Scale shape: the gates are tx09's single fused
+    // scan + one dedup aggregate; near-dup adds dd01's banded-capped
+    // pair generation + node-sized component propagation, never the
+    // text on a shuffle.
+    "tx35_curation_audit" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .withColumn("h", md5($"text".cast("binary")))
+      val keepers = docs.groupBy($"h").agg(min($"doc_id").as("keeper_id"))
+      val tagged = docs.join(keepers, Seq("h"))
+      val exactKeepers = tagged.filter($"doc_id" === $"keeper_id")
+        .select($"doc_id", $"text")
+      val pairs = graft.ops.Dedup.minHashDupPairs(exactKeepers, "doc_id",
+          "text", shingleK = 3, numBands = 8, rowsPerBand = 4,
+          threshold = 0.5)
+        .select($"id_a", $"id_b")
+      val comps = graft.ops.Dedup.connectedComponents(pairs)
+        .select($"id".as("doc_id"), $"comp")
+      tagged
+        .join(comps, Seq("doc_id"), "left")
+        .select($"doc_id",
+          when($"doc_id" =!= $"keeper_id", "exact_dup")
+            .when($"comp".isNotNull && $"comp" =!= $"doc_id", "near_dup")
+            .when(TextOps.qualityScore($"text", Stopwords) < 0.1, "low_quality")
+            .when(TextOps.languageId($"text") =!= "en", "non_english")
+            .otherwise("kept").as("drop_reason"),
+          when($"doc_id" =!= $"keeper_id", $"keeper_id")
+            .when($"comp".isNotNull, $"comp")
+            .otherwise($"doc_id").as("keeper_id"))
+        .orderBy($"doc_id")
+    },
+
     // TF-IDF top-5 terms per document. Corpus size reaches the scorer as
     // a broadcast 1-row aggregate (never a global window — that would
     // collapse to one partition); term document-frequency is a second
@@ -1253,6 +1296,56 @@ object TextQueries {
          |  $langIdSqlExpr AS predicted_lang,
          |  lang AS labeled_lang
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the full sequential replay of tx35's rule order: exact keepers by
+    // digest-group min, exact-Jaccard pairs among keepers (the dd15 CTE),
+    // recursive-CTE components (the dd05 closure), then the tx09 gates
+    "tx35_curation_audit" ->
+      s"""WITH RECURSIVE
+         |k AS (SELECT md5(text) AS h, min(doc_id) AS kid
+         |      FROM documents GROUP BY 1),
+         |d AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+         |ek AS (SELECT d.doc_id, d.text FROM d
+         |       JOIN k ON d.h = k.h AND d.doc_id = k.kid),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM ek),
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_distinct(CASE WHEN len(t) < 3
+         |           THEN [array_to_string(t, ' ')]
+         |           ELSE list_transform(generate_series(1, len(t) - 2),
+         |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |         END) AS shingles
+         |  FROM toks),
+         |post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |         FROM post l JOIN post r ON l.shingle = r.shingle
+         |                                AND l.doc_id < r.doc_id),
+         |pairs AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+         |  WHERE len(list_intersect(a.shingles, b.shingles))
+         |        / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS comp
+         |         FROM reach GROUP BY u)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id <> kid THEN 'exact_dup'
+         |       WHEN comp IS NOT NULL AND comp <> doc_id THEN 'near_dup'
+         |       WHEN $qualitySqlExpr < 0.1 THEN 'low_quality'
+         |       WHEN $langIdSqlExpr <> 'en' THEN 'non_english'
+         |       ELSE 'kept' END AS drop_reason,
+         |  CAST(CASE WHEN doc_id <> kid THEN kid
+         |            WHEN comp IS NOT NULL THEN comp
+         |            ELSE doc_id END AS BIGINT) AS keeper_id
+         |FROM (SELECT d.doc_id, d.text, k.kid, comp.comp
+         |      FROM d JOIN k ON d.h = k.h
+         |      LEFT JOIN comp ON comp.doc_id = d.doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "tx09_corpus_curation" ->
       s"""WITH k AS (
