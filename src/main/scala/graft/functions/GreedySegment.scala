@@ -153,7 +153,12 @@ object GreedySegment {
       hit = new Entry(set, maxLen)
       val prev = parsed.putIfAbsent(vocab, hit)
       if (prev != null) hit = prev
-      else if (parsed.size() > MaxVocabs) evictCold()
+      // EVERY inserting thread checks the budget (not just the
+      // putIfAbsent winner): concurrent losers could otherwise each race
+      // past a single winner-side check and leave the map above the cap
+      // until the next overflowing insert. evictCold recomputes the
+      // overshoot under its lock, so concurrent calls never over-evict.
+      if (parsed.size() > MaxVocabs) evictCold()
     } else hit.stamp.lazySet(accessClock.incrementAndGet())
     (hit.set, hit.maxLen)
   }

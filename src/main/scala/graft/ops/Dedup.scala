@@ -334,8 +334,8 @@ object Dedup {
     // expression) is computed once, not once per consumer; the summary
     // aggregate below materializes the cache in the same job (one
     // cheaper than a dedicated checkpoint pass), and the blocks are
-    // reclaimed by the ContextCleaner once the result frame is dropped
-    // (the dd18 posture). Callers that already built the batch's band
+    // unpersisted eagerly once the candidate checkpoint — the last
+    // consumer — materializes. Callers that already built the batch's band
     // table (st29 appends it to the index anyway) pass it in via
     // `newBands` and pay nothing extra.
     val newBanded = newBands.getOrElse(newSh
@@ -385,6 +385,14 @@ object Dedup {
       // partner prune); truncate the lineage so the bucket aggregate
       // runs once, not three times
       .localCheckpoint()
+    // every consumer of the fresh band frame has executed by the time the
+    // eager checkpoint above returns (the summary aggregate, the Bloom
+    // build inside pruneIndexToBatch, the probe union feeding cand), so
+    // release the cached blocks NOW instead of leaving them to
+    // ContextCleaner GC — repeated probes in one session would otherwise
+    // accumulate storage-memory pressure. Caller-provided band frames
+    // stay caller-owned (st29 appends its frame to the index afterwards).
+    if (newBands.isEmpty) newBanded.unpersist(blocking = false)
     val partnerIds = cand.select(col("id_a").as("pid"))
       .unionByName(cand.select(col("id_b").as("pid"))).distinct()
     // history text is fetched ONLY for candidate partners. When the

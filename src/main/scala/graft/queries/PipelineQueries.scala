@@ -344,8 +344,12 @@ object PipelineQueries {
       val truth = exact
         .join(pairs.withColumn("hit", lit(1L)), Seq("id_a", "id_b"), "left")
         .agg(count(lit(1)).as("n_true_pairs"),
-          (sum(coalesce($"hit", lit(0L))).cast("double") / count(lit(1)))
-            .as("recall"))
+          // an empty truth set makes sum(...) NULL → recall NULL → the
+          // floor check would report 0; recall over zero true pairs is
+          // vacuously perfect, so coalesce to 1.0 (matching the oracle's
+          // behavior on an empty truth set)
+          coalesce(sum(coalesce($"hit", lit(0L))).cast("double") /
+            count(lit(1)), lit(1.0)).as("recall"))
         .select($"n_true_pairs",
           when($"recall" >= 0.45, 1L).otherwise(0L).as("recall_ok"))
       val precision = pairs

@@ -583,12 +583,17 @@ object StreamQueries {
       val s2 = s.newSession()
       import s2.implicits._
       // newSession inherits only builder-time options, not runtime conf —
-      // carry over the caller's state-store settings (provider class,
-      // RocksDB changelog flags) or the provider matrix / bench overrides
-      // would silently not apply to this entry
-      s.conf.getAll
-        .filter(_._1.startsWith("spark.sql.streaming.stateStore"))
-        .foreach { case (k, v) => s2.conf.set(k, v) }
+      // replay EVERY modifiable runtime delta of the caller's session onto
+      // the child (diff vs the child's own fresh view), not just a
+      // state-store prefix allowlist: a future bench/suite knob (AQE,
+      // shuffle partitions, a new provider flag) must reach this entry
+      // too. The broadcast kill is applied AFTER the replay so it always
+      // wins — it is the one conf this entry exists to override.
+      val fresh = s2.conf.getAll
+      s.conf.getAll.foreach { case (k, v) =>
+        if (!fresh.get(k).contains(v) && s2.conf.isModifiable(k))
+          s2.conf.set(k, v)
+      }
       s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       // toMemory runs the streaming query EAGERLY, so the conf governs
       // the stream-static join; the lazy projection over the memory sink
