@@ -282,6 +282,48 @@ object IngestQueries {
     // is provably untouched by the rewrite (compaction is pure layout
     // maintenance). IngestSpec pins the layout half: compacted file
     // count ≤ target, strictly fewer than the 32 fragments.
+    // cs09's STREAMING-SINK twin — compaction of an IdempotentSink
+    // accumulation (the per-batch atomic-directory protocol every st*
+    // foreachBatch sink uses): three batch appends folded into ONE
+    // manifest-committed run, then the two hazards a naive rewrite gets
+    // wrong are exercised in-line — (1) an at-least-once REDELIVERY of a
+    // batch whose directory compaction consumed and deleted (the
+    // cumulative manifest must remember it committed, or the retry
+    // re-publishes its rows), and (2) a second compact() over an
+    // already-folded sink (must be a no-op, not a new generation). The
+    // row surface is the full roundtripped table — DuckDB reads the
+    // ORIGINAL, so the hash match certifies compaction moved bytes, not
+    // data; the layout bits pin one run / one file / zero batch dirs.
+    "cs16_sink_compaction_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", $"source", $"n_chars".cast("long").as("n_chars"))
+      val base = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
+        "sinkcompact-").toString
+      graft.stream.StreamRunner.deleteOnExit(base)
+      val sink = s"$base/docs"
+      def part(i: Int) = docs.filter($"doc_id" % 3 === i)
+      (0 until 3).foreach(i =>
+        graft.stream.IdempotentSink.writeBatch(part(i), sink, i))
+      graft.stream.IdempotentSink.compact(s, sink)
+      // hazard 1: redelivery of consumed batch 1 — manifest-remembered
+      graft.stream.IdempotentSink.writeBatch(part(1), sink, 1)
+      // hazard 2: re-compaction of a single-run sink — generation no-op
+      graft.stream.IdempotentSink.compact(s, sink)
+      def ls(p: String) = Option(new java.io.File(p).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+      val runs = ls(sink).filter(_.isDirectory).map(_.getName)
+      val singleRun = runs.count(_.matches("b\\d+")) == 0 &&
+        runs.count(_.matches("c\\d+")) == 1 && runs.contains("c1")
+      val oneFile = singleRun && ls(s"$sink/c1")
+        .count(_.getName.endsWith(".parquet")) == 1
+      graft.stream.IdempotentSink.read(s, sink)
+        .withColumn("single_run_ok", lit(if (singleRun) 1L else 0L))
+        .withColumn("one_file_ok", lit(if (oneFile) 1L else 0L))
+        .orderBy($"doc_id")
+    },
+
     "cs09_compaction_roundtrip" -> { (s, dir) =>
       ensureCompacted(s, dir)
       s.read.parquet(compactDir)
@@ -576,6 +618,16 @@ object IngestQueries {
         |    CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS VARCHAR),
         |    l_returnflag))) AS BIGINT) AS n_distinct_rows
         |FROM lineitem""".stripMargin,
+
+    // cs16: DuckDB reads the ORIGINAL table; our side reads the
+    // batch-accumulated → compacted sink — the full-table hash match is
+    // the content-preservation certificate (and would catch a
+    // double-published retry as extra rows); layout bits constant-pinned.
+    "cs16_sink_compaction_roundtrip" ->
+      """SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+        |       CAST(1 AS BIGINT) AS single_run_ok,
+        |       CAST(1 AS BIGINT) AS one_file_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // DuckDB digests the ORIGINAL table; our side digests the
     // fragment→compact roundtripped copy — a hash match certifies the

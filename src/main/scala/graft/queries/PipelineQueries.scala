@@ -975,6 +975,79 @@ object PipelineQueries {
         .select($"doc_id", $"n_chars").orderBy($"doc_id")
     },
 
+    // CERTIFIED COMPACTION of the streaming band-index artifact — the
+    // 100 TB maintenance op the per-batch commit protocol needs: st29's
+    // index accumulates one atomic directory per batch per touched
+    // bucket forever, so after thousands of crawl batches LISTING cost
+    // grows with batch count even though probe pruning bounds the bytes.
+    // IdempotentSink.compactRouted folds the hot directories into ONE
+    // Hive-partitioned cold run (one file per bucket), committed by a
+    // cumulative manifest (stage + rename — crash-recoverable at every
+    // step, readers converge at every intermediate state). This entry
+    // replays a 3-batch ingest, snapshots the accumulated index, folds
+    // it, re-delivers an already-consumed batch (the at-least-once
+    // retry-after-maintenance case — the _committed marker must no-op
+    // it), and certifies: content multiset-identical to the snapshot
+    // (compaction is pure layout maintenance), exactly one cold run, ≤1
+    // file per bucket partition, zero hot directories left. Counts are
+    // DuckDB's independent recomputes (every doc contributes exactly
+    // numBands=8 band rows); the probe-plan half (partition filter +
+    // Bloom on the compacted layout) is pinned in DedupSpec.
+    "dd20_band_index_compaction" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+      val base = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
+        "bandcompact-").toString
+      graft.stream.StreamRunner.deleteOnExit(base)
+      val bandsDir = s"$base/bands"
+      def bandsOf(i: Int) = Dedup.lshBandIndex(
+          docs.filter($"doc_id" % 3 === i), "doc_id", "text",
+          shingleK = 3, numBands = 8, rowsPerBand = 4)
+        .withColumn("band_bucket", Dedup.bandBucket($"band"))
+      (0 until 3).foreach { i =>
+        graft.stream.IdempotentSink.writeRoutedBatch(
+          bandsOf(i), bandsDir, "band_bucket", i)
+      }
+      // snapshot BEFORE the fold (compaction deletes the hot dirs)
+      val before = graft.stream.IdempotentSink
+        .readRouted(s, bandsDir, "band_bucket").get.localCheckpoint()
+      graft.stream.IdempotentSink.compactRouted(s, bandsDir, "band_bucket",
+        shufflePartitions = Dedup.BandBuckets)
+      // at-least-once redelivery AFTER maintenance: batch 1 was consumed
+      // into the cold run; the _committed marker (which compaction never
+      // touches) must make this a no-op, or content_equal/hot-dir pins
+      // below go red
+      graft.stream.IdempotentSink.writeRoutedBatch(
+        bandsOf(1), bandsDir, "band_bucket", 1)
+      val after = graft.stream.IdempotentSink
+        .readRouted(s, bandsDir, "band_bucket").get
+      val eq = before.groupBy($"id", $"band").agg(count(lit(1)).as("n_a"))
+        .join(after.groupBy($"id", $"band").agg(count(lit(1)).as("n_b")),
+          Seq("id", "band"), "full_outer")
+        .agg(coalesce(min(when($"n_a" === $"n_b", 1L).otherwise(0L)),
+          lit(1L)).as("content_equal"))
+      // layout pins from the filesystem listing (bounded: ≤ BandBuckets
+      // partition dirs + a handful of run dirs)
+      def ls(p: String) = Option(new java.io.File(p).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+      val coldRuns = ls(bandsDir).filter(f => f.isDirectory &&
+        f.getName.matches("c\\d+"))
+      val oneColdRun = coldRuns.length == 1
+      val onePerBucket = oneColdRun && coldRuns.head.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("band_bucket="))
+        .forall(_.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+      val hotGone = ls(bandsDir).filter(_.isDirectory)
+        .filter(f => !f.getName.startsWith("_") && !f.getName.matches("c\\d+"))
+        .flatMap(f => ls(f.getPath)).isEmpty
+      after.agg(count(lit(1)).as("n_band_rows"),
+          countDistinct($"id").as("n_docs_indexed"))
+        .crossJoin(broadcast(eq))
+        .withColumn("one_cold_run_ok", lit(if (oneColdRun) 1L else 0L))
+        .withColumn("one_file_per_bucket_ok", lit(if (onePerBucket) 1L else 0L))
+        .withColumn("hot_dirs_gone_ok", lit(if (hotGone) 1L else 0L))
+    },
+
     // Multimodal AUDIO: real 16-bit mono PCM WAV payloads → per-partition
     // REAL decode (RIFF chunk walk, fmt parse, sample fold) → exact
     // integer sample stats. Same certification scheme as mm01: the
@@ -1908,6 +1981,19 @@ object PipelineQueries {
     // the persisted-index path must land on the IDENTICAL keeper set —
     // the same oracle IS the recompute-equivalence certificate
     "dd17_persisted_lsh_ingest" -> incrementalIngestOracleSql,
+
+    // dd20: the band-row counts are DuckDB's independent recomputes
+    // (every document contributes exactly numBands = 8 band rows); the
+    // four equality/layout certificates are constant-pinned — the
+    // an03/dd10 contract for signature-bound artifacts.
+    "dd20_band_index_compaction" ->
+      """SELECT CAST(count(*) * 8 AS BIGINT) AS n_band_rows,
+        |       CAST(count(*) AS BIGINT) AS n_docs_indexed,
+        |       CAST(1 AS BIGINT) AS content_equal,
+        |       CAST(1 AS BIGINT) AS one_cold_run_ok,
+        |       CAST(1 AS BIGINT) AS one_file_per_bucket_ok,
+        |       CAST(1 AS BIGINT) AS hot_dirs_gone_ok
+        |FROM documents""".stripMargin,
 
     // dd12's ground truth: the exact-Jaccard pair count of the ORIGINAL
     // corpus (same pipeline as dd01's oracle), plus the three certificate

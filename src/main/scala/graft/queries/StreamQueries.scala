@@ -1392,108 +1392,8 @@ object StreamQueries {
         java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
         "lshstream-").toString
       graft.stream.StreamRunner.deleteOnExit(base)
-      val (bandsDir, digestsDir, corpusDir, sinkDir) =
-        (s"$base/bands", s"$base/digests", s"$base/corpus", s"$base/keepers")
-      val stream = s.readStream.schema(Schemas.documents)
-        .option("maxFilesPerTrigger", 1).parquet(scratch)
-      val q = stream.writeStream
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (b0: DataFrame, batchId: Long) =>
-          val s2 = b0.sparkSession
-          import s2.implicits._
-          val batch = b0.cache()
-          var newBandsRef: Option[DataFrame] = None
-          try {
-            def have(p: String) = new java.io.File(p).exists()
-            def rd(p: String) = graft.stream.IdempotentSink.read(s2, p)
-            val withH = batch.withColumn("h", md5($"text".cast("binary")))
-            // exact rule: dup of any earlier arrival — index digests
-            // cover earlier batches, the window covers earlier in-batch
-            val wD = org.apache.spark.sql.expressions.Window
-              .partitionBy($"h").orderBy($"doc_id")
-            val dropExactBatch = withH.withColumn("rn", row_number().over(wD))
-              .filter($"rn" > 1).select($"doc_id")
-            val dropExactHist =
-              if (have(digestsDir))
-                withH.join(rd(digestsDir), Seq("h"), "left_semi").select($"doc_id")
-              else Seq.empty[Long].toDF("doc_id")
-            // near rule: band buckets union index rows with fresh rows —
-            // identical bucket membership to a full-corpus run. The
-            // batch's own band table is built ONCE (persisted — the
-            // bandSummary aggregate below materializes the cache in the
-            // same job, one cheaper than a dedicated localCheckpoint
-            // pass) and reused four ways: bucket selection, the Bloom
-            // build, the probe union (via `newBands`), and the index
-            // append; unpersisted with the batch in the finally below.
-            val newBands = graft.ops.Dedup.lshBandIndex(batch, "doc_id",
-                "text", shingleK = 3, numBands = 8, rowsPerBand = 4)
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            newBandsRef = Some(newBands)
-            // SCAN-LEVEL SKIP: the index is laid out one directory per
-            // band bucket (writeRoutedBatch below), so only buckets the
-            // batch touches are even LISTED — per-batch probe input is
-            // proportional to matching buckets, not the accumulated
-            // index (the bounded driver pull is ≤ Dedup.BandBuckets
-            // ints); minHashDupPairsWithIndex then row-prunes what was
-            // read to the batch's exact band set before the union.
-            val summary @ (freshBuckets, _) = graft.ops.Dedup.bandSummary(newBands)
-            val bucketPaths = freshBuckets
-              .map(b => s"$bandsDir/$b").filter(have)
-            val bands =
-              if (bucketPaths.isEmpty) Seq.empty[(Long, Long)].toDF("id", "band")
-              else s2.read.option("recursiveFileLookup", "true")
-                .parquet(bucketPaths: _*) // ONE scan over the matching buckets
-            // The digest semi join and the partner-text fetch ride
-            // stats-based broadcast at this SF; the regimes past the
-            // broadcast budget are already built and pinned elsewhere —
-            // a dd18-style Bloom for the digest probe, and the
-            // bucketed point-lookup loader (Dedup.minHashDupPairsWithIndex
-            // `historyFor`, DedupSpec-pinned) for the corpus text.
-            val history =
-              if (have(corpusDir)) rd(corpusDir)
-              else Seq.empty[(Long, String)].toDF("doc_id", "text")
-            val pairs = graft.ops.Dedup.minHashDupPairsWithIndex(
-                batch, bands, history, "doc_id", "text",
-                shingleK = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5,
-                newBands = Some(newBands), newBandSummary = Some(summary))
-              .select($"id_a", $"id_b")
-            val und = pairs
-              .unionByName(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
-            val batchIds = batch.select($"doc_id")
-            val dropNear = und
-              .join(batchIds.select($"doc_id".as("id_b")), "id_b")
-              .join(batchIds.select($"doc_id".as("id_a"),
-                lit(true).as("partner_new")), Seq("id_a"), "left")
-              .filter(!coalesce($"partner_new", lit(false)) || $"id_a" < $"id_b")
-              .select($"id_b".as("doc_id")).distinct()
-            val dropped = dropExactBatch.unionByName(dropExactHist)
-              .unionByName(dropNear).distinct()
-            val keepers = batch.join(dropped, Seq("doc_id"), "left_anti")
-              .select($"doc_id", $"n_chars")
-            graft.stream.IdempotentSink.writeBatch(keepers, sinkDir, batchId)
-            // index-append: EVERY arrival, through the same atomic
-            // per-batch commit (an at-least-once retry appends nothing);
-            // bands land in the bucket-partitioned layout — ONE
-            // partitionBy job, one atomic rename per populated bucket —
-            // so the next batch's probe can skip non-matching buckets
-            // at the directory listing
-            graft.stream.IdempotentSink.writeRoutedBatch(
-              newBands.withColumn("band_bucket",
-                graft.ops.Dedup.bandBucket($"band")),
-              bandsDir, "band_bucket", batchId)
-            graft.stream.IdempotentSink.writeBatch(
-              withH.select($"h").distinct(), digestsDir, batchId)
-            graft.stream.IdempotentSink.writeBatch(
-              batch.select($"doc_id", $"text"), corpusDir, batchId)
-          } finally {
-            newBandsRef.foreach(_.unpersist())
-            batch.unpersist(): Unit
-          }
-        }
-        .start()
-      q.awaitTermination()
-      graft.stream.IdempotentSink.read(s, sinkDir)
+      runLshDedupStream(s, scratch, base)
+      graft.stream.IdempotentSink.read(s, s"$base/keepers")
         .select($"doc_id", $"n_chars")
         .orderBy($"doc_id")
     },
@@ -2035,6 +1935,129 @@ object StreamQueries {
       : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) =
     purgingWindowReplay(s, dir,
       expr("percentile_approx(value, array(0.5D, 0.9D), 10000)").as("pq"))
+
+  /** st29's per-batch LSH ingest-gate body, factored out of the entry so
+    * the resume spec can drive the SAME logic across a
+    * stop -> compact -> resume boundary (StreamSpec pins the keeper set
+    * unchanged when the accumulated index artifacts are compacted
+    * mid-stream). Directory layout under `base`: bands (routed
+    * per-bucket), digests, corpus, keepers (flat idempotent sinks). */
+  private[graft] def lshIngestBatch(b0: DataFrame, batchId: Long,
+                                    base: String): Unit = {
+    val (bandsDir, digestsDir, corpusDir, sinkDir) =
+      (s"$base/bands", s"$base/digests", s"$base/corpus", s"$base/keepers")
+    val s2 = b0.sparkSession
+    import s2.implicits._
+    val batch = b0.cache()
+    var newBandsRef: Option[DataFrame] = None
+    try {
+      def have(p: String) = new java.io.File(p).exists()
+      def rd(p: String) = graft.stream.IdempotentSink.read(s2, p)
+      val withH = batch.withColumn("h", md5($"text".cast("binary")))
+      // exact rule: dup of any earlier arrival — index digests
+      // cover earlier batches, the window covers earlier in-batch
+      val wD = org.apache.spark.sql.expressions.Window
+        .partitionBy($"h").orderBy($"doc_id")
+      val dropExactBatch = withH.withColumn("rn", row_number().over(wD))
+        .filter($"rn" > 1).select($"doc_id")
+      val dropExactHist =
+        if (have(digestsDir))
+          withH.join(rd(digestsDir), Seq("h"), "left_semi").select($"doc_id")
+        else Seq.empty[Long].toDF("doc_id")
+      // near rule: band buckets union index rows with fresh rows —
+      // identical bucket membership to a full-corpus run. The
+      // batch's own band table is built ONCE (persisted — the
+      // bandSummary aggregate below materializes the cache in the
+      // same job, one cheaper than a dedicated localCheckpoint
+      // pass) and reused four ways: bucket selection, the Bloom
+      // build, the probe union (via `newBands`), and the index
+      // append; unpersisted with the batch in the finally below.
+      val newBands = graft.ops.Dedup.lshBandIndex(batch, "doc_id",
+          "text", shingleK = 3, numBands = 8, rowsPerBand = 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      newBandsRef = Some(newBands)
+      // SCAN-LEVEL SKIP: the index is laid out one directory per
+      // band bucket (writeRoutedBatch below), so only buckets the
+      // batch touches are even LISTED — per-batch probe input is
+      // proportional to matching buckets, not the accumulated
+      // index (the bounded driver pull is ≤ Dedup.BandBuckets
+      // ints); minHashDupPairsWithIndex then row-prunes what was
+      // read to the batch's exact band set before the union.
+      val summary @ (freshBuckets, _) = graft.ops.Dedup.bandSummary(newBands)
+      // hot per-batch bucket dirs in ONE multi-path scan, unioned with
+      // the cold compacted run (once maintenance has folded earlier
+      // batches) behind a band_bucket PARTITION filter: the
+      // manifest-aware reader keeps the bucket-skip property across
+      // compactions
+      val bands = graft.stream.IdempotentSink.readRouted(s2, bandsDir,
+          "band_bucket", Some(freshBuckets.map(_.toString)))
+        .getOrElse(Seq.empty[(Long, Long)].toDF("id", "band"))
+      // The digest semi join and the partner-text fetch ride
+      // stats-based broadcast at this SF; the regimes past the
+      // broadcast budget are already built and pinned elsewhere —
+      // a dd18-style Bloom for the digest probe, and the
+      // bucketed point-lookup loader (Dedup.minHashDupPairsWithIndex
+      // `historyFor`, DedupSpec-pinned) for the corpus text.
+      val history =
+        if (have(corpusDir)) rd(corpusDir)
+        else Seq.empty[(Long, String)].toDF("doc_id", "text")
+      val pairs = graft.ops.Dedup.minHashDupPairsWithIndex(
+          batch, bands, history, "doc_id", "text",
+          shingleK = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5,
+          newBands = Some(newBands), newBandSummary = Some(summary))
+        .select($"id_a", $"id_b")
+      val und = pairs
+        .unionByName(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
+      val batchIds = batch.select($"doc_id")
+      val dropNear = und
+        .join(batchIds.select($"doc_id".as("id_b")), "id_b")
+        .join(batchIds.select($"doc_id".as("id_a"),
+          lit(true).as("partner_new")), Seq("id_a"), "left")
+        .filter(!coalesce($"partner_new", lit(false)) || $"id_a" < $"id_b")
+        .select($"id_b".as("doc_id")).distinct()
+      val dropped = dropExactBatch.unionByName(dropExactHist)
+        .unionByName(dropNear).distinct()
+      val keepers = batch.join(dropped, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"n_chars")
+      graft.stream.IdempotentSink.writeBatch(keepers, sinkDir, batchId)
+      // index-append: EVERY arrival, through the same atomic
+      // per-batch commit (an at-least-once retry appends nothing);
+      // bands land in the bucket-partitioned layout — ONE
+      // partitionBy job, one atomic rename per populated bucket —
+      // so the next batch's probe can skip non-matching buckets
+      // at the directory listing
+      graft.stream.IdempotentSink.writeRoutedBatch(
+        newBands.withColumn("band_bucket",
+          graft.ops.Dedup.bandBucket($"band")),
+        bandsDir, "band_bucket", batchId)
+      graft.stream.IdempotentSink.writeBatch(
+        withH.select($"h").distinct(), digestsDir, batchId)
+      graft.stream.IdempotentSink.writeBatch(
+        batch.select($"doc_id", $"text"), corpusDir, batchId)
+    } finally {
+      newBandsRef.foreach(_.unpersist())
+      batch.unpersist(): Unit
+    }
+  }
+
+  /** st29's streaming replay: the chunked documents stream driven
+    * through [[lshIngestBatch]] under an AvailableNow trigger. Callable
+    * again with the same `base` after more chunks land - the checkpoint
+    * skips already-processed files - which is exactly the resume seam
+    * the compaction spec exercises. */
+  private[graft] def runLshDedupStream(s: org.apache.spark.sql.SparkSession,
+                                       scratch: String, base: String): Unit = {
+    val stream = s.readStream.schema(Schemas.documents)
+      .option("maxFilesPerTrigger", 1).parquet(scratch)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b0: DataFrame, batchId: Long) =>
+        lshIngestBatch(b0, batchId, base)
+      }
+      .start()
+    q.awaitTermination()
+  }
 
   /** st29's chunk fixture: the documents table split into `nFiles`
     * CONTENT-ADDRESSED chunks (`doc_id % nFiles` — the oracle recomputes

@@ -46,7 +46,13 @@ object IdempotentSink {
     val out = new Path(dir)
     val fs = out.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
     val target = new Path(out, s"b$batchId")
-    if (fs.exists(target)) { materialize(batch); return } // committed — republish nothing
+    // committed — republish nothing. A batch directory that [[compact]]
+    // consumed (and deleted) is STILL committed: the manifest remembers
+    // it, so an at-least-once retry landing after a compaction cannot
+    // re-publish rows the compacted run already carries.
+    if (fs.exists(target) || manifest(fs, out)._2.contains(s"b$batchId")) {
+      materialize(batch); return
+    }
     val stage = new Path(out, s"_staging/b$batchId")
     batch.write.mode("overwrite").parquet(stage.toString)
     commitDir(fs, stage, target)
@@ -82,16 +88,305 @@ object IdempotentSink {
     fs.mkdirs(done): Unit
   }
 
-  /** Read back everything committed to a sink directory (all `b<id>`
-    * subdirectories; `_staging` and `_SUCCESS` markers are skipped by the
-    * standard hidden-path filter). */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(dir)
+  /** Read back everything committed to a sink directory: the visible
+    * `b<id>` batch directories plus — once [[compact]] has run — the
+    * newest compacted run `c<gen>`, with the batch directories it
+    * consumed excluded via the manifest (they may still exist briefly if
+    * a crash interrupted compaction's cleanup; the manifest, not the
+    * listing, is the source of truth). A never-compacted sink takes the
+    * original single recursive scan. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (g, _, paths) = visibleFlat(fs, base)
+    // the single recursive scan is only safe while no c-run exists AT
+    // ALL: an orphan run from a compaction that crashed before its
+    // manifest committed (even a FIRST compaction, when no manifest
+    // exists yet) must stay invisible, which the manifest-driven path
+    // list guarantees and a blind recursive scan would not
+    val anyCold = fs.exists(base) &&
+      fs.listStatus(base).exists(st => isGenDir(st.getPath.getName, 'c'))
+    if ((g == 0L && !anyCold) || paths.isEmpty)
+      spark.read.option("recursiveFileLookup", "true").parquet(dir)
+    else spark.read.option("recursiveFileLookup", "true")
+      .parquet(paths.map(_.toString): _*)
+  }
 
   /** Run every partition of a re-attempted batch without writing anything
     * — the cheapest full pass that lets upstream state stores commit. */
   private def materialize(batch: DataFrame): Unit =
     batch.foreach(_ => ())
+
+  // --------------------------------------------------------------------
+  // Certified compaction — the 100 TB maintenance op for the per-batch
+  // directory protocol. A streaming sink appends one atomic `b<id>`
+  // directory per batch forever; after thousands of crawl batches the
+  // LISTING cost of every read grows with batch count even when pruning
+  // bounds the bytes. Compaction folds the accumulated directories into
+  // one `c<gen>` file set, committed by a cumulative MANIFEST — a tiny
+  // transaction log, so every step is crash-recoverable:
+  //
+  //  1. stage the folded data at `_staging/c<gen>` (gen = newest manifest
+  //     gen + 1), rename to `dir/c<gen>` — INVISIBLE to readers, which
+  //     trust manifests, not listings, for c-dirs;
+  //  2. write `_compact/m<gen>` via stage + rename — THE commit point.
+  //     The manifest is cumulative (every batch/run name ever consumed),
+  //     so readers need only the newest one and [[writeBatch]] retries of
+  //     long-gone batches stay no-ops;
+  //  3. best-effort delete the consumed directories and older manifests.
+  //
+  // A crash before 2 leaves an orphan `c<gen>` no reader sees (the next
+  // compact deletes it); a crash after 2 leaves consumed directories the
+  // manifest already excludes (the next compact finishes the deletes).
+  // Readers converge at every intermediate state. Routed sinks
+  // ([[writeRoutedBatch]]) get the same treatment per BASE directory with
+  // the compacted run Hive-partitioned by the route column
+  // ([[compactRouted]]), so a probe over the cold run keeps the
+  // partition-prune the hot per-route layout gave it — an LSM shape:
+  // hot per-batch appends over a cold compacted run.
+  //
+  // Concurrency contract: one compactor at a time per directory (the
+  // maintenance-job posture); the APPENDER may keep running — batches
+  // committed after the listing snapshot are simply not consumed and
+  // stay visible next to the new run.
+  // --------------------------------------------------------------------
+
+  private val CompactMeta = "_compact"
+
+  private def genOf(name: String): Long = name.drop(1).toLong
+
+  private def isGenDir(name: String, prefix: Char): Boolean =
+    name.length > 1 && name.head == prefix && name.drop(1).forall(_.isDigit)
+
+  /** Newest committed manifest of `base`: (generation, consumed names) —
+    * (0, empty) when the directory was never compacted. Consumed names
+    * are top-level (`b<id>`, `c<gen>`) for flat sinks and
+    * route-qualified (`<route>/b<id>`) for routed bases. */
+  private def manifest(fs: FileSystem, base: Path): (Long, Set[String]) = {
+    val meta = new Path(base, CompactMeta)
+    if (!fs.exists(meta)) return (0L, Set.empty)
+    val ms = fs.listStatus(meta).map(_.getPath.getName).filter(isGenDir(_, 'm'))
+    if (ms.isEmpty) return (0L, Set.empty)
+    val newest = ms.maxBy(genOf)
+    val in = fs.open(new Path(meta, newest))
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    (genOf(newest), txt.split('\n').map(_.trim).filter(_.nonEmpty).toSet)
+  }
+
+  /** Commit a cumulative manifest for generation `gen` (stage + rename —
+    * the compaction's single atomic commit point). */
+  private def commitManifest(fs: FileSystem, base: Path, gen: Long,
+                             consumed: Set[String]): Unit = {
+    val staged = new Path(base, s"_staging/m$gen")
+    fs.mkdirs(staged.getParent)
+    val out = fs.create(staged, true)
+    try out.write((consumed.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.mkdirs(new Path(base, CompactMeta))
+    val target = new Path(new Path(base, CompactMeta), s"m$gen")
+    if (!fs.rename(staged, target))
+      throw new java.io.IOException(
+        s"compaction commit failed: rename $staged -> $target returned false")
+  }
+
+  /** Visible data directories of a flat sink under the manifest: `b*`
+    * dirs not consumed, plus committed `c<gen>` runs (gen ≤ newest
+    * manifest — an orphan run from a crashed compaction has a HIGHER gen
+    * than any manifest and stays invisible until recovery removes it). */
+  private def visibleFlat(fs: FileSystem, base: Path): (Long, Set[String], Seq[Path]) = {
+    val (g, consumed) = manifest(fs, base)
+    val tops =
+      if (fs.exists(base)) fs.listStatus(base).filter(_.isDirectory).toSeq
+      else Seq.empty
+    val paths = tops.map(_.getPath).filter { p =>
+      val n = p.getName
+      (isGenDir(n, 'b') && !consumed(n)) ||
+        (isGenDir(n, 'c') && genOf(n) <= g && !consumed(n))
+    }
+    (g, consumed, paths)
+  }
+
+  /** Finish any interrupted compaction of `base`: delete directories the
+    * newest manifest consumed but a crash left behind, orphan `c` runs
+    * newer than the newest manifest, stale `_staging` leftovers, and
+    * superseded manifests. Readers were already correct at every one of
+    * these states — recovery only reclaims space and release names. */
+  private def recoverCompaction(fs: FileSystem, base: Path): Unit = {
+    val (g, consumed) = manifest(fs, base)
+    consumed.foreach { n =>
+      val p = new Path(base, n)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    if (fs.exists(base))
+      fs.listStatus(base).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(n => isGenDir(n, 'c') && genOf(n) > g)
+        .foreach(n => fs.delete(new Path(base, n), true))
+    val meta = new Path(base, CompactMeta)
+    if (fs.exists(meta))
+      fs.listStatus(meta).map(_.getPath.getName)
+        .filter(n => isGenDir(n, 'm') && genOf(n) < g)
+        .foreach(n => fs.delete(new Path(meta, n), true))
+    val staging = new Path(base, "_staging")
+    if (fs.exists(staging))
+      fs.listStatus(staging).map(_.getPath.getName)
+        .filter(n => isGenDir(n, 'c') || isGenDir(n, 'm'))
+        .foreach(n => fs.delete(new Path(staging, n), true))
+  }
+
+  /** Compact a FLAT sink directory ([[writeBatch]] accumulation): fold
+    * every visible batch directory and the previous compacted run into
+    * one `c<gen>` file set of `targetFiles` files. Content-preserving by
+    * construction (one read → one write of the same rows); crash-safe
+    * per the protocol above; a retried already-consumed batch stays a
+    * no-op via the manifest. No-op when nothing would shrink. */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1): Unit = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return
+    recoverCompaction(fs, base)
+    val (g, consumed, paths) = visibleFlat(fs, base)
+    if (paths.size <= 1) return // already one run (or empty): nothing to fold
+    val gen = g + 1
+    val staged = new Path(base, s"_staging/c$gen")
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(paths.map(_.toString): _*)
+      .coalesce(targetFiles)
+      .write.mode("overwrite").parquet(staged.toString)
+    commitDir(fs, staged, new Path(base, s"c$gen"))
+    commitManifest(fs, base, gen, consumed ++ paths.map(_.getName))
+    // past the commit point: cleanup only (re-runnable by recovery)
+    paths.foreach(p => fs.delete(p, true))
+    val meta = new Path(base, CompactMeta)
+    fs.listStatus(meta).map(_.getPath.getName)
+      .filter(n => isGenDir(n, 'm') && genOf(n) < gen)
+      .foreach(n => fs.delete(new Path(meta, n), true))
+  }
+
+  /** Compact a ROUTED base directory ([[writeRoutedBatch]] accumulation:
+    * `base/<route>/b<id>`): fold every route's visible batch directories
+    * and the previous cold run into ONE Hive-partitioned run
+    * `base/c<gen>/<routeCol>=<route>/` — `repartition(routeCol)` bounds
+    * it to one file per route — so a probe over the cold run prunes at
+    * the partition level exactly like the hot layout pruned at the
+    * directory level. Retries of consumed batches remain no-ops through
+    * the `_committed/b<id>` markers, which compaction never touches.
+    * Route names must not collide with the `b<id>`/`c<gen>` pattern. */
+  def compactRouted(spark: SparkSession, baseDir: String, routeCol: String,
+                    shufflePartitions: Int = 16): Unit = {
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return
+    recoverCompaction(fs, base)
+    val (g, consumed) = manifest(fs, base)
+    val routeDirs = fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        !n.startsWith("_") && !isGenDir(n, 'c') && !isGenDir(n, 'b')
+      }
+    val hot: Seq[(String, Path)] = routeDirs.toSeq.flatMap { rp =>
+      fs.listStatus(rp).filter(_.isDirectory).map(_.getPath)
+        .filter(p => isGenDir(p.getName, 'b') &&
+          !consumed(s"${rp.getName}/${p.getName}"))
+        .map(p => (s"${rp.getName}/${p.getName}", p))
+    }
+    val cold = Some(new Path(base, s"c$g")).filter(p => g > 0 && fs.exists(p))
+    if (hot.size + cold.size <= 1) return // one run or empty: nothing to fold
+    import org.apache.spark.sql.functions.{col, lit}
+    // hot files carry the data columns only (writeRoutedBatch strips the
+    // route column into the directory name) — restore it from the path;
+    // the cold run carries it as its Hive partition column. Both sides
+    // as STRING: that is what the partitioned write re-derives the
+    // directory names from, so values round-trip exactly.
+    val hotDf = hot.groupBy(_._1.split('/').head).toSeq.map { case (route, ps) =>
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(ps.map(_._2.toString): _*)
+        .withColumn(routeCol, lit(route))
+    }.reduceOption(_.unionByName(_))
+    val coldDf = cold.map(p => spark.read.parquet(p.toString)
+      .withColumn(routeCol, col(routeCol).cast("string")))
+    val all = (hotDf, coldDf) match {
+      case (Some(h), Some(c)) => h.unionByName(c)
+      case (Some(h), None) => h
+      case (None, Some(c)) => c
+      case (None, None) => return
+    }
+    val gen = g + 1
+    val staged = new Path(base, s"_staging/c$gen")
+    all.repartition(shufflePartitions, col(routeCol))
+      .write.mode("overwrite").partitionBy(routeCol).parquet(staged.toString)
+    commitDir(fs, staged, new Path(base, s"c$gen"))
+    commitManifest(fs, base, gen,
+      consumed ++ hot.map(_._1) ++ cold.map(_.getName))
+    hot.foreach { case (_, p) => fs.delete(p, true) }
+    cold.foreach(p => fs.delete(p, true))
+    routeDirs.foreach { rp => // drop route dirs compaction emptied
+      if (fs.exists(rp) && fs.listStatus(rp).isEmpty) fs.delete(rp, false)
+    }
+    val meta = new Path(base, CompactMeta)
+    fs.listStatus(meta).map(_.getPath.getName)
+      .filter(n => isGenDir(n, 'm') && genOf(n) < gen)
+      .foreach(n => fs.delete(new Path(meta, n), true))
+  }
+
+  /** Read a routed sink's data for the given routes (all routes when
+    * None): the visible hot `b<id>` directories of each requested route
+    * in ONE multi-path scan, unioned with the cold compacted run
+    * restricted to those routes via a PARTITION filter on the route
+    * column (scan-level skip — the cold-run twin of the hot layout's
+    * directory skip). Returns the data columns only (the route is the
+    * caller's key, not payload); None when the sink holds nothing for
+    * the requested routes. */
+  def readRouted(spark: SparkSession, baseDir: String, routeCol: String,
+                 routes: Option[Seq[String]] = None): Option[DataFrame] = {
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return None
+    val (g, consumed) = manifest(fs, base)
+    val routeDirs: Seq[Path] = routes match {
+      case Some(rs) => rs.map(r => new Path(base, r)).filter(fs.exists)
+      case None => fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          !n.startsWith("_") && !isGenDir(n, 'c') && !isGenDir(n, 'b')
+        }.toSeq
+    }
+    val hotPaths = routeDirs.flatMap { rp =>
+      fs.listStatus(rp).filter(_.isDirectory).map(_.getPath)
+        .filter(p => isGenDir(p.getName, 'b') &&
+          !consumed(s"${rp.getName}/${p.getName}"))
+    }
+    import org.apache.spark.sql.functions.col
+    val hotDf =
+      if (hotPaths.isEmpty) None
+      else Some(spark.read.option("recursiveFileLookup", "true")
+        .parquet(hotPaths.map(_.toString): _*))
+    val coldDf = Some(new Path(base, s"c$g"))
+      .filter(p => g > 0 && fs.exists(p))
+      .map { p =>
+        val run = spark.read.parquet(p.toString)
+        val sel = routes match {
+          case Some(rs) =>
+            // match the literals to the DISCOVERED partition type (int
+            // route names infer IntegerType): a cast on the column side
+            // would defeat partition pruning — the whole point of the
+            // Hive layout
+            val typed: Seq[Any] = run.schema(routeCol).dataType match {
+              case org.apache.spark.sql.types.IntegerType => rs.map(_.toInt)
+              case org.apache.spark.sql.types.LongType => rs.map(_.toLong)
+              case _ => rs
+            }
+            run.filter(col(routeCol).isin(typed: _*))
+          case None => run
+        }
+        sel.drop(routeCol)
+      }
+    (hotDf, coldDf) match {
+      case (Some(h), Some(c)) => Some(h.unionByName(c))
+      case (h, c) => h.orElse(c)
+    }
+  }
 
   /** Publish a staged directory at `target` via one atomic rename. If a
     * prior attempt already committed `target`, the staged copy is

@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.stream.IdempotentSink
+
+/** The certified-compaction protocol (IdempotentSink.compact /
+  * compactRouted / readRouted): content preservation, crash recovery at
+  * every interruption point, retry idempotence across the maintenance
+  * boundary, and the layout bounds that make it the 100 TB answer to
+  * per-batch directory growth. */
+class CompactionSpec extends SparkSuite {
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def ls(p: String): Seq[java.io.File] =
+    Option(new java.io.File(p).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+
+  private def dirNames(p: String): Set[String] =
+    ls(p).filter(_.isDirectory).map(_.getName).toSet
+
+  private def flatSink(base: String): Unit = {
+    val s = spark
+    import s.implicits._
+    for (b <- 0 until 3)
+      IdempotentSink.writeBatch(
+        (0 until 4).map(i => (b * 10L + i, s"v$b$i")).toDF("k", "v"), base, b)
+  }
+
+  private def rows(base: String): Set[(Long, String)] =
+    IdempotentSink.read(spark, base).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("flat compact: content preserved, one c-run + one file, batch dirs gone") {
+    val base = tmp("cmp-flat-")
+    flatSink(base)
+    val before = rows(base)
+    assert(before.size == 12)
+    IdempotentSink.compact(spark, base)
+    assert(rows(base) == before, "compaction changed sink content")
+    val names = dirNames(base)
+    assert(!names.exists(_.matches("b\\d+")), s"hot batch dirs left: $names")
+    assert(names.count(_.matches("c\\d+")) == 1, s"expected one cold run: $names")
+    assert(ls(s"$base/c1").count(_.getName.endsWith(".parquet")) == 1,
+      "cold run must be one file set")
+    // second compact over a single-run sink: generation no-op
+    IdempotentSink.compact(spark, base)
+    assert(dirNames(base).contains("c1") && !dirNames(base).contains("c2"),
+      "re-compaction of an already-folded sink must not open a new generation")
+    assert(rows(base) == before)
+  }
+
+  test("flat compact: appends after a fold stay visible and fold on the next pass") {
+    val s = spark
+    import s.implicits._
+    val base = tmp("cmp-flat2-")
+    flatSink(base)
+    val before = rows(base)
+    IdempotentSink.compact(spark, base)
+    IdempotentSink.writeBatch(Seq((99L, "late")).toDF("k", "v"), base, 7)
+    assert(rows(base) == before + ((99L, "late")),
+      "post-compaction append must union with the cold run")
+    IdempotentSink.compact(spark, base)
+    assert(rows(base) == before + ((99L, "late")))
+    assert(dirNames(base).count(_.matches("c\\d+")) == 1 &&
+      dirNames(base).contains("c2"),
+      "second fold must supersede the first run and absorb the append")
+  }
+
+  test("retry of a batch the fold consumed publishes nothing (manifest memory)") {
+    val s = spark
+    import s.implicits._
+    val base = tmp("cmp-retry-")
+    flatSink(base)
+    val before = rows(base)
+    IdempotentSink.compact(spark, base)
+    // b1's directory is deleted; an at-least-once redelivery must see it
+    // as committed via the manifest, process, and publish nothing
+    IdempotentSink.writeBatch(
+      (0 until 4).map(i => (10L + i, s"v1$i")).toDF("k", "v"), base, 1)
+    assert(!new java.io.File(s"$base/b1").exists(),
+      "consumed batch retry re-published its directory — duplicate rows at scale")
+    assert(rows(base) == before)
+  }
+
+  test("crash before the manifest commits: orphan c-run is invisible and recovered") {
+    val s = spark
+    import s.implicits._
+    val base = tmp("cmp-crashA-")
+    flatSink(base)
+    val before = rows(base)
+    // simulate the first compaction dying between the data rename and
+    // the manifest commit: a full c1 exists, no manifest at all
+    Seq((777L, "ghost")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$base/c1")
+    assert(rows(base) == before,
+      "an unmanifested cold run leaked into the read — readers must trust " +
+        "manifests, not listings")
+    // recovery (front of the next compact) deletes the orphan, then the
+    // fold proceeds normally under the SAME generation number
+    IdempotentSink.compact(spark, base)
+    assert(rows(base) == before)
+    assert(dirNames(base).count(_.matches("c\\d+")) == 1)
+  }
+
+  test("crash after the manifest commits: leftover consumed dirs are excluded, then reclaimed") {
+    val base = tmp("cmp-crashB-")
+    flatSink(base)
+    val before = rows(base)
+    // stash a batch dir, compact, then restore it — the state a crash
+    // between the manifest commit and the cleanup deletes leaves behind
+    val stash = java.nio.file.Files.createTempDirectory("cmp-stash-")
+    def cp(from: java.io.File, to: java.io.File): Unit = {
+      if (from.isDirectory) {
+        to.mkdirs()
+        from.listFiles().foreach(f => cp(f, new java.io.File(to, f.getName)))
+      } else
+        java.nio.file.Files.copy(from.toPath, to.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+    cp(new java.io.File(s"$base/b1"), new java.io.File(s"$stash/b1"))
+    IdempotentSink.compact(spark, base)
+    cp(new java.io.File(s"$stash/b1"), new java.io.File(s"$base/b1"))
+    assert(rows(base) == before,
+      "a consumed-but-undeleted batch dir was double-counted")
+    IdempotentSink.compact(spark, base) // recovery reclaims it, fold no-ops
+    assert(!new java.io.File(s"$base/b1").exists(),
+      "recovery must finish the interrupted cleanup")
+    assert(rows(base) == before)
+  }
+
+  test("routed compact: content preserved, Hive cold run, route pruning intact") {
+    val s = spark
+    import s.implicits._
+    val base = tmp("cmp-routed-")
+    for (b <- 0 until 3)
+      IdempotentSink.writeRoutedBatch(
+        (0 until 6).map(i => (b * 10L + i, (i % 3).toString))
+          .toDF("k", "route"), base, "route", b)
+    def all() = IdempotentSink.readRouted(spark, base, "route").get
+      .collect().map(_.getLong(0)).toSet
+    def route0() = IdempotentSink.readRouted(spark, base, "route", Some(Seq("0")))
+      .get.collect().map(_.getLong(0)).toSet
+    val before = all()
+    val before0 = route0()
+    // route of key k = (k mod 10) mod 3 by construction
+    assert(before.size == 18 && before0 == before.filter(k => (k % 10) % 3 == 0))
+    IdempotentSink.compactRouted(spark, base, "route", shufflePartitions = 4)
+    assert(all() == before && route0() == before0,
+      "routed fold changed content or route selection")
+    val names = dirNames(base)
+    assert(names.count(_.matches("c\\d+")) == 1)
+    assert(dirNames(s"$base/c1").forall(_.startsWith("route=")),
+      "cold run must be Hive-partitioned by the route column")
+    assert(ls(s"$base/c1").filter(_.isDirectory)
+      .forall(_.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+      "cold run must hold one file per route")
+    // hot dirs emptied and removed
+    assert(!names.exists(n => !n.startsWith("_") && !n.matches("c\\d+")),
+      s"hot route dirs left behind: $names")
+    // a post-fold append lands hot and unions with the cold run
+    IdempotentSink.writeRoutedBatch(
+      Seq((99L, "0")).toDF("k", "route"), base, "route", 9)
+    assert(all() == before + 99L && route0() == before0 + 99L)
+    // consumed-batch redelivery: the _committed marker still owns this
+    IdempotentSink.writeRoutedBatch(
+      (0 until 6).map(i => (10L + i, (i % 3).toString))
+        .toDF("k", "route"), base, "route", 1)
+    assert(all() == before + 99L, "routed retry after fold re-published")
+    // second fold absorbs the append
+    IdempotentSink.compactRouted(spark, base, "route", shufflePartitions = 4)
+    assert(all() == before + 99L)
+    assert(dirNames(base).count(_.matches("c\\d+")) == 1 &&
+      dirNames(base).contains("c2"))
+  }
+}

@@ -146,6 +146,59 @@ class DedupSpec extends SparkSuite {
         "every bucket directory again")
   }
 
+  test("compacted streaming band index: the cold run IS the Hive probe " +
+    "layout — both prune levels and the probe answer survive the fold") {
+    val s = spark
+    import s.implicits._
+    def txt(i: Long) = (0 until 12).map(j => s"c${j}z$i").mkString(" ")
+    val hist = (0L until 300L).map(i => (i, txt(i))).toDF("doc_id", "text")
+    val batch = Seq((9001L, txt(7)), (9002L, txt(888888L)))
+      .toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("lsh-cmp-").toString
+    // two streaming-style appends in st29's routed per-bucket layout
+    Seq(hist.filter($"doc_id" % 2 === 0), hist.filter($"doc_id" % 2 === 1))
+      .zipWithIndex.foreach { case (h, b) =>
+        graft.stream.IdempotentSink.writeRoutedBatch(
+          Dedup.lshBandIndex(h, "doc_id", "text",
+              shingleK = 3, numBands = 8, rowsPerBand = 4)
+            .withColumn("band_bucket", Dedup.bandBucket($"band")),
+          base, "band_bucket", b)
+      }
+    def probe(bands: org.apache.spark.sql.DataFrame) =
+      Dedup.minHashDupPairsWithIndex(batch, bands, hist, "doc_id", "text",
+          shingleK = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val preAnswer = probe(
+      graft.stream.IdempotentSink.readRouted(s, base, "band_bucket").get)
+    assert(preAnswer == Set((7L, 9001L, 1.0)), s"hot-layout probe wrong: $preAnswer")
+    graft.stream.IdempotentSink.compactRouted(s, base, "band_bucket",
+      shufflePartitions = Dedup.BandBuckets)
+    // the cold run is the writeLshBandIndex Hive shape: band_bucket rides
+    // as the partition column, so the dd17 probe-plan pin re-runs
+    // VERBATIM on the compacted artifact
+    val coldName = new java.io.File(base).listFiles().map(_.getName)
+      .filter(_.matches("c\\d+")).toSeq match {
+      case Seq(one) => one
+      case other => fail(s"expected exactly one cold run, got $other")
+    }
+    val cold = s.read.parquet(s"$base/$coldName")
+    assert(cold.columns.contains("band_bucket"),
+      "cold run lost the partition column — scan pruning gone")
+    val newBanded = Dedup.lshBandIndex(batch, "doc_id", "text",
+      shingleK = 3, numBands = 8, rowsPerBand = 4)
+    val (bkts, nB) = Dedup.bandSummary(newBanded)
+    val probePlan = Dedup.pruneIndexToBatch(cold, newBanded, bkts, nB)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(probePlan.contains("might_contain"),
+      "compacted probe plan lost the Bloom prune")
+    assert(probePlan.contains("PartitionFilters: [") &&
+      probePlan.contains("band_bucket"),
+      "compacted probe plan lost the band_bucket partition filter")
+    assert(probe(cold) == preAnswer,
+      "probe answer changed across the fold")
+  }
+
   test("historyFor point-lookup loader: bucketed partner-text fetch answers " +
     "identically to the full-table semi join (the 100 TB corpus shape)") {
     val s = spark

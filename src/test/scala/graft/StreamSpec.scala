@@ -988,4 +988,90 @@ class StreamSpec extends SparkSuite {
       assert(update.get(w).contains(n),
         s"window $w: append count $n != update-mode final count ${update.get(w)}")
   }
+
+  /** Progressive chunk scratch: chunks land one at a time so a stream can
+    * be stopped, maintained, and resumed mid-replay (mtimes preserved —
+    * the deterministic batch-order contract of the chunk fixtures). */
+  private def progressiveScratch(src: String): (String, Int => Unit) = {
+    val scratch = java.nio.file.Files.createTempDirectory("resume-").toString
+    val add = (c: Int) => {
+      val s0 = new java.io.File(s"$src/chunk_$c.parquet")
+      val dst = new java.io.File(s"$scratch/chunk_$c.parquet")
+      java.nio.file.Files.copy(s0.toPath, dst.toPath)
+      dst.setLastModified(s0.lastModified): Unit
+    }
+    (scratch, add)
+  }
+
+  test("st29 resumed over COMPACTED index artifacts emits identical keepers") {
+    val s = spark
+    import s.implicits._
+    val chunks = graft.queries.StreamQueries.ensureDocChunks(s, sf, 3)
+    val (scratch, add) = progressiveScratch(chunks)
+    add(0); add(1)
+    val base = java.nio.file.Files.createTempDirectory("st29-cmp-").toString
+    graft.queries.StreamQueries.runLshDedupStream(s, scratch, base)
+    // maintenance window between crawl days: fold EVERY accumulated
+    // artifact — the routed band index and the three flat sinks
+    graft.stream.IdempotentSink.compactRouted(s, s"$base/bands",
+      "band_bucket", shufflePartitions = graft.ops.Dedup.BandBuckets)
+    Seq("digests", "corpus", "keepers").foreach(d =>
+      graft.stream.IdempotentSink.compact(s, s"$base/$d"))
+    add(2)
+    graft.queries.StreamQueries.runLshDedupStream(s, scratch, base)
+    def keepers(b: String) = graft.stream.IdempotentSink
+      .read(s, s"$b/keepers").select($"doc_id", $"n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val resumed = keepers(base)
+    // reference: one uninterrupted, never-compacted replay
+    val base2 = java.nio.file.Files.createTempDirectory("st29-ref-").toString
+    graft.queries.StreamQueries.runLshDedupStream(s, chunks, base2)
+    val oneShot = keepers(base2)
+    assert(resumed == oneShot && resumed.nonEmpty,
+      s"keepers diverged across the compaction boundary: " +
+        s"only-resumed=${(resumed -- oneShot).take(3)}, " +
+        s"only-ref=${(oneShot -- resumed).take(3)}")
+  }
+
+  test("st34 resumed over a COMPACTED assignment artifact equals the one-shot index") {
+    val s = spark
+    import s.implicits._
+    val emb = graft.model.Tables.embeddings(s, sf)
+    val centers = graft.ops.Similarity.coarseQuantizer(
+      emb, "vec_id", "embedding", s"emb-$sf", nCells = 16, seed = 42L)
+    val chunks = graft.queries.StreamQueries.ensureEmbChunks(s, sf, 3)
+    val (scratch, add) = progressiveScratch(chunks)
+    add(0); add(1)
+    val base = java.nio.file.Files.createTempDirectory("st34-cmp-").toString
+    val idxDir = s"$base/assignments"
+    def run(): Unit = {
+      val q = s.readStream.schema(graft.model.Schemas.embeddings)
+        .option("maxFilesPerTrigger", 1).parquet(scratch)
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (b0: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            graft.stream.IdempotentSink.writeBatch(
+              graft.ops.Similarity.ivfAssignments(
+                b0, "vec_id", "embedding", centers),
+              idxDir, batchId)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    graft.stream.IdempotentSink.compact(s, idxDir)
+    add(2)
+    run()
+    val streamed = graft.stream.IdempotentSink.read(s, idxDir)
+      .select($"vec_id", $"cell")
+      .collect().map(r => (r.getLong(0), r.getAs[Number]("cell").intValue())).toSet
+    val oneShot = graft.ops.Similarity.ivfAssignments(
+        emb, "vec_id", "embedding", centers)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getAs[Number]("cell").intValue())).toSet
+    assert(streamed == oneShot && streamed.nonEmpty,
+      "accumulated assignments diverged from the one-shot index across " +
+        "the compaction boundary")
+  }
 }
