@@ -21,7 +21,10 @@ import graft.ops.{Dedup, TextOps}
   *  4. content-hash train/val split (duplicates can never straddle it);
   *  5. decontamination — drop TRAIN docs sharing any 8-gram with the
   *     val split (digest-level join, 32 B per shingle on the wire);
-  *  6. write the curated corpus as parquet partitioned by split.
+  *  6. write the curated corpus as parquet partitioned by split;
+  *  7. write the per-document curation AUDIT (`outDir/audit` — tx35's
+  *     explain surface: first-failing gate + shadowing-doc pointer),
+  *     derived from the same stage frames the funnel ran.
   *
   * Every stage is one of the catalog's oracle-certified operators
   * (tx03/dd01/dd05/tx02/tx06/tx08/dd07/tx27) — this app adds orchestration,
@@ -129,6 +132,41 @@ object Curate {
         $"quality_score", $"predicted_lang", $"domain", $"split")
       .write.mode("overwrite").partitionBy("split")
       .parquet(s"$outDir/corpus")
+
+    // 7. the per-document curation AUDIT (tx35's explain surface, wired
+    //    into the app): every input doc gets its FIRST-FAILING gate in
+    //    the funnel's stage order plus the shadowing-doc pointer for the
+    //    dup gates (the digest keeper / the component label; itself
+    //    otherwise — a quality or cap drop has no single shadow). Built
+    //    from the SAME stage frames the funnel ran, never recomputed, so
+    //    the verdict counts are the stage deltas BY CONSTRUCTION —
+    //    AppsSpec pins the equality. Note the pointer resolves among the
+    //    survivors OF ITS GATE: a digest keeper may itself fall to a
+    //    later gate, which is the funnel's semantics (same as tx35).
+    val audit = withDigest.select($"doc_id", $"h")
+      .join(exactKeepers.select($"h", $"doc_id".as("dk")), Seq("h"))
+      .join(comps.select($"id".as("doc_id"), $"comp"), Seq("doc_id"), "left")
+      .join(scored.select($"doc_id", $"quality_score", $"predicted_lang"),
+        Seq("doc_id"), "left")
+      .join(clean.select($"doc_id", lit(true).as("reached_cap")),
+        Seq("doc_id"), "left")
+      .join(capped.select($"doc_id", lit(true).as("survived_cap")),
+        Seq("doc_id"), "left")
+      .join(contaminated.select($"doc_id", lit(true).as("contam")),
+        Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"doc_id" =!= $"dk", "exact_dup")
+          .when($"comp".isNotNull && $"comp" =!= $"doc_id", "near_dup")
+          .when($"quality_score" < qualityFloor, "low_quality")
+          .when($"predicted_lang" =!= "en", "non_english")
+          .when($"reached_cap".isNotNull && $"survived_cap".isNull,
+            "domain_capped")
+          .when($"contam".isNotNull, "contaminated")
+          .otherwise("kept").as("drop_reason"),
+        when($"doc_id" =!= $"dk", $"dk")
+          .when($"comp".isNotNull, $"comp")
+          .otherwise($"doc_id").as("keeper_id"))
+    audit.write.mode("overwrite").parquet(s"$outDir/audit")
 
     val out = spark.read.parquet(s"$outDir/corpus")
     val report = Seq(

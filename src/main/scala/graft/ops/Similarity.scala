@@ -859,6 +859,39 @@ object Similarity {
     * clamped to [16, [[QuantizerSampleCap]]/4] — a quantizer can't have
     * more centroids than its training sample).
     */
+  /** Probe-row expansion for the STREAMING semantic-dedup index (st35):
+    * one `(id, vec, vnorm, cell)` row per probed cell of each non-zero
+    * vector — [[embeddingDupPairs]]' candidate geometry (same multi-probe
+    * blocking, same zero-norm drop) factored out so a streaming ingest
+    * can persist the rows per cell and probe them incrementally under
+    * PERSISTED centroids. The vector travels WITH the row, so pair
+    * verification needs no corpus rejoin (the bucket-payload posture of
+    * [[embeddingDupPairs]]). */
+  private[graft] def dupProbeRows(df: DataFrame, idCol: String, vecCol: String,
+                                  centers: Array[Array[Double]],
+                                  nProbe: Int): DataFrame =
+    nonZeroNorm(df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      .withColumn("vnorm", norm(col("vec"))), "vnorm")
+      .withColumn("cell", explode(transform(
+        nearestCells(centers, col("vec"), math.max(nProbe, 1)),
+        x => x.getField("cell"))))
+
+  /** Cell-blocked, exact-cosine-verified duplicate pairs over a
+    * [[dupProbeRows]] frame carrying a `fresh` flag (1 = this batch).
+    * The skew cap sees the FULL cell group — history and fresh rows
+    * together — so it fires exactly as a one-shot run over the same
+    * arrivals would. Returns `(id_a, id_b, fresh_a, fresh_b)` with
+    * `id_a < id_b`, duplicates from multi-probe collapsed. */
+  private[graft] def blockedDupPairs(rows: DataFrame, threshold: Double,
+                                     maxCell: Int): DataFrame =
+    Dedup.bucketPairs(rows, "cell",
+        struct(col("id"), col("vec"), col("vnorm"), col("fresh")), maxCell)
+      .filter(dot(col("p.a.vec"), col("p.b.vec")) /
+        (col("p.a.vnorm") * col("p.b.vnorm")) >= threshold)
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        col("p.a.fresh").as("fresh_a"), col("p.b.fresh").as("fresh_b"))
+      .distinct()
+
   def embeddingDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95, nCells: Int = 0,
                         nProbe: Int = 2, maxCell: Int = 256,

@@ -1574,6 +1574,94 @@ object StreamQueries {
         .crossJoin(broadcast(searchEqual))
     },
 
+    // STREAMING EMBEDDING NEAR-DUP INGEST GATE — st29's treatment for
+    // the SEMANTIC tier, composing what already exists: per-batch
+    // multi-probe assignment under PERSISTED centroids (st34's fixed
+    // geometry), dd19's cell-blocked exact-cosine-verified pair stage,
+    // the keeper gate, and an idempotent PER-CELL routed index append —
+    // so each batch's probe reads only its touched cells (directory skip
+    // hot, partition filter cold) and dd20's compaction applies to the
+    // artifact verbatim. Certification (cell geometry is
+    // kmeans-internal, so the dd19 inline-cert posture):
+    //  - n_docs / n_exact_drops: DuckDB independently REPLAYS the full
+    //    sequential exact-cosine drop rule over content-addressed
+    //    arrival order (chunk = vec_id % 3, then vec_id — st29's oracle
+    //    pattern with cosine instead of Jaccard);
+    //  - coverage_ok: keepers distinct and inside the corpus;
+    //  - stream_one_shot_equal: accumulated keepers ≡ a one-shot blocked
+    //    replay over the full corpus — batch boundaries moved no verdict
+    //    (st34's ingest_equal, lifted to the dedup decision);
+    //  - drops_subset_ok: every streamed drop is justified by an exact
+    //    pair with an earlier partner (precision = 1 by construction —
+    //    candidates are exact-verified — asserted, not assumed);
+    //  - recall_ok: streamed drops cover ≥ 0.9 of the exact replay's
+    //    (measured 0.974–0.983 across SFs at nProbe=4 / maxCell=1024;
+    //    the gap is multi-probe blocking recall — dd19's documented
+    //    tradeoff. The inline O(n²) exact replay exists only to measure
+    //    it, the dd10/dd11/dd19 whitelisted ground-truth posture — the
+    //    production path never runs all-pairs).
+    "st35_stream_semantic_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val key = s"emb-st35-$dir"
+      val cells = graft.ops.Similarity.autoCells(emb, SemDedupMaxCell, key)
+      val centers = graft.ops.Similarity.coarseQuantizer(
+        emb, "vec_id", "embedding", key, cells, seed = 42L)
+      val base = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
+        "semdedup-").toString
+      graft.stream.StreamRunner.deleteOnExit(base)
+      runSemanticDedupStream(s, ensureEmbChunks(s, dir, 3), base, centers)
+      val streamedKeepers = graft.stream.IdempotentSink
+        .read(s, s"$base/keepers").select($"vec_id").localCheckpoint()
+      // one-shot blocked replay: the same machinery, all rows fresh
+      val oneShotPairs = graft.ops.Similarity.blockedDupPairs(
+        graft.ops.Similarity.dupProbeRows(emb, "vec_id", "embedding",
+          centers, SemDedupNProbe).withColumn("fresh", lit(1)),
+        SemDedupThreshold, SemDedupMaxCell)
+      // content-addressed arrival order: id_a < id_b, so with equal
+      // chunks the earlier arrival is id_a and the drop is id_b
+      def dropsOf(pairs: DataFrame) = pairs
+        .select(when(pmod($"id_a", lit(3)) <= pmod($"id_b", lit(3)), $"id_b")
+          .otherwise($"id_a").as("vec_id")).distinct()
+      val corpusIds = emb.select($"vec_id")
+      val oneShotKeepers = corpusIds
+        .join(dropsOf(oneShotPairs), Seq("vec_id"), "left_anti")
+      val equal = streamedKeepers.withColumn("s", lit(1))
+        .join(oneShotKeepers.withColumn("o", lit(1)), Seq("vec_id"), "full_outer")
+        .agg(sum(when($"s".isNull || $"o".isNull, 1L).otherwise(0L)).as("nd"))
+        .select(when(coalesce($"nd", lit(0L)) === 0, 1L).otherwise(0L)
+          .as("stream_one_shot_equal"))
+      val exactDrops = dropsOf(graft.ops.Similarity.allPairsCosine(
+        emb, "vec_id", "embedding", SemDedupThreshold)).localCheckpoint()
+      val streamedDrops = corpusIds
+        .join(streamedKeepers, Seq("vec_id"), "left_anti")
+      val subsetOk = streamedDrops.join(exactDrops, Seq("vec_id"), "left_anti")
+        .agg(when(count(lit(1)) === 0, 1L).otherwise(0L).as("drops_subset_ok"))
+      // |streamed|/|exact| is the recall ONLY under the subset bit above;
+      // a subset violation flips drops_subset_ok red on its own
+      val recall = exactDrops.agg(count(lit(1)).as("n_exact_drops"))
+        .crossJoin(broadcast(streamedDrops.agg(count(lit(1)).as("n_sd"))))
+        .select($"n_exact_drops",
+          when($"n_exact_drops" === 0 ||
+            $"n_sd".cast("double") / $"n_exact_drops" >= 0.9, 1L)
+            .otherwise(0L).as("recall_ok"))
+      val nBatches = Option(new java.io.File(s"$base/cellindex/_committed")
+        .listFiles()).getOrElse(Array.empty[java.io.File])
+        .count(_.getName.startsWith("b"))
+      val coverage = streamedKeepers
+        .join(corpusIds.withColumn("inc", lit(1)), Seq("vec_id"), "left")
+        .agg(when(countDistinct($"vec_id") === count(lit(1)) &&
+          min(coalesce($"inc", lit(0))) === 1, 1L).otherwise(0L)
+          .as("coverage_ok"))
+      emb.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(recall))
+        .withColumn("n_index_batches", lit(nBatches.toLong))
+        .crossJoin(broadcast(coverage))
+        .crossJoin(broadcast(equal))
+        .crossJoin(broadcast(subsetOk))
+    },
+
     // STREAMING DETERMINISTIC FIXED-k SAMPLE — tx20's streaming twin,
     // closing the sampling family's loop (the st29/st30 treatment): the
     // per-source k content-hash-smallest docs maintained across
@@ -2040,6 +2128,80 @@ object StreamQueries {
     }
   }
 
+  // st35's production knobs: the dd19 family's threshold on this corpus,
+  // with the probe/cap pair measured to 0.974-0.983 drop-recall vs the
+  // exact sequential replay at every SF (the entry's recall_ok floor)
+  private[graft] val SemDedupThreshold = 0.4
+  private[graft] val SemDedupNProbe = 4
+  private[graft] val SemDedupMaxCell = 1024
+
+  /** st35's per-batch semantic ingest gate: probe the accumulated
+    * per-cell routed index with the batch's multi-probe rows (only the
+    * touched cells are listed — the st29 bucket-skip, cell-flavored),
+    * exact-verify candidates, gate keepers by content-addressed arrival
+    * order, and append the batch's probe rows to the index through the
+    * atomic routed commit (dd20's compaction applies to the artifact). */
+  private[graft] def semanticDedupBatch(b0: DataFrame, batchId: Long,
+      base: String, centers: Array[Array[Double]]): Unit = {
+    val s2 = b0.sparkSession
+    import s2.implicits._
+    val (idxDir, keepersDir) = (s"$base/cellindex", s"$base/keepers")
+    val fresh = graft.ops.Similarity.dupProbeRows(b0, "vec_id", "embedding",
+        centers, SemDedupNProbe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded driver pull: the batch's touched cells (≤ batch × nProbe
+      // ints) select which index directories are even LISTED
+      val touched = fresh.select($"cell").distinct()
+        .collect().map(_.get(0).toString).toSeq
+      val hist = graft.stream.IdempotentSink.readRouted(s2, idxDir,
+          "cell_route", Some(touched))
+        .getOrElse(Seq.empty[(Long, Seq[Double], Double, Int)]
+          .toDF("id", "vec", "vnorm", "cell"))
+      val banded = hist
+        .select($"id", $"vec", $"vnorm", $"cell", lit(0).as("fresh"))
+        .unionByName(fresh
+          .select($"id", $"vec", $"vnorm", $"cell", lit(1).as("fresh")))
+      val pairs = graft.ops.Similarity.blockedDupPairs(banded,
+        SemDedupThreshold, SemDedupMaxCell)
+      val und = pairs.filter($"fresh_a" + $"fresh_b" >= 1)
+      val undBoth = und
+        .select($"id_a".as("a"), $"id_b".as("b"),
+          $"fresh_a".as("fa"), $"fresh_b".as("fb"))
+        .unionByName(und.select($"id_b".as("a"), $"id_a".as("b"),
+          $"fresh_b".as("fa"), $"fresh_a".as("fb")))
+      // a batch doc drops on a history partner (earlier batch) or a
+      // smaller-id in-batch partner (earlier within the chunk); history
+      // docs never drop — earlier keepers stay keepers (st29 semantics)
+      val drops = undBoth
+        .filter($"fb" === 1 && ($"fa" === 0 || $"a" < $"b"))
+        .select($"b".as("vec_id")).distinct()
+      val keepers = b0.select($"vec_id")
+        .join(drops, Seq("vec_id"), "left_anti")
+      graft.stream.IdempotentSink.writeBatch(keepers, keepersDir, batchId)
+      graft.stream.IdempotentSink.writeRoutedBatch(
+        fresh.withColumn("cell_route", $"cell"), idxDir, "cell_route", batchId)
+    } finally fresh.unpersist(): Unit
+  }
+
+  /** st35's streaming replay: the chunked embeddings stream driven
+    * through [[semanticDedupBatch]] under an AvailableNow trigger, with
+    * the SAME stop/resume seam as [[runLshDedupStream]]. */
+  private[graft] def runSemanticDedupStream(s: org.apache.spark.sql.SparkSession,
+      scratch: String, base: String,
+      centers: Array[Array[Double]]): Unit = {
+    val stream = s.readStream.schema(Schemas.embeddings)
+      .option("maxFilesPerTrigger", 1).parquet(scratch)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b0: DataFrame, batchId: Long) =>
+        semanticDedupBatch(b0, batchId, base, centers)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** st29's streaming replay: the chunked documents stream driven
     * through [[lshIngestBatch]] under an AvailableNow trigger. Callable
     * again with the same `base` after more chunks land - the checkpoint
@@ -2238,6 +2400,28 @@ object StreamQueries {
     // survives iff NO earlier arrival shares its digest or reaches the
     // threshold. The hash match certifies the evolving-index stream
     // lands on the exact sequential answer.
+    // st35: n_docs and n_exact_drops are DuckDB's independent replay of
+    // the full sequential exact-cosine drop rule over content-addressed
+    // arrival order (the O(n²) truth lives HERE in the oracle, like
+    // dd19's); the five certificate bits are constant-pinned — the
+    // an03/dd10 contract for quantizer-bound operators.
+    "st35_stream_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, embedding, vec_id % 3 AS chunk
+        |           FROM embeddings),
+        |p AS (SELECT a.vec_id AS ia, a.chunk AS ca,
+        |             b.vec_id AS ib, b.chunk AS cb
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+        |d AS (SELECT DISTINCT CASE WHEN ca <= cb THEN ib ELSE ia END AS v
+        |      FROM p)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_docs,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_exact_drops,
+        |       CAST(1 AS BIGINT) AS recall_ok,
+        |       CAST(3 AS BIGINT) AS n_index_batches,
+        |       CAST(1 AS BIGINT) AS coverage_ok,
+        |       CAST(1 AS BIGINT) AS stream_one_shot_equal,
+        |       CAST(1 AS BIGINT) AS drops_subset_ok""".stripMargin,
+
     "st29_stream_lsh_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (

@@ -72,6 +72,45 @@ class AppsSpec extends SparkSuite {
     val leaked = sh.filter($"split" === "train").select($"doc_id", $"g")
       .join(sh.filter($"split" === "val").select($"g").distinct(), Seq("g"), "left_semi")
     assert(leaked.isEmpty, "decontamination let an 8-gram straddle the split")
+    // stage 7, the audit artifact: verdict counts ≡ funnel stage deltas
+    // BY CONSTRUCTION (both derive from the same stage frames), full
+    // single-verdict coverage, and pointers that resolve
+    val audit = s.read.parquet(s"$base/run1/audit")
+    val vc = audit.groupBy($"drop_reason").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap.withDefaultValue(0L)
+    assert(audit.count() == report("0_input") &&
+      audit.select($"doc_id").distinct().count() == report("0_input"),
+      "audit must cover every input doc exactly once")
+    assert(vc("exact_dup") == report("0_input") - report("1_exact_dedup"))
+    assert(vc("near_dup") == report("1_exact_dedup") - report("2_near_dedup"))
+    assert(vc("low_quality") + vc("non_english") ==
+      report("2_near_dedup") - report("3_quality_lang"))
+    assert(vc("domain_capped") ==
+      report("3_quality_lang") - report("3b_domain_cap"))
+    assert(vc("contaminated") ==
+      report("3b_domain_cap") - report("4_decontaminated"))
+    assert(vc("kept") == report("4_decontaminated"))
+    // the audit's kept set IS the written corpus, and kept docs point at
+    // themselves
+    val keptIds = audit.filter($"drop_reason" === "kept")
+    assert(keptIds.filter($"keeper_id" =!= $"doc_id").isEmpty)
+    assert(keptIds.select($"doc_id").except(out.select($"doc_id")).isEmpty &&
+      out.select($"doc_id").except(keptIds.select($"doc_id")).isEmpty,
+      "audit 'kept' set must equal the written corpus")
+    // dup pointers resolve among the survivors OF THEIR GATE: a digest
+    // keeper is never itself an exact_dup; a component label survived
+    // both dedup gates (it elects itself). A keeper may still fall to a
+    // LATER gate — the funnel's semantics, same as tx35.
+    val kOf = audit.select($"doc_id".as("keeper_id"), $"drop_reason".as("kr"))
+    assert(audit.filter($"drop_reason" === "exact_dup")
+      .join(kOf, Seq("keeper_id")).filter($"kr" === "exact_dup").isEmpty,
+      "an exact_dup points at another exact_dup")
+    assert(audit.filter($"drop_reason" === "near_dup")
+      .join(kOf, Seq("keeper_id"))
+      .filter($"kr".isin("exact_dup", "near_dup")).isEmpty,
+      "a near_dup's keeper did not survive the dedup gates")
+
     // determinism: a second run produces the byte-identical doc set
     graft.apps.Curate.run(s, sf, s"$base/run2")
     val a = out.select($"doc_id", $"split").orderBy($"doc_id").collect().toSeq

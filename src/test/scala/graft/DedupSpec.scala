@@ -265,29 +265,6 @@ class DedupSpec extends SparkSuite {
       s"unexpected message: ${e.getMessage}")
   }
 
-  /** Total shuffle-write records observed while `body` runs (listener-bus
-    * events are async, so poll until the counter is stable). */
-  private def shuffleRecords(body: => Unit): Long = {
-    val recs = new java.util.concurrent.atomic.AtomicLong(0)
-    val l = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(
-          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        Option(te.taskMetrics)
-          .foreach(m => recs.addAndGet(m.shuffleWriteMetrics.recordsWritten): Unit)
-    }
-    spark.sparkContext.addSparkListener(l)
-    try {
-      body
-      var prev = -1L
-      var cur = recs.get()
-      var spins = 0
-      while (cur != prev && spins < 50) {
-        prev = cur; Thread.sleep(200); cur = recs.get(); spins += 1
-      }
-      cur
-    } finally spark.sparkContext.removeSparkListener(l)
-  }
-
   test("simhash: identical docs → hamming 0; near docs → small hamming") {
     val sigs = docsDf.select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -120,29 +120,6 @@ class GraphSpec extends SparkSuite {
     }
   }
 
-  /** Total shuffle-write records observed while `body` runs (listener-bus
-    * events are async, so poll until the counter is stable). */
-  private def shuffleRecords(body: => Unit): Long = {
-    val recs = new java.util.concurrent.atomic.AtomicLong(0)
-    val l = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(
-          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        Option(te.taskMetrics)
-          .foreach(m => recs.addAndGet(m.shuffleWriteMetrics.recordsWritten): Unit)
-    }
-    spark.sparkContext.addSparkListener(l)
-    try {
-      body
-      var prev = -1L
-      var cur = recs.get()
-      var spins = 0
-      while (cur != prev && spins < 50) {
-        prev = cur; Thread.sleep(200); cur = recs.get(); spins += 1
-      }
-      cur
-    } finally spark.sparkContext.removeSparkListener(l)
-  }
-
   test("per-round shuffle is node-sized in BOTH join modes — edges shuffle " +
       "at most once, never per iteration") {
     val s = spark

@@ -1074,4 +1074,54 @@ class StreamSpec extends SparkSuite {
       "accumulated assignments diverged from the one-shot index across " +
         "the compaction boundary")
   }
+
+  test("st35: cross-batch semantic drop caught; probe shuffle ∝ the batch's " +
+    "touched cells, not the accumulated index — including over a compacted run") {
+    val s = spark
+    import s.implicits._
+    // near-orthogonal deterministic corpus (256-dim Rademacher): random
+    // cosines concentrate at ~N(0, 1/16), so P(|cos| >= 0.4) < 1e-9 per
+    // pair — a planted duplicate is the ONLY pair the gate may find
+    val rnd = new scala.util.Random(42)
+    def vec(): Seq[Float] = Seq.fill(256)(if (rnd.nextBoolean()) 1f else -1f)
+    val histVecs = (0L until 2000L).map(i => (i, vec()))
+    val hist = histVecs.toDF("vec_id", "embedding")
+    val centers = graft.ops.Similarity.coarseQuantizer(
+      hist, "vec_id", "embedding", "st35-spec", nCells = 256, seed = 7L)
+    val base = java.nio.file.Files.createTempDirectory("st35-probe-").toString
+    graft.queries.StreamQueries.semanticDedupBatch(hist, 0L, base, centers)
+    val indexRows = graft.stream.IdempotentSink
+      .readRouted(s, s"$base/cellindex", "cell_route").get.count()
+    assert(indexRows == 2000L * graft.queries.StreamQueries.SemDedupNProbe)
+    // batch 1: one exact copy of history vec 7 (cross-batch dup — its
+    // ONLY partner lives in the earlier batch) and one fresh newcomer
+    val batch1 = Seq((9001L, histVecs(7)._2), (9002L, vec()))
+      .toDF("vec_id", "embedding")
+    def keepersOf(b: Long) = s.read
+      .parquet(s"$base/keepers/b$b").as[Long].collect().toSet
+    val recs = shuffleRecords {
+      graft.queries.StreamQueries.semanticDedupBatch(batch1, 1L, base, centers)
+    }
+    assert(keepersOf(1L) == Set(9002L),
+      s"cross-batch drop missed or over-dropped: ${keepersOf(1L)}")
+    // the pin: probing a 2-doc batch must not shuffle the accumulated
+    // index — only the batch's ≤ 2·nProbe touched cells' rows reach the
+    // pair stage's exchange (~3% of the index at 256 cells; budget /10)
+    assert(recs < indexRows / 10,
+      s"probe shuffled $recs records against a $indexRows-row index — " +
+        "the accumulated index is crossing an exchange")
+    // fold the index (dd20's maintenance op) and probe again: the cold
+    // run's partition filter must keep both the verdicts and the bound
+    graft.stream.IdempotentSink.compactRouted(s, s"$base/cellindex",
+      "cell_route", shufflePartitions = 8)
+    val batch2 = Seq((9003L, histVecs(11)._2), (9004L, vec()))
+      .toDF("vec_id", "embedding")
+    val recs2 = shuffleRecords {
+      graft.queries.StreamQueries.semanticDedupBatch(batch2, 2L, base, centers)
+    }
+    assert(keepersOf(2L) == Set(9004L),
+      s"verdicts changed over the compacted index: ${keepersOf(2L)}")
+    assert(recs2 < indexRows / 10,
+      s"compacted-run probe shuffled $recs2 records — partition pruning lost")
+  }
 }
