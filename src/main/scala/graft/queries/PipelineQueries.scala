@@ -1048,6 +1048,114 @@ object PipelineQueries {
         .withColumn("hot_dirs_gone_ok", lit(if (hotGone) 1L else 0L))
     },
 
+    // TOMBSTONE DELETION for persisted index artifacts — the takedown /
+    // right-to-be-forgotten op a 100 TB corpus must serve WITHOUT
+    // rebuilding its indexes: deletion is LOGICAL at probe time (the
+    // reader anti-joins a tiny tombstone set — effective immediately, no
+    // rewrite) and PHYSICAL at the next compaction (the purge hook rides
+    // the rewrite the artifact already pays for — the Delta/Iceberg
+    // deletion-vector posture), after which the bytes are provably gone.
+    // A deletable index must be ID-KEYED: dd17's distinct-digest index
+    // cannot subtract one document, so this entry's band and digest
+    // artifacts both carry doc ids (st29's layout). Tombstones are
+    // data-derived so the deletion does real work wherever the corpus
+    // allows: every 5th history doc PLUS any history doc sharing an
+    // exact digest with a batch doc (those are exactly the docs whose
+    // removal flips a drop verdict); n_tombstones is oracle-recomputed
+    // so vacuosity would be visible. Certs: no emitted pair touches a
+    // tombstone; after the purge-fold the artifact physically holds zero
+    // tombstoned rows; the post-purge probe needs no logical filter and
+    // returns identical pairs. Keepers = dd15's full drop rules replayed
+    // by DuckDB over the LIVE corpus only.
+    "dd21_index_tombstones" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"n_chars")
+      val hist = docs.filter(!($"doc_id" % 4 === 3))
+      val batch = docs.filter($"doc_id" % 4 === 3)
+      val base = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
+        "tombidx-").toString
+      graft.stream.StreamRunner.deleteOnExit(base)
+      val bandsDir = s"$base/bands"
+      def bandsOf(i: Int) = Dedup.lshBandIndex(
+          hist.filter($"doc_id" % 3 === i), "doc_id", "text",
+          shingleK = 3, numBands = 8, rowsPerBand = 4)
+        .withColumn("band_bucket", Dedup.bandBucket($"band"))
+      (0 until 3).foreach { i =>
+        graft.stream.IdempotentSink.writeRoutedBatch(
+          bandsOf(i), bandsDir, "band_bucket", i)
+      }
+      // id-keyed digest artifact (the deletable twin of dd17's digests)
+      hist.select($"doc_id".as("id"), md5($"text".cast("binary")).as("h"))
+        .write.mode("overwrite").parquet(s"$base/digests")
+      // the takedown request, persisted as its own tiny artifact
+      val histH = hist.select($"doc_id", md5($"text".cast("binary")).as("h"))
+      val batchH = batch.select(md5($"text".cast("binary")).as("h")).distinct()
+      hist.filter($"doc_id" % 5 === 0).select($"doc_id".as("tid"))
+        .unionByName(histH.join(batchH, Seq("h"), "left_semi")
+          .select($"doc_id".as("tid")))
+        .distinct()
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/tombstones")
+      val tomb = s.read.parquet(s"$base/tombstones").localCheckpoint()
+      val nTomb = tomb.count()
+      val liveHist = hist.join(tomb, hist("doc_id") === tomb("tid"), "left_anti")
+      def probe(bands: org.apache.spark.sql.DataFrame) = Dedup.minHashDupPairsWithIndex(
+          batch, bands, liveHist, "doc_id", "text",
+          shingleK = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+        .select($"id_a", $"id_b")
+      // (1) LOGICAL: anti-join the tombstones at read — no rewrite yet
+      val rawBands = graft.stream.IdempotentSink
+        .readRouted(s, bandsDir, "band_bucket").get
+      val liveBands = rawBands.join(tomb, rawBands("id") === tomb("tid"),
+        "left_anti")
+      val pairs1 = probe(liveBands).localCheckpoint()
+      val tombTouches = pairs1.join(tomb,
+        pairs1("id_a") === tomb("tid") || pairs1("id_b") === tomb("tid"),
+        "left_semi").count()
+      // (2) PHYSICAL: the purge rides the compaction fold
+      graft.stream.IdempotentSink.compactRouted(s, bandsDir, "band_bucket",
+        shufflePartitions = Dedup.BandBuckets,
+        purge = Some(df => df.join(tomb, df("id") === tomb("tid"), "left_anti")))
+      val afterBands = graft.stream.IdempotentSink
+        .readRouted(s, bandsDir, "band_bucket").get
+      val purgedRows = afterBands.join(tomb, afterBands("id") === tomb("tid"),
+        "left_semi").count()
+      // (3) the post-purge probe needs no logical filter
+      val pairs2 = probe(afterBands)
+      val reprobeDiff = pairs1.exceptAll(pairs2).count() +
+        pairs2.exceptAll(pairs1).count()
+      // keepers: dd15/dd17's drop rules over the LIVE corpus, digests by
+      // anti-joined id-keyed artifact (never a history text rescan)
+      val liveDigests = s.read.parquet(s"$base/digests")
+        .join(tomb, col("id") === col("tid"), "left_anti")
+      val withMeta = batch.select($"doc_id", $"n_chars",
+        md5($"text".cast("binary")).as("h"))
+      val dropExactHist = withMeta
+        .join(liveDigests.select($"h").distinct(), Seq("h"), "left_semi")
+        .select($"doc_id")
+      val wD = org.apache.spark.sql.expressions.Window
+        .partitionBy($"h").orderBy($"doc_id")
+      val dropExactBatch = withMeta.withColumn("rn", row_number().over(wD))
+        .filter($"rn" > 1).select($"doc_id")
+      val undirected = pairs1
+        .unionByName(pairs1.select($"id_b".as("id_a"), $"id_a".as("id_b")))
+      val dropNear = undirected
+        .join(batch.select($"doc_id".as("id_b")), "id_b")
+        .join(docs.select($"doc_id".as("id_a"),
+          ($"doc_id" % 4 === 3).as("partner_new")), "id_a")
+        .filter(!$"partner_new" || $"id_a" < $"id_b")
+        .select($"id_b".as("doc_id")).distinct()
+      val dropped = dropExactHist.unionByName(dropExactBatch)
+        .unionByName(dropNear).distinct()
+      batch.join(dropped, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"n_chars",
+          lit(nTomb).as("n_tombstones"),
+          lit(if (tombTouches == 0L) 1L else 0L).as("no_tombstone_pair_ok"),
+          lit(if (purgedRows == 0L) 1L else 0L).as("purged_ok"),
+          lit(if (reprobeDiff == 0L) 1L else 0L).as("reprobe_equal_ok"))
+        .orderBy($"doc_id")
+    },
+
     // Multimodal AUDIO: real 16-bit mono PCM WAV payloads → per-partition
     // REAL decode (RIFF chunk walk, fmt parse, sample fold) → exact
     // integer sample stats. Same certification scheme as mm01: the
@@ -1994,6 +2102,69 @@ object PipelineQueries {
         |       CAST(1 AS BIGINT) AS one_file_per_bucket_ok,
         |       CAST(1 AS BIGINT) AS hot_dirs_gone_ok
         |FROM documents""".stripMargin,
+
+    // dd15's full exact drop-rule replay restricted to the LIVE corpus
+    // (documents minus the tombstoned history docs): deleted docs
+    // neither drop keepers (exact or near) nor count as partners, and
+    // the tombstone count is independently recomputed so a vacuous
+    // tombstone set would be visible in the hash. The purge/probe
+    // equivalence bits are engine-side certs pinned to 1.
+    "dd21_index_tombstones" ->
+      """WITH tomb AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 4 <> 3
+        |    AND (doc_id % 5 = 0 OR md5(text) IN
+        |         (SELECT md5(text) FROM documents WHERE doc_id % 4 = 3))),
+        |live AS (SELECT * FROM documents
+        |         WHERE doc_id % 4 = 3
+        |            OR doc_id NOT IN (SELECT doc_id FROM tomb)),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM live),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(t) < 3
+        |           THEN [array_to_string(t, ' ')]
+        |           ELSE list_transform(generate_series(1, len(t) - 2),
+        |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |         END) AS shingles
+        |  FROM toks),
+        |post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |         FROM post l JOIN post r ON l.shingle = r.shingle
+        |                                AND l.doc_id < r.doc_id),
+        |pairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+        |  WHERE len(list_intersect(a.shingles, b.shingles))
+        |        / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
+        |und AS (SELECT id_a, id_b FROM pairs
+        |        UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs),
+        |d AS (SELECT doc_id, n_chars, md5(text) AS h, doc_id % 4 = 3 AS is_new
+        |      FROM live),
+        |drop_exact_hist AS (
+        |  SELECT b.doc_id FROM d b
+        |  WHERE b.is_new AND EXISTS (
+        |    SELECT 1 FROM d h WHERE NOT h.is_new AND h.h = b.h)),
+        |drop_exact_batch AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        |    FROM d WHERE is_new) WHERE rn > 1),
+        |drop_near AS (
+        |  SELECT DISTINCT u.id_b AS doc_id
+        |  FROM und u
+        |  JOIN d b ON u.id_b = b.doc_id AND b.is_new
+        |  JOIN d p ON u.id_a = p.doc_id
+        |  WHERE (NOT p.is_new) OR u.id_a < u.id_b),
+        |dropped AS (SELECT doc_id FROM drop_exact_hist
+        |            UNION SELECT doc_id FROM drop_exact_batch
+        |            UNION SELECT doc_id FROM drop_near)
+        |SELECT doc_id, n_chars,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM tomb) AS n_tombstones,
+        |       CAST(1 AS BIGINT) AS no_tombstone_pair_ok,
+        |       CAST(1 AS BIGINT) AS purged_ok,
+        |       CAST(1 AS BIGINT) AS reprobe_equal_ok
+        |FROM d
+        |WHERE is_new AND doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
 
     // dd12's ground truth: the exact-Jaccard pair count of the ORIGINAL
     // corpus (same pipeline as dd01's oracle), plus the three certificate

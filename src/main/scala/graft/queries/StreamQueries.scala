@@ -1123,7 +1123,7 @@ object StreamQueries {
               .unionByName(delta)
               .groupBy(col("user_id"))
               .agg(sum(col("n_events")).as("n_events"), max(col("last")).as("last"))
-          merged.write.mode("overwrite").parquet(s"$snapBase/v$id")
+          graft.stream.VersionedSnapshot.publish(merged, snapBase, id)
           lastVersion.set(id)
         }
         .option("checkpointLocation",
@@ -1703,12 +1703,11 @@ object StreamQueries {
           val merged =
             if (batchId == 0) batchTop
             else topK(s2.read.parquet(vDir(batchId - 1)).unionByName(batchTop))
-          merged.write.mode("overwrite").parquet(vDir(batchId))
+          graft.stream.VersionedSnapshot.publish(merged, base, batchId)
         }
         .start()
       q.awaitTermination()
-      val versions = Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith("v")).map(_.getName.drop(1).toLong).sorted
+      val versions = graft.stream.VersionedSnapshot.versionIds(s, base)
       val nSources = Tables.documents(s, dir).select($"source").distinct().count()
       // the bounded-state certificate: EVERY version's artifact must fit
       // the n_sources × k budget (the whole point vs a naive reservoir)
@@ -1720,6 +1719,46 @@ object StreamQueries {
           lit(versions.length.toLong).as("n_versions"),
           lit(if (boundedOk) 1L else 0L).as("state_bounded_ok"))
         .orderBy($"source", $"rank")
+    },
+
+    // Snapshot RETENTION for the versioned-artifact family (st15/st16/
+    // st31's layout — the small-file seam of per-batch FULL snapshots,
+    // where IdempotentSink.compact covers per-batch DELTAS): st15's
+    // incremental view maintained across a 4-micro-batch replay, with
+    // each batch pruning the artifact to the newest 2 versions after its
+    // snapshot commits (keep=2 — an at-least-once retry of batch id
+    // re-reads v(id-1) as its merge input). Without retention the writer
+    // leaks one directory per batch forever; with it the artifact is
+    // O(keep) directories regardless of stream length, and the FINAL
+    // content is unchanged because every snapshot is self-contained —
+    // the oracle recomputes st15's one-shot view. Cert bits: the replay
+    // crossed ≥ 4 merges AND ≤ 2 versions survive with the newest being
+    // the last batch's (retention_ok); republishing under the committed
+    // latest id changes nothing — committed versions are immutable under
+    // at-least-once redelivery (republish_noop_ok).
+    "st36_versioned_retention" -> { (s, dir) =>
+      import s.implicits._
+      import graft.stream.VersionedSnapshot
+      val (view, lastV, base) = incrementalView(s, dir, nFiles = 4,
+        retainKeep = Some(2))
+      val ids = VersionedSnapshot.versionIds(s, base)
+      val retainedOk = lastV >= 3 && ids.length <= 2 &&
+        ids.lastOption.contains(lastV)
+      def digest(df: DataFrame): (Long, java.math.BigDecimal) = {
+        // sum over decimal(38,0): exact and overflow-free under ANSI
+        val r = df.agg(count(lit(1)),
+          sum(xxhash64(struct(df.columns.map(col): _*))
+            .cast("decimal(38,0)"))).head()
+        (r.getLong(0), r.getDecimal(1))
+      }
+      val snapDir = VersionedSnapshot.dir(base, lastV)
+      val before = digest(s.read.parquet(snapDir))
+      VersionedSnapshot.publish(s.range(1).toDF("bogus"), base, lastV)
+      val republishNoop = digest(s.read.parquet(snapDir)) == before
+      view.select($"day", $"event_type", $"n", $"sum_value",
+        lit(if (retainedOk) 1L else 0L).as("retention_ok"),
+        lit(if (republishNoop) 1L else 0L).as("republish_noop_ok"))
+        .orderBy($"day", $"event_type")
     },
 
     "st12_stream_hll_window" -> { (s, dir) =>
@@ -1737,14 +1776,20 @@ object StreamQueries {
         .orderBy($"w_start")
     })
 
-  /** st15's engine, shared with StreamSpec: maintain the per-(day, type)
-    * aggregate view across a chunked `nFiles`-micro-batch replay; returns
-    * the final snapshot (formatted for the oracle) plus the last snapshot
-    * version id, so specs can assert the replay genuinely crossed ≥
-    * `nFiles` incremental merges. */
+  /** st15's engine, shared with StreamSpec and st36: maintain the
+    * per-(day, type) aggregate view across a chunked `nFiles`-micro-batch
+    * replay; returns the final snapshot (formatted for the oracle), the
+    * last snapshot version id (so specs can assert the replay genuinely
+    * crossed ≥ `nFiles` incremental merges), and the artifact base path.
+    * Snapshots commit through [[graft.stream.VersionedSnapshot]] (stage +
+    * atomic rename; committed versions immutable). `retainKeep`, when
+    * set, prunes to the newest N versions INSIDE each batch after its
+    * snapshot commits — N ≥ 2, because a retried batch re-reads the
+    * previous version as its merge input. */
   private[graft] def incrementalView(s: org.apache.spark.sql.SparkSession,
-                                     dir: String, nFiles: Int)
-      : (DataFrame, Long) = {
+                                     dir: String, nFiles: Int,
+                                     retainKeep: Option[Int] = None)
+      : (DataFrame, Long, String) = {
     import s.implicits._
     val scratch = ensureEventChunks(s, dir, nFiles)
     val raw = StructType(Schemas.events.map {
@@ -1772,7 +1817,9 @@ object StreamQueries {
             .unionByName(delta)
             .groupBy(col("day"), col("event_type"))
             .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
-        merged.write.mode("overwrite").parquet(s"$viewBase/v$id")
+        graft.stream.VersionedSnapshot.publish(merged, viewBase, id)
+        retainKeep.foreach(k =>
+          graft.stream.VersionedSnapshot.retain(batch.sparkSession, viewBase, k))
         lastVersion.set(id)
       }
       .option("checkpointLocation",
@@ -1785,7 +1832,7 @@ object StreamQueries {
       .select(date_format($"day", "yyyy-MM-dd").as("day"), $"event_type",
         $"n", ($"sum_cents" / 100.0).as("sum_value"))
       .orderBy($"day", $"event_type")
-    (view, lastVersion.get())
+    (view, lastVersion.get(), viewBase)
   }
 
   /** st12's streaming leg, shared with StreamSpec: chunked replay of
@@ -2694,6 +2741,19 @@ object StreamQueries {
       s"""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
          |  CAST(COUNT(*) AS BIGINT) AS n,
          |  ${sqlSumMoney("value")} AS sum_value
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY day, event_type""".stripMargin,
+
+    // st15's one-shot view plus the retention/immutability cert bits —
+    // retention must not change the maintained content, so the oracle is
+    // the identical aggregate with the bits pinned to 1.
+    "st36_versioned_retention" ->
+      s"""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${sqlSumMoney("value")} AS sum_value,
+         |  CAST(1 AS BIGINT) AS retention_ok,
+         |  CAST(1 AS BIGINT) AS republish_noop_ok
          |FROM events
          |GROUP BY 1, 2
          |ORDER BY day, event_type""".stripMargin,

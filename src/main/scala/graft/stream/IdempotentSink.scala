@@ -240,8 +240,18 @@ object IdempotentSink {
     * one `c<gen>` file set of `targetFiles` files. Content-preserving by
     * construction (one read → one write of the same rows); crash-safe
     * per the protocol above; a retried already-consumed batch stays a
-    * no-op via the manifest. No-op when nothing would shrink. */
-  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1): Unit = {
+    * no-op via the manifest. No-op when nothing would shrink.
+    *
+    * `purge` is the TOMBSTONE hook: a row filter applied to the folded
+    * frame before it is written, so physical deletion rides the rewrite
+    * the artifact already pays for (the Delta/Iceberg rewrite posture —
+    * a takedown never triggers its own corpus rewrite). The crash story
+    * is unchanged: the fold is atomic, so either the purged run commits
+    * or readers keep the old view; until a fold runs, deletion is the
+    * READER's job (anti-join the tombstone set), because hot batch
+    * directories are immutable — logical-now, physical-at-compaction. */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1,
+              purge: Option[DataFrame => DataFrame] = None): Unit = {
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return
@@ -250,8 +260,9 @@ object IdempotentSink {
     if (paths.size <= 1) return // already one run (or empty): nothing to fold
     val gen = g + 1
     val staged = new Path(base, s"_staging/c$gen")
-    spark.read.option("recursiveFileLookup", "true")
+    val folded = spark.read.option("recursiveFileLookup", "true")
       .parquet(paths.map(_.toString): _*)
+    purge.fold(folded)(_(folded))
       .coalesce(targetFiles)
       .write.mode("overwrite").parquet(staged.toString)
     commitDir(fs, staged, new Path(base, s"c$gen"))
@@ -264,6 +275,54 @@ object IdempotentSink {
       .foreach(n => fs.delete(new Path(meta, n), true))
   }
 
+  /** Auto-compaction policy for a FLAT sink: fold only when more than
+    * `maxHot` hot batch directories are visible. The streaming posture:
+    * call it after [[writeBatch]] inside the same `foreachBatch` — the
+    * single appender doubles as the single compactor, so the one-
+    * compactor-per-directory contract holds by construction. Listing
+    * cost of every read stays ≤ `maxHot` batch dirs + 1 cold run; each
+    * fold rewrites the cold run (full-compaction write amplification:
+    * the artifact is rewritten once per `maxHot` batches — size `maxHot`
+    * to the artifact's scale, small for view-sized sinks, large for
+    * corpus-sized ones). Returns true when a fold ran. */
+  def maybeCompact(spark: SparkSession, dir: String, maxHot: Int,
+                   targetFiles: Int = 1): Boolean = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return false
+    val (_, _, paths) = visibleFlat(fs, base)
+    if (paths.count(p => isGenDir(p.getName, 'b')) <= maxHot) false
+    else { compact(spark, dir, targetFiles); true }
+  }
+
+  /** [[maybeCompact]]'s routed twin: fold when the visible hot `b<id>`
+    * directories summed over all routes exceed `maxHot`. */
+  def maybeCompactRouted(spark: SparkSession, baseDir: String, routeCol: String,
+                         maxHot: Int, shufflePartitions: Int = 16): Boolean = {
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return false
+    val (_, consumed) = manifest(fs, base)
+    if (hotRouted(fs, base, consumed).size <= maxHot) false
+    else { compactRouted(spark, baseDir, routeCol, shufflePartitions); true }
+  }
+
+  /** Visible (unconsumed) hot batch directories of a routed base, as
+    * (route-qualified name, path) pairs. */
+  private def hotRouted(fs: FileSystem, base: Path,
+                        consumed: Set[String]): Seq[(String, Path)] =
+    fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        !n.startsWith("_") && !isGenDir(n, 'c') && !isGenDir(n, 'b')
+      }
+      .toSeq.flatMap { rp =>
+        fs.listStatus(rp).filter(_.isDirectory).map(_.getPath)
+          .filter(p => isGenDir(p.getName, 'b') &&
+            !consumed(s"${rp.getName}/${p.getName}"))
+          .map(p => (s"${rp.getName}/${p.getName}", p))
+      }
+
   /** Compact a ROUTED base directory ([[writeRoutedBatch]] accumulation:
     * `base/<route>/b<id>`): fold every route's visible batch directories
     * and the previous cold run into ONE Hive-partitioned run
@@ -272,9 +331,14 @@ object IdempotentSink {
     * the partition level exactly like the hot layout pruned at the
     * directory level. Retries of consumed batches remain no-ops through
     * the `_committed/b<id>` markers, which compaction never touches.
-    * Route names must not collide with the `b<id>`/`c<gen>` pattern. */
+    * Route names must not collide with the `b<id>`/`c<gen>` pattern.
+    * `purge` is [[compact]]'s tombstone hook: applied to the folded
+    * frame (route column attached) before the partitioned write, so
+    * physical deletion rides this rewrite — logical-now (readers
+    * anti-join the tombstones), physical-at-compaction. */
   def compactRouted(spark: SparkSession, baseDir: String, routeCol: String,
-                    shufflePartitions: Int = 16): Unit = {
+                    shufflePartitions: Int = 16,
+                    purge: Option[DataFrame => DataFrame] = None): Unit = {
     val base = new Path(baseDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return
@@ -285,12 +349,7 @@ object IdempotentSink {
         val n = p.getName
         !n.startsWith("_") && !isGenDir(n, 'c') && !isGenDir(n, 'b')
       }
-    val hot: Seq[(String, Path)] = routeDirs.toSeq.flatMap { rp =>
-      fs.listStatus(rp).filter(_.isDirectory).map(_.getPath)
-        .filter(p => isGenDir(p.getName, 'b') &&
-          !consumed(s"${rp.getName}/${p.getName}"))
-        .map(p => (s"${rp.getName}/${p.getName}", p))
-    }
+    val hot: Seq[(String, Path)] = hotRouted(fs, base, consumed)
     val cold = Some(new Path(base, s"c$g")).filter(p => g > 0 && fs.exists(p))
     if (hot.size + cold.size <= 1) return // one run or empty: nothing to fold
     import org.apache.spark.sql.functions.{col, lit}
@@ -314,7 +373,8 @@ object IdempotentSink {
     }
     val gen = g + 1
     val staged = new Path(base, s"_staging/c$gen")
-    all.repartition(shufflePartitions, col(routeCol))
+    purge.fold(all)(_(all))
+      .repartition(shufflePartitions, col(routeCol))
       .write.mode("overwrite").partitionBy(routeCol).parquet(staged.toString)
     commitDir(fs, staged, new Path(base, s"c$gen"))
     commitManifest(fs, base, gen,

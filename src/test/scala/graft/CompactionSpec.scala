@@ -174,4 +174,47 @@ class CompactionSpec extends SparkSuite {
     assert(dirNames(base).count(_.matches("c\\d+")) == 1 &&
       dirNames(base).contains("c2"))
   }
+
+  test("auto-compaction policy: flat sink stays under the hot-dir budget across a long append run") {
+    val s = spark
+    import s.implicits._
+    val base = tmp("cmp-policy-")
+    val maxHot = 2
+    var folds = 0
+    for (b <- 0 until 9) {
+      IdempotentSink.writeBatch(Seq((b.toLong, s"v$b")).toDF("k", "v"), base, b)
+      if (IdempotentSink.maybeCompact(spark, base, maxHot)) folds += 1
+      // the invariant a 10,000-batch crawl needs: listing cost is bounded
+      // by the policy at EVERY step, not just after a terminal fold
+      val hot = dirNames(base).count(_.matches("b\\d+"))
+      assert(hot <= maxHot, s"batch $b left $hot hot dirs (budget $maxHot)")
+      assert(dirNames(base).count(_.matches("c\\d+")) <= 1)
+    }
+    assert(folds >= 2, s"policy never folded ($folds) — the budget did no work")
+    assert(rows(base) == (0 until 9).map(b => (b.toLong, s"v$b")).toSet,
+      "policy folds changed sink content")
+    // below-budget appends do NOT fold (no per-batch write amplification)
+    assert(!IdempotentSink.maybeCompact(spark, base, maxHot = 10))
+  }
+
+  test("auto-compaction policy: routed sink counts hot dirs across routes") {
+    val s = spark
+    import s.implicits._
+    val base = tmp("cmp-policyr-")
+    // each batch touches 2 routes -> 2 hot dirs per batch
+    for (b <- 0 until 4) {
+      IdempotentSink.writeRoutedBatch(
+        Seq((b * 2L, "a"), (b * 2L + 1, "b")).toDF("k", "route"),
+        base, "route", b)
+      IdempotentSink.maybeCompactRouted(spark, base, "route", maxHot = 3,
+        shufflePartitions = 2): Unit
+      val hot = Seq("a", "b").map(r => dirNames(s"$base/$r")
+        .count(_.matches("b\\d+"))).sum
+      assert(hot <= 3, s"batch $b left $hot hot dirs across routes")
+    }
+    val got = IdempotentSink.readRouted(spark, base, "route").get
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 8L).toSet, "routed policy folds changed content")
+    assert(dirNames(base).count(_.matches("c\\d+")) == 1)
+  }
 }

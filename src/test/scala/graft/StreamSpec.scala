@@ -686,7 +686,7 @@ class StreamSpec extends SparkSuite {
   test("st15 incremental view crosses >=3 snapshot merges and equals batch recompute") {
     val s = spark
     import s.implicits._
-    val (view, lastVersion) = graft.queries.StreamQueries.incrementalView(s, sf, nFiles = 3)
+    val (view, lastVersion, _) = graft.queries.StreamQueries.incrementalView(s, sf, nFiles = 3)
     assert(lastVersion >= 2, s"expected >=3 micro-batches, last snapshot was v$lastVersion")
     val batch = graft.model.Tables.events(s, sf)
       .groupBy(date_format(to_date($"ts"), "yyyy-MM-dd").as("day"), $"event_type")
