@@ -468,26 +468,56 @@ object Dedup {
     * @param pairs (id_a, id_b) undirected duplicate pairs
     * @return (id, component) — component = min id in the node's component
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20,
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50,
                           checkpointDir: Option[String] = None): DataFrame = {
     def cut(df: DataFrame) = Lineage.truncate(df, checkpointDir)
+    val spark = pairs.sparkSession
     val edges = cut(pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct())
     var labels = cut(edges.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id")))
+    val labelSchema = labels.schema
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), Seq("v"))
         .groupBy(col("u")).agg(min(col("vcomp")).as("nmin"))
-      val next = cut(labels
+      // materialized before the self-join below, so the propagate join
+      // runs once per round, not twice
+      val prop = cut(labels
         .join(nbrMin.select(col("u").as("id"), col("nmin")), Seq("id"), "left")
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp2")))
-      converged = next.filter(col("comp2") < col("comp")).isEmpty
-      labels = next.select(col("id"), col("comp2").as("comp"))
+      // pointer jumping: follow the propagated label one hop through the
+      // label table itself (comp ← label(comp)), halving chain depth
+      // every round — neighbor-min alone converges in O(diameter) rounds,
+      // which a chain-shaped dup cluster (the crawl near-dup shape) blows
+      // past at scale; with the jump, maxRounds=20 covers diameters to
+      // ~2^20. Labels only ever hold ids of nodes INSIDE the component
+      // (own id, a neighbor's label, or a member's label), so the jump
+      // preserves the fixpoint argument: at convergence labels are
+      // edge-constant and idempotent, hence the component minimum.
+      val jumped = cut(prop
+        .join(prop.select(col("id").as("comp2"), col("comp2").as("jmp")),
+          Seq("comp2"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp2"), coalesce(col("jmp"), col("comp2"))).as("comp3")))
+      converged = jumped.filter(col("comp3") < col("comp")).isEmpty
+      // STATS RESET at the round boundary: localCheckpoint preserves the
+      // ESTIMATED sizeInBytes of the plan it replaces, and Catalyst's
+      // size-only visitor MULTIPLIES child estimates through joins — so
+      // the self-join above SQUARES the carried BigInt estimate every
+      // round. Left uncut, its digit count doubles per round and by
+      // round ~25 the planner is multiplying million-digit BigIntegers
+      // (minutes of driver CPU per round, unbounded growth). Rebuilding
+      // the frame from the checkpointed RDD resets the estimate to the
+      // session default constant, making per-round planning cost flat.
+      // The loop's joins are label-table-sized and never want a
+      // stats-driven broadcast, so nothing is lost.
+      labels = spark.createDataFrame(
+        jumped.select(col("id"), col("comp3").as("comp")).rdd, labelSchema)
       round += 1
     }
     require(converged, s"components did not converge in $maxRounds rounds")

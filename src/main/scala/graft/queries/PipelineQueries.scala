@@ -338,11 +338,21 @@ object PipelineQueries {
           Seq("vec_id"), "left_anti")
         .agg(when(count(lit(1)) === 0, 1L).otherwise(0L).as("keeper_member_ok"))
       // the dd10 certificate inline: exact ground truth is materialized
-      // once and feeds both the recall floor and the precision assert
-      val exact = Similarity.allPairsCosine(emb, "vec_id", "embedding",
-        threshold = 0.4).localCheckpoint()
+      // once and feeds both the recall floor and the precision assert.
+      // The cert universe is GATED to a deterministic id range (the r17
+      // verdict's sanctioned posture for this entry): the O(n²) exact
+      // sweep is certification, not production, so at scale it runs over
+      // a fixed-size sub-corpus while the blocked production path above
+      // runs over everything. CertCap covers every driver-tested SF in
+      // full (sf0.1 tops out at vec_id 1999), so the gate only engages
+      // on ScaleUp blow-ups — where an ungated cert would grow 256× at
+      // 16× data and measure the cert, not the operator.
+      val CertCap = 4000L
+      val certPairs = pairs.filter($"id_a" < CertCap && $"id_b" < CertCap)
+      val exact = Similarity.allPairsCosine(emb.filter($"vec_id" < CertCap),
+        "vec_id", "embedding", threshold = 0.4).localCheckpoint()
       val truth = exact
-        .join(pairs.withColumn("hit", lit(1L)), Seq("id_a", "id_b"), "left")
+        .join(certPairs.withColumn("hit", lit(1L)), Seq("id_a", "id_b"), "left")
         .agg(count(lit(1)).as("n_true_pairs"),
           // an empty truth set makes sum(...) NULL → recall NULL → the
           // floor check would report 0; recall over zero true pairs is
@@ -352,7 +362,7 @@ object PipelineQueries {
             count(lit(1)), lit(1.0)).as("recall"))
         .select($"n_true_pairs",
           when($"recall" >= 0.45, 1L).otherwise(0L).as("recall_ok"))
-      val precision = pairs
+      val precision = certPairs
         .join(exact.withColumn("ex", lit(1L)), Seq("id_a", "id_b"), "left")
         .agg(coalesce(min(coalesce($"ex", lit(0L))), lit(1L))
           .as("precision_ok"))
@@ -1809,7 +1819,11 @@ object PipelineQueries {
     // certificate bits are pinned to 1 — the an03/dd10 constant-oracle
     // contract for quantizer-bound operators.
     "dd19_semantic_keepers_blocked" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      // vec_id < 4000 mirrors the entry's CertCap gate on the exact
+      // ground truth — a no-op at every driver-tested SF (sf0.1 tops out
+      // at 1999), engaged only on ScaleUp blow-ups
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |           WHERE vec_id < 4000),
         |t AS (SELECT count(*) AS n_true_pairs
         |      FROM e a JOIN e b ON a.vec_id < b.vec_id
         |      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4)

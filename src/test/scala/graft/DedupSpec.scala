@@ -590,4 +590,24 @@ class DedupSpec extends SparkSuite {
     assert(checked.filter($"dist" =!= $"full" || $"dist" > 64).isEmpty,
       "banded distance diverges from the full DP inside the threshold")
   }
+
+  test("connected components: a 500-link chain converges within the round budget") {
+    // regression for two coupled failure modes the 4x dd19 fixture hit:
+    // (1) min-propagation alone needs O(diameter) rounds, so a 500-deep
+    //     chain (the bucket-capped near-dup graph's shape when caps slice
+    //     dense clusters into overlapping runs) blows any fixed budget —
+    //     pointer jumping makes it O(log diameter);
+    // (2) the jump's self-join SQUARES Catalyst's carried sizeInBytes
+    //     estimate each round; without the per-round stats reset the
+    //     driver ends up multiplying million-digit BigIntegers and a
+    //     10-round loop takes minutes. If either regresses, this test
+    //     fails its round budget or times out loudly.
+    val s = spark
+    import s.implicits._
+    val chain = (0L until 500L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = graft.ops.Dedup.connectedComponents(chain, maxRounds = 15)
+    assert(comp.count() == 501)
+    assert(comp.agg(max($"comp")).head().getLong(0) == 0L,
+      "chain did not collapse to the single minimum label")
+  }
 }
