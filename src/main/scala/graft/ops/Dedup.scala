@@ -73,7 +73,11 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
 
   /** All unordered pairs of a (sorted) array: `(xs[i], xs[j])` for i<j —
-    * codegen'd higher-order functions, no join. */
+    * codegen'd higher-order functions, no join. Memory note: callers must
+    * NOT flatten this over a whole bucket in one value — see
+    * [[bucketPairs]], which streams pairs through two chained generators
+    * instead, because a flattened B²/2-pair array with vector payloads is
+    * hundreds of MB in a single row (the r18 16× OOM). */
   private def arrayPairs(xs: Column): Column =
     flatten(transform(xs, (x, i) =>
       transform(slice(xs, i + 2, size(xs)), y => struct(x.as("a"), y.as("b")))))
@@ -99,7 +103,18 @@ object Dedup {
     df.groupBy(col(bucketCol))
       .agg(array_sort(collect_list(payload)).as("xs"))
       .filter(size(col("xs")).between(2, maxBucket))
-      .select(explode(arrayPairs(col("xs"))).as("p"))
+      // pairs stream through TWO chained generators (posexplode the
+      // members, then explode each member's tail slice) instead of
+      // flattening all B²/2 pair structs into one array value first: with
+      // vector payloads (embeddingDupPairs carries 64-double vecs) a
+      // flattened 1024-member bucket is a single ~500 MB row, and a few
+      // concurrent tasks of those OOM the executor (the r18 16× failure).
+      // Peak per-task memory is now one bucket array + one pair row;
+      // the emitted pair set (and its order) is identical.
+      .select(posexplode(col("xs")).as(Seq("i", "a")), col("xs"))
+      .select(col("a"), explode(slice(col("xs"), col("i") + lit(2),
+        size(col("xs")))).as("b"))
+      .select(struct(col("a"), col("b")).as("p"))
 
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     *

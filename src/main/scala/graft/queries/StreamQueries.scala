@@ -1392,9 +1392,51 @@ object StreamQueries {
         java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
         "lshstream-").toString
       graft.stream.StreamRunner.deleteOnExit(base)
-      runLshDedupStream(s, scratch, base)
+      runLshDedupStream(s, scratch, base): Unit
       graft.stream.IdempotentSink.read(s, s"$base/keepers")
         .select($"doc_id", $"n_chars")
+        .orderBy($"doc_id")
+    },
+
+    // st29 UNDER THE AUTO-COMPACTION POLICY — the LSM loop run LIVE:
+    // the same 3-batch near-dup ingest, but after each batch every sink
+    // artifact (bucket-routed band index; digest, corpus and keeper
+    // sinks) folds once its visible hot-directory count exceeds its
+    // budget, while the NEXT batch keeps probing through the
+    // manifest-aware readers. The keepers must be bit-identical to
+    // st29's (the oracle is st29's full sequential replay verbatim) —
+    // maintenance moves no verdict. Certs: folds genuinely fired
+    // mid-stream, not just at the end (the flat sinks deterministically
+    // exceed budget 1 after the second batch), and the post-run layout
+    // is within budget — flat sinks ≤ 1 hot dir + ≤ 1 cold run, the
+    // routed band index ≤ BandBuckets hot dirs + ≤ 1 cold run — so
+    // listing cost stays bounded no matter how long the crawl runs.
+    "st37_stream_lsh_compacting" -> { (s, dir) =>
+      import s.implicits._
+      val scratch = ensureDocChunks(s, dir, 3)
+      val base = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
+        "lshcomp-").toString
+      graft.stream.StreamRunner.deleteOnExit(base)
+      val folds = runLshDedupStream(s, scratch, base, maxHot = Some(1))
+      def ls(p: String) = Option(new java.io.File(p).listFiles())
+        .getOrElse(Array.empty[java.io.File]).filter(_.isDirectory)
+      def hotFlat(p: String) = ls(p).count(_.getName.matches("b\\d+"))
+      def cold(p: String) = ls(p).count(_.getName.matches("c\\d+"))
+      val flat = Seq("digests", "corpus", "keepers").map(d => s"$base/$d")
+      val bandsHot = ls(s"$base/bands")
+        .filterNot(f => f.getName.startsWith("_") || f.getName.matches("[bc]\\d+"))
+        .map(rp => Option(rp.listFiles()).getOrElse(Array.empty[java.io.File])
+          .count(f => f.isDirectory && f.getName.matches("b\\d+"))).sum
+      val hotOk = bandsHot <= graft.ops.Dedup.BandBuckets &&
+        flat.forall(p => hotFlat(p) <= 1)
+      val coldOk = flat.forall(p => cold(p) == 1) &&
+        cold(s"$base/bands") <= 1
+      graft.stream.IdempotentSink.read(s, s"$base/keepers")
+        .select($"doc_id", $"n_chars",
+          lit(if (folds >= 3) 1L else 0L).as("lsm_folds_ok"),
+          lit(if (hotOk) 1L else 0L).as("hot_bounded_ok"),
+          lit(if (coldOk) 1L else 0L).as("one_cold_run_ok"))
         .orderBy($"doc_id")
     },
 
@@ -2254,8 +2296,17 @@ object StreamQueries {
     * again with the same `base` after more chunks land - the checkpoint
     * skips already-processed files - which is exactly the resume seam
     * the compaction spec exercises. */
+  /** `maxHot`, when set, turns on IN-STREAM auto-compaction (st37): after
+    * each batch's ingest commits, every sink artifact of the pipeline is
+    * folded once its visible hot batch-directory count exceeds the
+    * budget — the single appender doubles as the single compactor, so
+    * the one-compactor-per-directory contract holds by construction, and
+    * the manifest keeps at-least-once retries of folded batches no-ops.
+    * Returns the number of folds that fired (0 when `maxHot` is None). */
   private[graft] def runLshDedupStream(s: org.apache.spark.sql.SparkSession,
-                                       scratch: String, base: String): Unit = {
+                                       scratch: String, base: String,
+                                       maxHot: Option[Int] = None): Int = {
+    val folds = new java.util.concurrent.atomic.AtomicInteger(0)
     val stream = s.readStream.schema(Schemas.documents)
       .option("maxFilesPerTrigger", 1).parquet(scratch)
     val q = stream.writeStream
@@ -2263,9 +2314,22 @@ object StreamQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b0: DataFrame, batchId: Long) =>
         lshIngestBatch(b0, batchId, base)
+        maxHot.foreach { h =>
+          val s2 = b0.sparkSession
+          import graft.stream.IdempotentSink._
+          if (maybeCompactRouted(s2, s"$base/bands", "band_bucket",
+            maxHot = h * graft.ops.Dedup.BandBuckets,
+            shufflePartitions = graft.ops.Dedup.BandBuckets))
+            folds.incrementAndGet(): Unit
+          Seq("digests", "corpus", "keepers").foreach { d =>
+            if (maybeCompact(s2, s"$base/$d", maxHot = h))
+              folds.incrementAndGet(): Unit
+          }
+        }
       }
       .start()
     q.awaitTermination()
+    folds.get()
   }
 
   /** st29's chunk fixture: the documents table split into `nFiles`
@@ -2505,6 +2569,52 @@ object StreamQueries {
         |dropped AS (SELECT doc_id FROM drop_exact
         |            UNION SELECT doc_id FROM drop_near)
         |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM d
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
+
+    // st29's sequential replay verbatim plus the three maintenance cert
+    // bits — in-stream compaction must move no verdict, so the keeper
+    // set is pinned identical to the uncompacted pipeline's.
+    "st37_stream_lsh_compacting" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(t) < 3
+        |           THEN [array_to_string(t, ' ')]
+        |           ELSE list_transform(generate_series(1, len(t) - 2),
+        |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |         END) AS shingles
+        |  FROM toks),
+        |post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |         FROM post l JOIN post r ON l.shingle = r.shingle
+        |                                AND l.doc_id < r.doc_id),
+        |pairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+        |  WHERE len(list_intersect(a.shingles, b.shingles))
+        |        / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
+        |und AS (SELECT id_a, id_b FROM pairs
+        |        UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs),
+        |d AS (SELECT doc_id, n_chars, md5(text) AS h, doc_id % 3 AS ck
+        |      FROM documents),
+        |drop_exact AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY ck, doc_id) AS rn
+        |    FROM d) WHERE rn > 1),
+        |drop_near AS (
+        |  SELECT DISTINCT u.id_b AS doc_id
+        |  FROM und u
+        |  JOIN d b ON u.id_b = b.doc_id
+        |  JOIN d p ON u.id_a = p.doc_id
+        |  WHERE p.ck < b.ck OR (p.ck = b.ck AND u.id_a < u.id_b)),
+        |dropped AS (SELECT doc_id FROM drop_exact
+        |            UNION SELECT doc_id FROM drop_near)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |       CAST(1 AS BIGINT) AS lsm_folds_ok,
+        |       CAST(1 AS BIGINT) AS hot_bounded_ok,
+        |       CAST(1 AS BIGINT) AS one_cold_run_ok
+        |FROM d
         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         |ORDER BY doc_id""".stripMargin,
 
