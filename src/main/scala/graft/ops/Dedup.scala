@@ -509,8 +509,12 @@ object Dedup {
       // label table itself (comp ← label(comp)), halving chain depth
       // every round — neighbor-min alone converges in O(diameter) rounds,
       // which a chain-shaped dup cluster (the crawl near-dup shape) blows
-      // past at scale; with the jump, maxRounds=20 covers diameters to
-      // ~2^20. Labels only ever hold ids of nodes INSIDE the component
+      // past at scale; with the jump, ~20 rounds already cover diameters
+      // to ~2^20, and the default maxRounds=50 is pure headroom (fixpoint
+      // detection exits early, so unused budget costs nothing — the
+      // default exists only to turn a non-converging bug into a loud
+      // error instead of an infinite loop). Labels only ever hold ids of
+      // nodes INSIDE the component
       // (own id, a neighbor's label, or a member's label), so the jump
       // preserves the fixpoint argument: at convergence labels are
       // edge-constant and idempotent, hence the component minimum.

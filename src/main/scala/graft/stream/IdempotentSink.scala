@@ -249,15 +249,22 @@ object IdempotentSink {
     * is unchanged: the fold is atomic, so either the purged run commits
     * or readers keep the old view; until a fold runs, deletion is the
     * READER's job (anti-join the tombstone set), because hot batch
-    * directories are immutable — logical-now, physical-at-compaction. */
+    * directories are immutable — logical-now, physical-at-compaction.
+    *
+    * Returns true iff a fold COMMITTED — the caller's signal that a
+    * requested purge physically landed. A single visible run no-ops only
+    * when no purge was requested: a purge always "would shrink", so a
+    * takedown against an already-compacted artifact still rewrites it
+    * (the bytes must be provably gone, not merely tombstoned forever). */
   def compact(spark: SparkSession, dir: String, targetFiles: Int = 1,
-              purge: Option[DataFrame => DataFrame] = None): Unit = {
+              purge: Option[DataFrame => DataFrame] = None): Boolean = {
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(base)) return
+    if (!fs.exists(base)) return false
     recoverCompaction(fs, base)
     val (g, consumed, paths) = visibleFlat(fs, base)
-    if (paths.size <= 1) return // already one run (or empty): nothing to fold
+    // nothing to fold: empty sink, or one run and no purge requested
+    if (paths.isEmpty || (paths.size <= 1 && purge.isEmpty)) return false
     val gen = g + 1
     val staged = new Path(base, s"_staging/c$gen")
     val folded = spark.read.option("recursiveFileLookup", "true")
@@ -273,6 +280,7 @@ object IdempotentSink {
     fs.listStatus(meta).map(_.getPath.getName)
       .filter(n => isGenDir(n, 'm') && genOf(n) < gen)
       .foreach(n => fs.delete(new Path(meta, n), true))
+    true
   }
 
   /** Auto-compaction policy for a FLAT sink: fold only when more than
@@ -292,7 +300,7 @@ object IdempotentSink {
     if (!fs.exists(base)) return false
     val (_, _, paths) = visibleFlat(fs, base)
     if (paths.count(p => isGenDir(p.getName, 'b')) <= maxHot) false
-    else { compact(spark, dir, targetFiles); true }
+    else compact(spark, dir, targetFiles)
   }
 
   /** [[maybeCompact]]'s routed twin: fold when the visible hot `b<id>`
@@ -304,7 +312,7 @@ object IdempotentSink {
     if (!fs.exists(base)) return false
     val (_, consumed) = manifest(fs, base)
     if (hotRouted(fs, base, consumed).size <= maxHot) false
-    else { compactRouted(spark, baseDir, routeCol, shufflePartitions); true }
+    else compactRouted(spark, baseDir, routeCol, shufflePartitions)
   }
 
   /** Visible (unconsumed) hot batch directories of a routed base, as
@@ -335,13 +343,23 @@ object IdempotentSink {
     * `purge` is [[compact]]'s tombstone hook: applied to the folded
     * frame (route column attached) before the partitioned write, so
     * physical deletion rides this rewrite — logical-now (readers
-    * anti-join the tombstones), physical-at-compaction. */
+    * anti-join the tombstones), physical-at-compaction.
+    *
+    * Returns true iff a fold COMMITTED (see [[compact]]): one visible
+    * run no-ops only without a purge — a takedown against an
+    * already-compacted base still rewrites it. A purge that filters the
+    * fold to ZERO rows commits a manifest with NO `c<gen>` run instead
+    * of an empty `partitionBy` directory (a dynamic-partition write of
+    * zero rows emits no part files, and a committed run without parquet
+    * footers would brick every later read on schema inference); readers
+    * already treat a manifest gen without its run directory as "cold
+    * side empty". */
   def compactRouted(spark: SparkSession, baseDir: String, routeCol: String,
                     shufflePartitions: Int = 16,
-                    purge: Option[DataFrame => DataFrame] = None): Unit = {
+                    purge: Option[DataFrame => DataFrame] = None): Boolean = {
     val base = new Path(baseDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(base)) return
+    if (!fs.exists(base)) return false
     recoverCompaction(fs, base)
     val (g, consumed) = manifest(fs, base)
     val routeDirs = fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
@@ -351,7 +369,9 @@ object IdempotentSink {
       }
     val hot: Seq[(String, Path)] = hotRouted(fs, base, consumed)
     val cold = Some(new Path(base, s"c$g")).filter(p => g > 0 && fs.exists(p))
-    if (hot.size + cold.size <= 1) return // one run or empty: nothing to fold
+    // nothing to fold: empty base, or one run and no purge requested
+    if (hot.size + cold.size == 0 ||
+        (hot.size + cold.size <= 1 && purge.isEmpty)) return false
     import org.apache.spark.sql.functions.{col, lit}
     // hot files carry the data columns only (writeRoutedBatch strips the
     // route column into the directory name) — restore it from the path;
@@ -369,14 +389,21 @@ object IdempotentSink {
       case (Some(h), Some(c)) => h.unionByName(c)
       case (Some(h), None) => h
       case (None, Some(c)) => c
-      case (None, None) => return
+      case (None, None) => return false
     }
     val gen = g + 1
     val staged = new Path(base, s"_staging/c$gen")
-    purge.fold(all)(_(all))
-      .repartition(shufflePartitions, col(routeCol))
-      .write.mode("overwrite").partitionBy(routeCol).parquet(staged.toString)
-    commitDir(fs, staged, new Path(base, s"c$gen"))
+    val folded = purge.fold(all)(_(all))
+    // a purge can filter the fold to nothing — commit the manifest with
+    // no run directory rather than an unreadable empty partitionBy dir
+    // (the extra isEmpty action is paid only on the purge path)
+    val skipRun = purge.isDefined && folded.isEmpty
+    if (!skipRun) {
+      folded
+        .repartition(shufflePartitions, col(routeCol))
+        .write.mode("overwrite").partitionBy(routeCol).parquet(staged.toString)
+      commitDir(fs, staged, new Path(base, s"c$gen"))
+    }
     commitManifest(fs, base, gen,
       consumed ++ hot.map(_._1) ++ cold.map(_.getName))
     hot.foreach { case (_, p) => fs.delete(p, true) }
@@ -388,6 +415,7 @@ object IdempotentSink {
     fs.listStatus(meta).map(_.getPath.getName)
       .filter(n => isGenDir(n, 'm') && genOf(n) < gen)
       .foreach(n => fs.delete(new Path(meta, n), true))
+    true
   }
 
   /** Read a routed sink's data for the given routes (all routes when

@@ -45,19 +45,40 @@ object VersionedSnapshot {
     base.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Publish `df` as version `id` (stage + one atomic rename). A retry
-    * of a committed version publishes nothing. */
+    * of a committed version publishes nothing.
+    *
+    * Single-writer contract: at most ONE publisher per version id at a
+    * time (the streaming-merge posture — one driver owns the artifact;
+    * a foreachBatch RETRY of the same id is sequential, never
+    * concurrent). The existence checks are check-then-rename, so two
+    * truly concurrent publishers of the same id can both pass them; the
+    * loser's `fs.rename` then lands its staging dir UNDER the winner's
+    * committed `v<id>` (Hadoop rename-into-existing-directory moves the
+    * source inside) while returning true. That violation is DETECTED
+    * after the rename — a nested `v<id>/v<id>` means we lost the race —
+    * and repaired by deleting the nested junk; the winner's committed
+    * snapshot stands untouched (committed versions are immutable either
+    * way, so readers were never exposed to a torn snapshot). */
   def publish(df: DataFrame, base: String, id: Long): Unit = {
     val basePath = new Path(base)
     val fs = fsOf(df.sparkSession, basePath)
     val target = new Path(basePath, s"v$id")
-    if (fs.exists(target)) return
+    // a nested v<id>/v<id> is the loser's footprint from a past race —
+    // repair it on every path through publish (the loser's own
+    // at-least-once retry heals the artifact it dirtied)
+    def repairNested(): Unit = {
+      val nested = new Path(target, s"v$id")
+      if (fs.exists(nested)) fs.delete(nested, true): Unit
+    }
+    if (fs.exists(target)) { repairNested(); return }
     val stage = new Path(basePath, s"_staging/v$id")
     df.write.mode("overwrite").parquet(stage.toString)
-    if (fs.exists(target)) { fs.delete(stage, true); return }
+    if (fs.exists(target)) { fs.delete(stage, true); repairNested(); return }
     fs.mkdirs(target.getParent)
     if (!fs.rename(stage, target))
       throw new java.io.IOException(
         s"snapshot commit failed: rename $stage -> $target returned false")
+    repairNested()
   }
 
   /** Ids of every committed version, ascending (staging is invisible —

@@ -197,6 +197,77 @@ class CompactionSpec extends SparkSuite {
     assert(!IdempotentSink.maybeCompact(spark, base, maxHot = 10))
   }
 
+  test("purge folds even a single-run artifact — bytes provably gone after a takedown") {
+    val s = spark
+    import s.implicits._
+    val base = tmp("cmp-purge1-")
+    flatSink(base)
+    assert(IdempotentSink.compact(spark, base), "initial fold must commit")
+    // the artifact is now ONE cold run; a takedown arriving here must
+    // still physically rewrite it (the r18 gap: early-return left
+    // tombstoned bytes on disk forever with no signal)
+    val folded = IdempotentSink.compact(spark, base,
+      purge = Some(df => df.filter(col("k") =!= 11L)))
+    assert(folded, "purge against an already-compacted artifact must fold")
+    assert(rows(base) == flatRows - ((11L, "v11")))
+    // provably gone: scan the raw files of the artifact directory, not
+    // the reader view — no parquet file anywhere still holds k=11
+    val raw = spark.read.option("recursiveFileLookup", "true").parquet(base)
+    assert(raw.filter(col("k") === 11L).isEmpty,
+      "tombstoned row still physically present after the purge fold")
+    // and with no purge, a single-run artifact still no-ops
+    assert(!IdempotentSink.compact(spark, base),
+      "purge-less re-compaction of a folded sink must stay a no-op")
+  }
+
+  test("flat purge to zero rows leaves a readable (empty, schema-bearing) artifact") {
+    val s = spark
+    import s.implicits._
+    val base = tmp("cmp-purge0-")
+    flatSink(base)
+    assert(IdempotentSink.compact(spark, base, purge = Some(_.limit(0))))
+    val after = IdempotentSink.read(spark, base)
+    assert(after.columns.toSeq == Seq("k", "v"),
+      "full-corpus takedown must preserve the artifact schema")
+    assert(after.isEmpty)
+    // the artifact keeps working: append + read + fold
+    IdempotentSink.writeBatch(Seq((5L, "post")).toDF("k", "v"), base, 50)
+    assert(rows(base) == Set((5L, "post")))
+    IdempotentSink.compact(spark, base, purge = Some(identity[org.apache.spark.sql.DataFrame] _))
+    assert(rows(base) == Set((5L, "post")))
+  }
+
+  test("routed purge to zero rows commits a manifest with NO run — artifact not bricked") {
+    val s = spark
+    import s.implicits._
+    val base = tmp("cmp-purge0r-")
+    for (b <- 0 until 2)
+      IdempotentSink.writeRoutedBatch(
+        Seq((b * 2L, "a"), (b * 2L + 1, "b")).toDF("k", "route"),
+        base, "route", b)
+    assert(IdempotentSink.compactRouted(spark, base, "route",
+      shufflePartitions = 2, purge = Some(_.limit(0))),
+      "a full-corpus routed takedown must still count as a fold")
+    // no empty c-run was committed (a zero-row partitionBy dir has no
+    // parquet footers and would fail schema inference on every later read)
+    assert(!dirNames(base).exists(_.matches("c\\d+")),
+      s"empty cold run committed: ${dirNames(base)}")
+    assert(IdempotentSink.readRouted(spark, base, "route").isEmpty,
+      "fully-purged routed artifact must read as empty, not throw")
+    // the artifact keeps working: append, read, re-fold
+    IdempotentSink.writeRoutedBatch(Seq((9L, "a")).toDF("k", "route"),
+      base, "route", 9)
+    def all() = IdempotentSink.readRouted(spark, base, "route").get
+      .collect().map(_.getLong(0)).toSet
+    assert(all() == Set(9L))
+    assert(IdempotentSink.compactRouted(spark, base, "route", shufflePartitions = 2,
+      purge = Some(df => df)))
+    assert(all() == Set(9L), "post-takedown fold changed content")
+  }
+
+  private val flatRows: Set[(Long, String)] =
+    (for (b <- 0 until 3; i <- 0 until 4) yield (b * 10L + i, s"v$b$i")).toSet
+
   test("auto-compaction policy: routed sink counts hot dirs across routes") {
     val s = spark
     import s.implicits._

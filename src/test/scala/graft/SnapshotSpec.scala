@@ -43,6 +43,27 @@ class SnapshotSpec extends SparkSuite {
       "a redelivered publish replaced a committed snapshot")
   }
 
+  test("lost publish race: nested v<id>/v<id> junk is repaired on retry, winner intact") {
+    val s = spark
+    import s.implicits._
+    val base = tmp("snap-race-")
+    VersionedSnapshot.publish(Seq((1L, "winner")).toDF("k", "v"), base, 0L)
+    // simulate the loser's footprint: a concurrent publisher that passed
+    // the existence checks renames its staging UNDER the winner's
+    // committed dir (Hadoop rename-into-existing-directory semantics) —
+    // emulate that end state directly
+    Seq((666L, "loser")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$base/v0/v0")
+    assert(new java.io.File(s"$base/v0/v0").exists())
+    // the loser's own at-least-once retry heals the artifact
+    VersionedSnapshot.publish(Seq((666L, "loser")).toDF("k", "v"), base, 0L)
+    assert(!new java.io.File(s"$base/v0/v0").exists(),
+      "nested race junk survived the retry")
+    assert(VersionedSnapshot.read(s, base, 0L).collect()
+      .map(_.getString(1)).toSeq == Seq("winner"),
+      "race repair must keep the winner's committed snapshot untouched")
+  }
+
   test("retain keeps the newest k, deletes the rest, and converges after a crash") {
     val s = spark
     import s.implicits._
