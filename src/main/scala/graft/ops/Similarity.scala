@@ -772,6 +772,104 @@ object Similarity {
                   key: String, m: Int, ksub: Int, seed: Long): Array[Array[Double]] =
     opqArtifacts(corpus, idCol, vecCol, key, m, ksub, seed)._1
 
+  // --------------------------------------------- persisted PQ/OPQ index —
+
+  /** The distributed half of a persisted PQ index: one (id, codes) row
+    * per corpus vector (codes = array<int>, length m — 16 B of payload
+    * per vector at m=16/ksub=16 against the 512 B float64 original). The
+    * driver-side half is the codebooks; together they answer pure-ADC
+    * searches WITHOUT touching the corpus table at all — the memory-tier
+    * payoff a persisted PQ index exists for. Encoding is one pass over
+    * the corpus (the 100 TB posture: encode once at ingest, store,
+    * search forever — [[pqTopK]] re-derives codes in the scan and is the
+    * no-index baseline). */
+  def pqCodeTable(corpus: DataFrame, idCol: String, vecCol: String,
+                  books: Array[Array[Array[Double]]]): DataFrame =
+    nonZeroNorm(corpus.select(col(idCol),
+        asDouble(col(vecCol)).as("cvec"))
+      .withColumn("cnorm", norm(col("cvec"))), "cnorm")
+      .select(col(idCol),
+        pqCodes(books, transform(col("cvec"), x => x / col("cnorm"))).as("codes"))
+
+  /** [[pqCodeTable]]'s OPQ twin: codes assigned in the ROTATED space via
+    * lifted centroids, so encoding needs no per-row rotation (see
+    * [[liftBooks]]). */
+  def opqCodeTable(corpus: DataFrame, idCol: String, vecCol: String,
+                   r: Array[Array[Double]],
+                   books: Array[Array[Array[Double]]]): DataFrame = {
+    val lifted = liftBooks(r, books)
+    nonZeroNorm(corpus.select(col(idCol),
+        asDouble(col(vecCol)).as("cvec"))
+      .withColumn("cnorm", norm(col("cvec"))), "cnorm")
+      .select(col(idCol),
+        pqCodesLifted(lifted, books,
+          transform(col("cvec"), x => x / col("cnorm"))).as("codes"))
+  }
+
+  /** Search FROM a persisted PQ index (a reloaded `books` artifact plus
+    * the `codes` table): the ADC candidate pass scans the codes table
+    * ALONE — the corpus is never touched for it — and only the
+    * ≤`shortlist` rows per query surviving the ADC cut re-read full
+    * vectors for the exact re-rank (`corpus` is untouched when
+    * shortlist = 0). The scoring arithmetic is [[pqTopK]]'s verbatim, so
+    * against codes produced by [[pqCodeTable]] under the same books the
+    * result set is bit-identical to the fresh path (an13 certifies the
+    * parquet round-trip of both halves). */
+  def pqTopKWithIndex(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int,
+                      books: Array[Array[Array[Double]]], codes: DataFrame,
+                      shortlist: Int = 0): DataFrame = {
+    val q = nonZeroNorm(queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qvec"))
+      .withColumn("qnorm", norm(col("qvec"))), "qnorm")
+    adcFromCodes(corpus, q, idCol, vecCol, k, shortlist, codes,
+      adcScore(books, col("qvec"), col("codes")))
+  }
+
+  /** [[pqTopKWithIndex]]'s OPQ twin: the query is rotated ONCE on the
+    * broadcast side with the reloaded rotation and ADC runs in rotated
+    * space — per-pair cost identical to plain PQ ([[opqTopK]]'s
+    * contract, served from the persisted artifact). */
+  def opqTopKWithIndex(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, r: Array[Array[Double]],
+                       books: Array[Array[Array[Double]]], codes: DataFrame,
+                       shortlist: Int = 0): DataFrame = {
+    val q = nonZeroNorm(queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qvec"))
+      .withColumn("qnorm", norm(col("qvec"))), "qnorm")
+      .withColumn("qrot", rotate(r, col("qvec")))
+    adcFromCodes(corpus, q, idCol, vecCol, k, shortlist, codes,
+      adcScore(books, col("qrot"), col("codes")))
+  }
+
+  /** Shared persisted-index ranking tail: broadcast the query frame
+    * against the codes table, rank by ADC; with a shortlist, ONLY the
+    * surviving (query, candidate) pairs join back to the corpus for the
+    * exact re-rank — the re-read is shortlist-bounded by construction. */
+  private def adcFromCodes(corpus: DataFrame, q: DataFrame, idCol: String,
+                           vecCol: String, k: Int, shortlist: Int,
+                           codes: DataFrame, adcExpr: Column): DataFrame = {
+    val scored = codes.select(col(idCol).as("neighbor_id"), col("codes"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adcExpr / col("qnorm"))
+    if (shortlist <= 0) {
+      topK(scored.withColumnRenamed("adc", "cosine"), k)
+    } else {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc").desc, col("neighbor_id"))
+      val short = scored.withColumn("arank", row_number().over(w))
+        .filter(col("arank") <= shortlist)
+        .select(col("query_id"), col("neighbor_id"), col("qvec"), col("qnorm"))
+      val cv = nonZeroNorm(corpus.select(col(idCol).as("neighbor_id"),
+          asDouble(col(vecCol)).as("cvec"))
+        .withColumn("cnorm", norm(col("cvec"))), "cnorm")
+      topK(short.join(cv, Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm")))
+            .as("cosine")), k)
+    }
+  }
+
   // ------------------------------------------------- scalar quantization —
 
   /** Memoized per-dimension (min, max) ranges for scalar quantization —

@@ -61,6 +61,12 @@ class PlanSpec extends SparkSuite {
     // `query_id != neighbor_id`. O(n·queries) with a constant query set;
     // the documented baseline posture, not an accident.
     "an02_cosine_topk_ivf", "an11_opq_recall",
+    // an13: the same bounded ≤10-query frame theta-joined against the
+    // corpus (fresh pqTopK/opqTopK) and against the persisted CODES
+    // table (pqTopKWithIndex/opqTopKWithIndex) — O(n·queries) both ways,
+    // the exhaustive-PQ posture an04 certifies (IVF·PQ is the
+    // candidate-cutting tier).
+    "an13_pq_index_persistence",
     "q26_market_basket",
     "sk05_hll_intersection", "q33_range_partition_plan",
     "dd10_embdup_recall", "dd11_semantic_keepers",
@@ -355,7 +361,7 @@ class PlanSpec extends SparkSuite {
     "an01_cosine_topk_brute", "an02_cosine_topk_ivf", "an03_ivf_recall",
     "an04_pq_recall", "an05_ivfpq_recall", "an06_jaccard_topk",
     "an07_filtered_topk", "an09_sq8_recall", "an10_maxsim_topk",
-    "an11_opq_recall", "an12_index_persistence",
+    "an11_opq_recall", "an12_index_persistence", "an13_pq_index_persistence",
     "ev17_rolling_actives",
     "q03_revenue_by_segment", "q20_outer_join", "q24_dict_encode",
     "q33_range_partition_plan",
