@@ -1803,6 +1803,82 @@ object StreamQueries {
         .orderBy($"day", $"event_type")
     },
 
+    // TIME-TRAVEL read over the versioned-snapshot artifact (st38) —
+    // st36 gave the family retention; this closes the lakehouse loop
+    // with the AS-OF read (VersionedSnapshot.readAt): the st15-shaped
+    // incremental view is maintained across the four content-addressed
+    // md5-quarter chunks (st19's fixture — membership is a pure function
+    // of event_id, so DuckDB REPLAYS the prefix), every batch publishes
+    // its version, and the certified result is readAt(version 1) — the
+    // 2-batch prefix state, NOT the final view. The oracle recomputes
+    // the same aggregate over exactly the rows with md5 prefix < '80'
+    // (chunks 0+1). Cert bits:
+    //  - versions_ok: the replay committed versions 0..3 and all four
+    //    remain readable (no retention ran — time travel's precondition);
+    //  - immutable_ok: v1's content digest taken the moment batch 1
+    //    published equals its digest after batches 2 and 3 committed —
+    //    a reader pinned to an old version is undisturbed by later
+    //    publishes (the AS-OF contract st36's retention row left open).
+    "st38_time_travel_read" -> { (s, dir) =>
+      import s.implicits._
+      import graft.stream.VersionedSnapshot
+      val scratch = ensureLateChunks(s, dir)
+      val raw = StructType(Schemas.events.map {
+        case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
+        case f => f
+      })
+      val replay = s.readStream.schema(raw)
+        .option("maxFilesPerTrigger", 1).parquet(scratch)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val base = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
+        "ttravel-").toString
+      graft.stream.StreamRunner.deleteOnExit(base)
+      def digest(df: DataFrame): (Long, java.math.BigDecimal) = {
+        val r = df.agg(count(lit(1)),
+          sum(xxhash64(struct(df.columns.map(col): _*))
+            .cast("decimal(38,0)"))).head()
+        (r.getLong(0), r.getDecimal(1))
+      }
+      val v1AtCommit =
+        new java.util.concurrent.atomic.AtomicReference[(Long, java.math.BigDecimal)]()
+      val lastVersion = new java.util.concurrent.atomic.AtomicLong(-1L)
+      graft.stream.StreamRunner.pinnedStatePartitions(s) {
+        val q = replay.writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val s2 = batch.sparkSession
+            val delta = batch
+              .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+              .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+            val prev = lastVersion.get()
+            val merged =
+              if (prev < 0) delta
+              else s2.read.parquet(VersionedSnapshot.dir(base, prev))
+                .unionByName(delta)
+                .groupBy(col("day"), col("event_type"))
+                .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+            VersionedSnapshot.publish(merged, base, id)
+            lastVersion.set(id)
+            if (id == 1L)
+              v1AtCommit.set(digest(VersionedSnapshot.read(s2, base, 1L)))
+          }
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val ids = VersionedSnapshot.versionIds(s, base)
+      val versionsOk = ids == Seq(0L, 1L, 2L, 3L)
+      val asOf = VersionedSnapshot.readAt(s, base, 1L)
+      val immutableOk = Option(v1AtCommit.get()).contains(digest(asOf))
+      asOf.select(date_format($"day", "yyyy-MM-dd").as("day"), $"event_type",
+          $"n", ($"sum_cents" / 100.0).as("sum_value"),
+          lit(if (versionsOk) 1L else 0L).as("versions_ok"),
+          lit(if (immutableOk) 1L else 0L).as("immutable_ok"))
+        .orderBy($"day", $"event_type")
+    },
+
     "st12_stream_hll_window" -> { (s, dir) =>
       import s.implicits._
       val (finals, _) = windowedSketchReplay(s, dir, nFiles = 3)
@@ -2852,6 +2928,22 @@ object StreamQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n,
          |  ${sqlSumMoney("value")} AS sum_value
          |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY day, event_type""".stripMargin,
+
+    // The 2-batch-PREFIX view: readAt(version 1) must equal the same
+    // aggregate over exactly the rows of md5-quarter chunks 0 and 1
+    // (prefix < '80' — st19's content-addressed membership rule,
+    // replayed verbatim), never the full-stream view. The two cert bits
+    // are the constant-oracle part (see the st38 entry).
+    "st38_time_travel_read" ->
+      s"""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${sqlSumMoney("value")} AS sum_value,
+         |  CAST(1 AS BIGINT) AS versions_ok,
+         |  CAST(1 AS BIGINT) AS immutable_ok
+         |FROM events
+         |WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 2) < '80'
          |GROUP BY 1, 2
          |ORDER BY day, event_type""".stripMargin,
 

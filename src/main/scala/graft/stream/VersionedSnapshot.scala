@@ -101,6 +101,23 @@ object VersionedSnapshot {
   def read(spark: SparkSession, base: String, id: Long): DataFrame =
     spark.read.parquet(dir(base, id))
 
+  /** TIME-TRAVEL read: the artifact AS OF version `id` — for a per-batch
+    * publisher, exactly the state after the batch that committed `id`
+    * (the k-batch prefix of the stream). Committed versions are
+    * immutable, so the returned frame is byte-stable no matter how many
+    * later versions publish while it is read (st38 certifies readAt ≡
+    * an independent prefix replay; SnapshotSpec pins the immutability).
+    * Fails fast, naming the available ids, when `id` was never committed
+    * or [[retain]] pruned it — the Delta/Iceberg AS-OF contract: time
+    * travel reaches exactly as far back as retention keeps. */
+  def readAt(spark: SparkSession, base: String, id: Long): DataFrame = {
+    val ids = versionIds(spark, base)
+    require(ids.contains(id),
+      s"version $id is not readable (committed: ${ids.mkString(", ")}) — " +
+        "never published, or pruned by retention")
+    read(spark, base, id)
+  }
+
   /** Delete all but the newest `keep` committed versions (and any stale
     * `_staging` leftovers older than the survivors). Returns the ids
     * deleted. Crash-safe: snapshots are self-contained and retention

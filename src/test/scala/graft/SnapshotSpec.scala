@@ -64,6 +64,32 @@ class SnapshotSpec extends SparkSuite {
       "race repair must keep the winner's committed snapshot untouched")
   }
 
+  test("readAt: immutable under later publishes, and pruned versions fail fast") {
+    val s = spark
+    import s.implicits._
+    val base = tmp("snap-asof-")
+    for (i <- 0L until 3L)
+      VersionedSnapshot.publish(Seq((i, s"s$i")).toDF("k", "v"), base, i)
+    // pin v1, then publish two more versions while it is held
+    val pinned = VersionedSnapshot.readAt(s, base, 1L)
+    val before = pinned.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    for (i <- 3L until 5L)
+      VersionedSnapshot.publish(Seq((i, s"s$i")).toDF("k", "v"), base, i)
+    assert(VersionedSnapshot.readAt(s, base, 1L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == before,
+      "an AS-OF read changed while later versions published")
+    assert(pinned.collect().map(r => (r.getLong(0), r.getString(1))).toSeq == before,
+      "the held frame re-read different bytes — committed versions must be immutable")
+    // retention prunes v0/v1; time travel past the horizon must fail
+    // fast naming the committed ids, not silently read junk
+    VersionedSnapshot.retain(s, base, keep = 3)
+    val e = intercept[IllegalArgumentException](VersionedSnapshot.readAt(s, base, 1L))
+    assert(e.getMessage.contains("2, 3, 4"),
+      s"readAt error must name the readable ids, got: ${e.getMessage}")
+    assert(VersionedSnapshot.readAt(s, base, 4L).collect().map(_.getLong(0)).toSeq
+      == Seq(4L))
+  }
+
   test("retain keeps the newest k, deletes the rest, and converges after a crash") {
     val s = spark
     import s.implicits._
