@@ -1440,6 +1440,71 @@ object StreamQueries {
         .orderBy($"doc_id")
     },
 
+    // LIVE TOMBSTONES in the compacting ingest stream (st39) — dd21's
+    // takedown op composed into st37's LSM loop: deletion requests
+    // arrive MID-STREAM (after batch 0 commits, targeting
+    // already-ingested chunk-0 docs), every later batch's probe sees the
+    // tombstoned docs as gone immediately (all three history reads —
+    // band index, id-keyed digest index, partner corpus — anti-join the
+    // tombstone artifact: logical deletion, no rewrite), and the
+    // PHYSICAL purge rides the next auto-compaction fold each artifact
+    // was going to pay for anyway (batch 1's policy folds, which all
+    // four sinks deterministically trigger). The tombstone set is
+    // data-derived so deletion does real work wherever the corpus
+    // allows: every 5th chunk-0 doc PLUS any chunk-0 doc sharing an
+    // exact digest with a later-chunk doc — exactly the docs whose
+    // removal flips a batch-1/2 verdict; n_tombstones is
+    // oracle-recomputed so vacuosity would be visible. The keeper set is
+    // read back RAW (no logical filter), so the oracle compare itself
+    // certifies both deletion halves; the bits pin that ≥4 purge-bearing
+    // folds fired mid-stream and that no artifact — bands, digests,
+    // corpus, keepers — physically holds a tombstoned row afterwards.
+    "st39_stream_tombstone_takedown" -> { (s, dir) =>
+      import s.implicits._
+      val scratch = ensureDocChunks(s, dir, 3)
+      val base = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
+        "lshtomb-").toString
+      graft.stream.StreamRunner.deleteOnExit(base)
+      val tombDir = s"$base/tombstones"
+      def writeTombstones(s2: org.apache.spark.sql.SparkSession): Unit = {
+        val d = Tables.documents(s2, dir)
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("h"),
+            (col("doc_id") % 3).as("ck"))
+        val laterH = d.filter(col("ck") > 0).select(col("h")).distinct()
+        d.filter(col("ck") === 0)
+          .join(laterH, Seq("h"), "left_semi").select(col("doc_id"))
+          .unionByName(d.filter(col("ck") === 0 && col("doc_id") % 5 === 0)
+            .select(col("doc_id")))
+          .distinct().select(col("doc_id").as("tid"))
+          .coalesce(1).write.mode("overwrite").parquet(tombDir)
+      }
+      val folds = runLshDedupStream(s, scratch, base, maxHot = Some(1),
+        tombstoneDir = Some(tombDir),
+        afterBatch = (s2, id) => if (id == 0L) writeTombstones(s2))
+      val tomb = s.read.parquet(tombDir).localCheckpoint()
+      val nTomb = tomb.count()
+      // bytes provably gone: every artifact's reader view (hot + cold,
+      // manifest-resolved — the actual surviving files), no logical
+      // filter applied; all four key columns audited in ONE action
+      val leaks = graft.stream.IdempotentSink
+        .readRouted(s, s"$base/bands", "band_bucket").get
+        .select($"id".as("k"))
+        .unionByName(graft.stream.IdempotentSink.read(s, s"$base/digests")
+          .select($"id".as("k")))
+        .unionByName(graft.stream.IdempotentSink.read(s, s"$base/corpus")
+          .select($"doc_id".as("k")))
+        .unionByName(graft.stream.IdempotentSink.read(s, s"$base/keepers")
+          .select($"doc_id".as("k")))
+        .join(tomb, $"k" === tomb("tid"), "left_semi").count()
+      graft.stream.IdempotentSink.read(s, s"$base/keepers")
+        .select($"doc_id", $"n_chars",
+          lit(nTomb).as("n_tombstones"),
+          lit(if (folds >= 4) 1L else 0L).as("purge_folds_ok"),
+          lit(if (leaks == 0L) 1L else 0L).as("purged_ok"))
+        .orderBy($"doc_id")
+    },
+
     // STREAMING VECTOR SEARCH against the PERSISTED IVF index — an12's
     // restart artifact serving a QUERY STREAM (nearline retrieval:
     // embeddings of newly arrived items looked up against the corpus as
@@ -2194,9 +2259,20 @@ object StreamQueries {
     * stop -> compact -> resume boundary (StreamSpec pins the keeper set
     * unchanged when the accumulated index artifacts are compacted
     * mid-stream). Directory layout under `base`: bands (routed
-    * per-bucket), digests, corpus, keepers (flat idempotent sinks). */
+    * per-bucket), digests, corpus, keepers (flat idempotent sinks) —
+    * every artifact ID-KEYED (the digests sink carries (id, h), not
+    * distinct h), because a deletable index must be able to subtract one
+    * document (dd21's rule; st39 exercises it live).
+    *
+    * `tombstones` is the live-takedown hook (st39): a (tid) frame of
+    * doc ids whose deletion requests have arrived. Every HISTORY read —
+    * band index, digest index, partner corpus — anti-joins it, so a
+    * tombstoned document stops influencing verdicts from the next batch
+    * on (logical deletion, effective immediately); the physical purge
+    * rides the next policy fold in [[runLshDedupStream]]. */
   private[graft] def lshIngestBatch(b0: DataFrame, batchId: Long,
-                                    base: String): Unit = {
+                                    base: String,
+                                    tombstones: Option[DataFrame] = None): Unit = {
     val (bandsDir, digestsDir, corpusDir, sinkDir) =
       (s"$base/bands", s"$base/digests", s"$base/corpus", s"$base/keepers")
     val s2 = b0.sparkSession
@@ -2206,6 +2282,11 @@ object StreamQueries {
     try {
       def have(p: String) = new java.io.File(p).exists()
       def rd(p: String) = graft.stream.IdempotentSink.read(s2, p)
+      // live-history view: drop rows of tombstoned docs at read (the
+      // logical half of a takedown; `keyCol` is each artifact's id)
+      def live(df: DataFrame, keyCol: String): DataFrame =
+        tombstones.fold(df)(t =>
+          df.join(t, df(keyCol) === t("tid"), "left_anti"))
       val withH = batch.withColumn("h", md5($"text".cast("binary")))
       // exact rule: dup of any earlier arrival — index digests
       // cover earlier batches, the window covers earlier in-batch
@@ -2215,7 +2296,8 @@ object StreamQueries {
         .filter($"rn" > 1).select($"doc_id")
       val dropExactHist =
         if (have(digestsDir))
-          withH.join(rd(digestsDir), Seq("h"), "left_semi").select($"doc_id")
+          withH.join(live(rd(digestsDir), "id"), Seq("h"), "left_semi")
+            .select($"doc_id")
         else Seq.empty[Long].toDF("doc_id")
       // near rule: band buckets union index rows with fresh rows —
       // identical bucket membership to a full-corpus run. The
@@ -2242,9 +2324,9 @@ object StreamQueries {
       // batches) behind a band_bucket PARTITION filter: the
       // manifest-aware reader keeps the bucket-skip property across
       // compactions
-      val bands = graft.stream.IdempotentSink.readRouted(s2, bandsDir,
+      val bands = live(graft.stream.IdempotentSink.readRouted(s2, bandsDir,
           "band_bucket", Some(freshBuckets.map(_.toString)))
-        .getOrElse(Seq.empty[(Long, Long)].toDF("id", "band"))
+        .getOrElse(Seq.empty[(Long, Long)].toDF("id", "band")), "id")
       // The digest semi join and the partner-text fetch ride
       // stats-based broadcast at this SF; the regimes past the
       // broadcast budget are already built and pinned elsewhere —
@@ -2252,7 +2334,7 @@ object StreamQueries {
       // bucketed point-lookup loader (Dedup.minHashDupPairsWithIndex
       // `historyFor`, DedupSpec-pinned) for the corpus text.
       val history =
-        if (have(corpusDir)) rd(corpusDir)
+        if (have(corpusDir)) live(rd(corpusDir), "doc_id")
         else Seq.empty[(Long, String)].toDF("doc_id", "text")
       val pairs = graft.ops.Dedup.minHashDupPairsWithIndex(
           batch, bands, history, "doc_id", "text",
@@ -2283,8 +2365,11 @@ object StreamQueries {
         newBands.withColumn("band_bucket",
           graft.ops.Dedup.bandBucket($"band")),
         bandsDir, "band_bucket", batchId)
+      // ID-KEYED digests (one row per arrival, not distinct h): the
+      // deletable layout — a takedown can subtract one document's row
+      // without losing a digest another live document still carries
       graft.stream.IdempotentSink.writeBatch(
-        withH.select($"h").distinct(), digestsDir, batchId)
+        withH.select($"doc_id".as("id"), $"h"), digestsDir, batchId)
       graft.stream.IdempotentSink.writeBatch(
         batch.select($"doc_id", $"text"), corpusDir, batchId)
     } finally {
@@ -2381,27 +2466,50 @@ object StreamQueries {
     * Returns the number of folds that fired (0 when `maxHot` is None). */
   private[graft] def runLshDedupStream(s: org.apache.spark.sql.SparkSession,
                                        scratch: String, base: String,
-                                       maxHot: Option[Int] = None): Int = {
+                                       maxHot: Option[Int] = None,
+                                       tombstoneDir: Option[String] = None,
+                                       afterBatch: (org.apache.spark.sql.SparkSession, Long) => Unit
+                                         = (_, _) => ()): Int = {
     val folds = new java.util.concurrent.atomic.AtomicInteger(0)
     val stream = s.readStream.schema(Schemas.documents)
       .option("maxFilesPerTrigger", 1).parquet(scratch)
+    // the keeper sink and the per-artifact id column of every purgeable
+    // artifact — a takedown must delete the doc EVERYWHERE (bands and
+    // digests key their rows as `id`, corpus and keepers as `doc_id`)
+    val purgeKey = Map("bands" -> "id", "digests" -> "id",
+      "corpus" -> "doc_id", "keepers" -> "doc_id")
     val q = stream.writeStream
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b0: DataFrame, batchId: Long) =>
-        lshIngestBatch(b0, batchId, base)
+        val s2 = b0.sparkSession
+        // takedown requests arrive as a tiny persisted artifact; read it
+        // at batch start so this batch's verdicts already see the
+        // tombstoned docs as gone (logical deletion, no rewrite yet)
+        val tomb = tombstoneDir
+          .filter(d => new java.io.File(d).exists())
+          .map(d => s2.read.parquet(d))
+        lshIngestBatch(b0, batchId, base, tomb)
         maxHot.foreach { h =>
-          val s2 = b0.sparkSession
           import graft.stream.IdempotentSink._
+          // pending tombstones ride whatever policy fold fires anyway —
+          // the dd21 posture: physical-at-compaction, never a dedicated
+          // rewrite per takedown
+          def purgeFor(d: String): Option[DataFrame => DataFrame] =
+            tomb.map(t => df => df.join(t, df(purgeKey(d)) === t("tid"),
+              "left_anti"))
           if (maybeCompactRouted(s2, s"$base/bands", "band_bucket",
             maxHot = h * graft.ops.Dedup.BandBuckets,
-            shufflePartitions = graft.ops.Dedup.BandBuckets))
+            shufflePartitions = graft.ops.Dedup.BandBuckets,
+            purge = purgeFor("bands")))
             folds.incrementAndGet(): Unit
           Seq("digests", "corpus", "keepers").foreach { d =>
-            if (maybeCompact(s2, s"$base/$d", maxHot = h))
+            if (maybeCompact(s2, s"$base/$d", maxHot = h,
+              purge = purgeFor(d)))
               folds.incrementAndGet(): Unit
           }
         }
+        afterBatch(s2, batchId)
       }
       .start()
     q.awaitTermination()
@@ -2692,6 +2800,62 @@ object StreamQueries {
         |       CAST(1 AS BIGINT) AS one_cold_run_ok
         |FROM d
         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
+
+    // st29's sequential replay with the takedown folded into the drop
+    // rules: after batch 0, tombstoned chunk-0 docs (every 5th + exact
+    // twins of later-chunk docs) stop being drop PARTNERS for batches
+    // 1/2 (the b.ck = 0 branch keeps batch 0's pre-arrival verdicts
+    // immutable), and are removed from the final keeper set themselves.
+    // n_tombstones is recomputed from the same rule; the two maintenance
+    // bits are the constant-oracle part (see the st39 entry).
+    "st39_stream_tombstone_takedown" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(t) < 3
+        |           THEN [array_to_string(t, ' ')]
+        |           ELSE list_transform(generate_series(1, len(t) - 2),
+        |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |         END) AS shingles
+        |  FROM toks),
+        |post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |         FROM post l JOIN post r ON l.shingle = r.shingle
+        |                                AND l.doc_id < r.doc_id),
+        |pairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+        |  WHERE len(list_intersect(a.shingles, b.shingles))
+        |        / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
+        |und AS (SELECT id_a, id_b FROM pairs
+        |        UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs),
+        |d AS (SELECT doc_id, n_chars, md5(text) AS h, doc_id % 3 AS ck
+        |      FROM documents),
+        |t AS (SELECT doc_id FROM d
+        |      WHERE ck = 0 AND (doc_id % 5 = 0
+        |         OR h IN (SELECT h FROM d WHERE ck > 0))),
+        |drop_exact AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM d b JOIN d p ON p.h = b.h
+        |   AND (p.ck < b.ck OR (p.ck = b.ck AND p.doc_id < b.doc_id))
+        |  WHERE b.ck = 0 OR p.doc_id NOT IN (SELECT doc_id FROM t)),
+        |drop_near AS (
+        |  SELECT DISTINCT u.id_b AS doc_id
+        |  FROM und u
+        |  JOIN d b ON u.id_b = b.doc_id
+        |  JOIN d p ON u.id_a = p.doc_id
+        |  WHERE (p.ck < b.ck OR (p.ck = b.ck AND u.id_a < u.id_b))
+        |    AND (b.ck = 0 OR u.id_a NOT IN (SELECT doc_id FROM t))),
+        |dropped AS (SELECT doc_id FROM drop_exact
+        |            UNION SELECT doc_id FROM drop_near)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |       CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS n_tombstones,
+        |       CAST(1 AS BIGINT) AS purge_folds_ok,
+        |       CAST(1 AS BIGINT) AS purged_ok
+        |FROM d
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |  AND doc_id NOT IN (SELECT doc_id FROM t)
         |ORDER BY doc_id""".stripMargin,
 
     // exact per-day counts + interpolated percentiles (the sk02

@@ -292,27 +292,33 @@ object IdempotentSink {
     * fold rewrites the cold run (full-compaction write amplification:
     * the artifact is rewritten once per `maxHot` batches — size `maxHot`
     * to the artifact's scale, small for view-sized sinks, large for
-    * corpus-sized ones). Returns true when a fold ran. */
+    * corpus-sized ones). `purge` composes a tombstone filter into the
+    * NEXT policy fold (the dd21 posture: a pending takedown stays
+    * logical — reader-side anti-join — until a fold the artifact was
+    * going to pay for anyway makes it physical; it never forces its own
+    * rewrite). Returns true when a fold ran. */
   def maybeCompact(spark: SparkSession, dir: String, maxHot: Int,
-                   targetFiles: Int = 1): Boolean = {
+                   targetFiles: Int = 1,
+                   purge: Option[DataFrame => DataFrame] = None): Boolean = {
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return false
     val (_, _, paths) = visibleFlat(fs, base)
     if (paths.count(p => isGenDir(p.getName, 'b')) <= maxHot) false
-    else compact(spark, dir, targetFiles)
+    else compact(spark, dir, targetFiles, purge)
   }
 
   /** [[maybeCompact]]'s routed twin: fold when the visible hot `b<id>`
     * directories summed over all routes exceed `maxHot`. */
   def maybeCompactRouted(spark: SparkSession, baseDir: String, routeCol: String,
-                         maxHot: Int, shufflePartitions: Int = 16): Boolean = {
+                         maxHot: Int, shufflePartitions: Int = 16,
+                         purge: Option[DataFrame => DataFrame] = None): Boolean = {
     val base = new Path(baseDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return false
     val (_, consumed) = manifest(fs, base)
     if (hotRouted(fs, base, consumed).size <= maxHot) false
-    else compactRouted(spark, baseDir, routeCol, shufflePartitions)
+    else compactRouted(spark, baseDir, routeCol, shufflePartitions, purge)
   }
 
   /** Visible (unconsumed) hot batch directories of a routed base, as
