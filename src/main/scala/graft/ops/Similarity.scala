@@ -106,6 +106,30 @@ object Similarity {
       .select(col("id").as("id_a"), col("id_b"))
   }
 
+  /** [[allPairsCosine]] restricted to pairs touching a PROBE subset —
+    * the sampled recall-cert regime for corpora past the full-cert
+    * budget (the caveat on [[allPairsCosine]] made executable):
+    * O(n·|probe|) with the probe side broadcast, never O(n²). Every
+    * returned pair has ≥1 endpoint in `probeIds`, so for any doc IN the
+    * probe set its full exact pair neighborhood is present — drop-side
+    * membership restricted to the probe set is decided exactly, and a
+    * recall measured over those drops is an unbiased estimate of the
+    * full-corpus recall when the probe set is a deterministic hash
+    * sample (st35's scale-cell cert mode). */
+  def allPairsCosineProbed(corpus: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, probeIds: DataFrame): DataFrame = {
+    val c = nonZeroNorm(corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      .withColumn("vnorm", norm(col("vec"))), "vnorm")
+    val probe = c.join(probeIds.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .select(col("id").as("id_p"), col("vec").as("pvec"), col("vnorm").as("pnorm"))
+    c.join(broadcast(probe), col("id") =!= col("id_p"))
+      .filter(dot(col("vec"), col("pvec")) / (col("vnorm") * col("pnorm"))
+        >= threshold)
+      .select(least(col("id"), col("id_p")).as("id_a"),
+        greatest(col("id"), col("id_p")).as("id_b"))
+      .distinct()
+  }
+
   // ---------------------------------------------------------------- IVF —
 
   /** Memoized coarse quantizers: one index build per (corpus key, cells,
@@ -230,7 +254,15 @@ object Similarity {
     * ≈ maxCell/4, clamped to [16, [[QuantizerSampleCap]]/4] (a quantizer
     * can't have more centroids than its training sample). Reads the scan's
     * row-count statistic; falls back to a count only when stats are
-    * unavailable. */
+    * unavailable.
+    *
+    * Under multi-probe assignment (st35: nProbe cells per vector) the
+    * buckets see nProbe·n rows, so the mean PROBE-cell sits at
+    * nProbe·maxCell/4 — at the cap when nProbe=4. Sizing cells up to
+    * compensate was measured WORSE at 16× (the assignment expression is
+    * a literal candidate cascade, cost ∝ nCells·dim per row: 500 cells
+    * more than doubled the cell), so the n-based sizing stands and the
+    * cap remains the documented skew guard. */
   private val cellCounts = new ConcurrentHashMap[String, Int]()
 
   def autoCells(corpus: DataFrame, maxCell: Int = 256,

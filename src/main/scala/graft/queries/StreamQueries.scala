@@ -1707,6 +1707,16 @@ object StreamQueries {
     //    tradeoff. The inline O(n²) exact replay exists only to measure
     //    it, the dd10/dd11/dd19 whitelisted ground-truth posture — the
     //    production path never runs all-pairs).
+    // CERT SAMPLING past the full-cert budget (the r18 scale cells
+    // measured the CERT, not the operator — 16× ratio 5.6 was all
+    // all-pairs): above CertFullMax corpus rows the subset/recall certs
+    // run over the 1024 content-hash-smallest vec_ids — exact pair
+    // neighborhoods for every probed doc via allPairsCosineProbed
+    // (O(n·1024), probe side broadcast), drop-side membership decided
+    // exactly, recall estimated over ~1024 deterministic probes. Driver
+    // SFs (≤ 2000 rows) keep the full cert, so the DuckDB oracle's
+    // n_exact_drops is always the full-corpus number where the oracle
+    // actually runs.
     "st35_stream_semantic_dedup" -> { (s, dir) =>
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
@@ -1739,10 +1749,23 @@ object StreamQueries {
         .agg(sum(when($"s".isNull || $"o".isNull, 1L).otherwise(0L)).as("nd"))
         .select(when(coalesce($"nd", lit(0L)) === 0, 1L).otherwise(0L)
           .as("stream_one_shot_equal"))
-      val exactDrops = dropsOf(graft.ops.Similarity.allPairsCosine(
-        emb, "vec_id", "embedding", SemDedupThreshold)).localCheckpoint()
-      val streamedDrops = corpusIds
-        .join(streamedKeepers, Seq("vec_id"), "left_anti")
+      val CertFullMax = 4096L
+      val certIds: Option[DataFrame] =
+        if (emb.count() <= CertFullMax) None
+        else Some(emb.select($"vec_id")
+          .orderBy(xxhash64($"vec_id"), $"vec_id").limit(1024)
+          .localCheckpoint())
+      val exactPairs = certIds match {
+        case None => graft.ops.Similarity.allPairsCosine(
+          emb, "vec_id", "embedding", SemDedupThreshold)
+        case Some(ids) => graft.ops.Similarity.allPairsCosineProbed(
+          emb, "vec_id", "embedding", SemDedupThreshold, ids)
+      }
+      def probed(df: DataFrame) =
+        certIds.fold(df)(ids => df.join(ids, Seq("vec_id"), "left_semi"))
+      val exactDrops = probed(dropsOf(exactPairs)).localCheckpoint()
+      val streamedDrops = probed(corpusIds
+        .join(streamedKeepers, Seq("vec_id"), "left_anti"))
       val subsetOk = streamedDrops.join(exactDrops, Seq("vec_id"), "left_anti")
         .agg(when(count(lit(1)) === 0, 1L).otherwise(0L).as("drops_subset_ok"))
       // |streamed|/|exact| is the recall ONLY under the subset bit above;
