@@ -2452,8 +2452,12 @@ object StreamQueries {
       val keepers = b0.select($"vec_id")
         .join(drops, Seq("vec_id"), "left_anti")
       graft.stream.IdempotentSink.writeBatch(keepers, keepersDir, batchId)
+      // onePerRoute: the cell index has O(corpus/maxCell) routes (125 at
+      // the 16× cell) — unhashed, every task writes a footer per route
+      // it holds and the append was the dominant cost of the 16× cell
       graft.stream.IdempotentSink.writeRoutedBatch(
-        fresh.withColumn("cell_route", $"cell"), idxDir, "cell_route", batchId)
+        fresh.withColumn("cell_route", $"cell"), idxDir, "cell_route", batchId,
+        onePerRoute = true)
     } finally fresh.unpersist(): Unit
   }
 

@@ -63,9 +63,23 @@ object IdempotentSink {
     * write per route — N source scans, N jobs), then one atomic directory
     * rename per populated route, committing `baseDir/<route>/b<batchId>`.
     * Routes absent from the batch produce no directory — their sinks
-    * simply gain nothing this batch. */
+    * simply gain nothing this batch.
+    *
+    * `onePerRoute` repartitions BY ROUTE before the dynamic-partition
+    * write: without it every task writes one file per route it happens
+    * to hold — tasks × routes small files per batch, measured as the
+    * DOMINANT cost of the st35 16× cell (32 tasks × 125 cell-routes ≈
+    * 4000 footers staged, renamed, then re-listed by every later probe).
+    * Hashed by route the batch lands as ONE file per populated route no
+    * matter the task count — the same bound compactRouted restores for
+    * the cold run. It is OPT-IN because the added exchange is a per-batch
+    * tax: a many-tiny-batch sink with a handful of routes (st03's 3-way
+    * fan-out, ~0.2-0.5 s × every batch — measured 3.5 → 8.2 s when it
+    * was unconditional) pays far more in shuffles than it saves in
+    * footers. Turn it on when routes × tasks is large (the 100+-route
+    * index appends); leave it off for low-arity fan-outs. */
   def writeRoutedBatch(classified: DataFrame, baseDir: String, routeCol: String,
-                       batchId: Long): Unit = {
+                       batchId: Long, onePerRoute: Boolean = false): Unit = {
     val base = new Path(baseDir)
     val fs = base.getFileSystem(classified.sparkSession.sparkContext.hadoopConfiguration)
     // A single route directory existing is NOT proof the whole batch
@@ -77,17 +91,10 @@ object IdempotentSink {
     val done = new Path(base, s"_committed/b$batchId")
     if (fs.exists(done)) { materialize(classified); return } // see writeBatch
     val stage = new Path(base, s"_staging/b$batchId")
-    // repartition BY ROUTE before the dynamic-partition write: without
-    // it every task writes one file per route it happens to hold —
-    // tasks × routes small files per batch (measured as the dominant
-    // cost of the st35 16× cell: 32 tasks × 125 cell-routes ≈ 4000
-    // footers staged, renamed, then re-listed by every later probe).
-    // Hashed by route, the batch lands as ONE file per populated route
-    // no matter the task count — the same bound compactRouted restores
-    // for the cold run.
     import org.apache.spark.sql.functions.col
-    classified.repartition(col(routeCol))
-      .write.mode("overwrite").partitionBy(routeCol).parquet(stage.toString)
+    val staged0 =
+      if (onePerRoute) classified.repartition(col(routeCol)) else classified
+    staged0.write.mode("overwrite").partitionBy(routeCol).parquet(stage.toString)
     fs.listStatus(stage)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$routeCol="))
       .foreach { st =>
