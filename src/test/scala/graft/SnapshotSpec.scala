@@ -130,4 +130,81 @@ class SnapshotSpec extends SparkSuite {
     assert(VersionedSnapshot.versionIds(s, baseK).length <= 2)
     assert(VersionedSnapshot.versionIds(s, baseF).length == lastF.toInt + 1)
   }
+
+  test("lost-race junk is repaired on READ — no retry needed, winner intact") {
+    val s = spark
+    import s.implicits._
+    val base = tmp("snap-readheal-")
+    VersionedSnapshot.publish(Seq((1L, "winner")).toDF("k", "v"), base, 0L)
+    // the loser's footprint under the committed dir, loser never retries
+    Seq((666L, "loser")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$base/v0/v0")
+    assert(new java.io.File(s"$base/v0/v0").exists())
+    assert(VersionedSnapshot.readAt(s, base, 0L).collect()
+      .map(_.getString(1)).toSeq == Seq("winner"),
+      "read must heal nested race junk and serve the winner's snapshot")
+    assert(!new java.io.File(s"$base/v0/v0").exists(),
+      "nested race junk survived the read-side repair")
+  }
+
+  test("publish leaves no staging residue (per-attempt dirs are cleaned)") {
+    val s = spark
+    import s.implicits._
+    val base = tmp("snap-stage-")
+    for (i <- 0L until 2L)
+      VersionedSnapshot.publish(Seq((i, s"s$i")).toDF("k", "v"), base, i)
+    // a committed-version retry (staged then discarded) also cleans up
+    VersionedSnapshot.publish(Seq((9L, "retry")).toDF("k", "v"), base, 1L)
+    val staging = new java.io.File(s"$base/_staging")
+    val leftovers = Option(staging.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    assert(leftovers.isEmpty, s"staging residue: ${leftovers.map(_.getName)}")
+  }
+
+  test("readChanges: genesis ≡ readAt(latest), append-only delta is exactly the appended batches") {
+    val s = spark
+    import s.implicits._
+    val base = tmp("snap-cdc-")
+    // append-only per-batch publisher: version k = batches 0..k unioned
+    def rowsOf(b: Long) = Seq((b * 10L, s"b$b"), (b * 10L + 1, s"b$b"))
+    var acc = Seq.empty[(Long, String)]
+    for (b <- 0L until 3L) {
+      acc = acc ++ rowsOf(b)
+      VersionedSnapshot.publish(acc.toDF("k", "v"), base, b)
+    }
+    def collected(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // genesis diff: every row of the latest snapshot, all inserts
+    val genesis = collected(VersionedSnapshot.readChanges(
+      s, base, VersionedSnapshot.Genesis, 2L))
+    assert(genesis == acc.map { case (k, v) => (k, v, "insert") }.toSet)
+    // version-to-version diff on the append-only publisher: exactly
+    // batches from+1..to, no deletes
+    val delta = collected(VersionedSnapshot.readChanges(s, base, 0L, 2L))
+    assert(delta == (rowsOf(1L) ++ rowsOf(2L))
+      .map { case (k, v) => (k, v, "insert") }.toSet)
+  }
+
+  test("readChanges: an update surfaces as its delete+insert pair; pruned endpoints fail fast") {
+    val s = spark
+    import s.implicits._
+    val base = tmp("snap-cdc2-")
+    VersionedSnapshot.publish(Seq((1L, "old"), (2L, "same")).toDF("k", "v"), base, 0L)
+    VersionedSnapshot.publish(Seq((1L, "new"), (2L, "same")).toDF("k", "v"), base, 1L)
+    val ch = VersionedSnapshot.readChanges(s, base, 0L, 1L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(ch == Set((1L, "old", "delete"), (1L, "new", "insert")),
+      s"update must be a delete+insert pair, got $ch")
+    // degenerate/invalid ranges rejected up front
+    intercept[IllegalArgumentException] {
+      VersionedSnapshot.readChanges(s, base, 1L, 1L)
+    }: Unit
+    // retention prunes CDC reach together with time travel
+    VersionedSnapshot.publish(Seq((3L, "x")).toDF("k", "v"), base, 2L)
+    VersionedSnapshot.retain(s, base, keep = 2)
+    val e = intercept[IllegalArgumentException] {
+      VersionedSnapshot.readChanges(s, base, 0L, 2L)
+    }
+    assert(e.getMessage.contains("1, 2"),
+      s"pruned from-endpoint must fail fast naming committed ids: ${e.getMessage}")
+  }
 }
