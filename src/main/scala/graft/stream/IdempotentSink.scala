@@ -269,10 +269,14 @@ object IdempotentSink {
     * directories are immutable — logical-now, physical-at-compaction.
     *
     * Returns true iff a fold COMMITTED — the caller's signal that a
-    * requested purge physically landed. A single visible run no-ops only
-    * when no purge was requested: a purge always "would shrink", so a
-    * takedown against an already-compacted artifact still rewrites it
-    * (the bytes must be provably gone, not merely tombstoned forever). */
+    * requested purge physically landed. A single visible run no-ops when
+    * no purge was requested, or when the requested purge is VACUOUS —
+    * the tombstone set matches zero artifact rows, checked by two counts
+    * over the single run (key-pruned scans, far cheaper than the rewrite
+    * they skip) — in both cases false truthfully means the artifact
+    * already physically satisfies the request. A purge that matches rows
+    * still folds even a single run (the bytes must be provably gone, not
+    * merely tombstoned forever). */
   def compact(spark: SparkSession, dir: String, targetFiles: Int = 1,
               purge: Option[DataFrame => DataFrame] = None): Boolean = {
     val base = new Path(dir)
@@ -282,10 +286,17 @@ object IdempotentSink {
     val (g, consumed, paths) = visibleFlat(fs, base)
     // nothing to fold: empty sink, or one run and no purge requested
     if (paths.isEmpty || (paths.size <= 1 && purge.isEmpty)) return false
+    val folded0 = spark.read.option("recursiveFileLookup", "true")
+      .parquet(paths.map(_.toString): _*)
+    // vacuous-takedown skip: the fold would run ONLY to serve the purge,
+    // so count before rewriting — zero matched rows = bytes already
+    // physically absent, no rewrite owed (CompactionSpec pins it)
+    if (paths.size <= 1 &&
+        purge.exists(p => p(folded0).count() == folded0.count()))
+      return false
     val gen = g + 1
     val staged = new Path(base, s"_staging/c$gen")
-    val folded = spark.read.option("recursiveFileLookup", "true")
-      .parquet(paths.map(_.toString): _*)
+    val folded = folded0
     purge.fold(folded)(_(folded))
       .coalesce(targetFiles)
       .write.mode("overwrite").parquet(staged.toString)
@@ -369,8 +380,10 @@ object IdempotentSink {
     * anti-join the tombstones), physical-at-compaction.
     *
     * Returns true iff a fold COMMITTED (see [[compact]]): one visible
-    * run no-ops only without a purge — a takedown against an
-    * already-compacted base still rewrites it. A purge that filters the
+    * run no-ops without a purge, or under a VACUOUS purge (zero matched
+    * rows, counted before any rewrite — [[compact]]'s skip) — a takedown
+    * that matches rows against an already-compacted base still rewrites
+    * it. A purge that filters the
     * fold to ZERO rows commits a manifest with NO `c<gen>` run instead
     * of an empty `partitionBy` directory (a dynamic-partition write of
     * zero rows emits no part files, and a committed run without parquet
@@ -414,6 +427,11 @@ object IdempotentSink {
       case (None, Some(c)) => c
       case (None, None) => return false
     }
+    // vacuous-takedown skip, [[compact]]'s: a single visible run folds
+    // for the purge alone — skip the rewrite when it matches zero rows
+    if (hot.size + cold.size <= 1 &&
+        purge.exists(p => p(all).count() == all.count()))
+      return false
     val gen = g + 1
     val staged = new Path(base, s"_staging/c$gen")
     val folded = purge.fold(all)(_(all))

@@ -220,6 +220,53 @@ class CompactionSpec extends SparkSuite {
       "purge-less re-compaction of a folded sink must stay a no-op")
   }
 
+  test("vacuous takedown skips the single-run rewrite; a matching one still folds") {
+    val s = spark
+    import s.implicits._
+    val base = tmp("cmp-purgevac-")
+    flatSink(base)
+    assert(IdempotentSink.compact(spark, base), "initial fold must commit")
+    val coldBefore = dirNames(base).filter(_.matches("c\\d+"))
+    // a takedown whose tombstones match NOTHING in the artifact: the
+    // bytes are already absent, so no rewrite is owed — false stays
+    // truthful and the cold run is untouched (same generation)
+    assert(!IdempotentSink.compact(spark, base,
+      purge = Some(df => df.filter(col("k") =!= -999L))),
+      "vacuous purge must not fold a single-run artifact")
+    assert(dirNames(base).filter(_.matches("c\\d+")) == coldBefore,
+      "vacuous purge rewrote the cold run anyway")
+    assert(rows(base) == flatRows)
+    // the same artifact still folds for a purge that matches rows
+    assert(IdempotentSink.compact(spark, base,
+      purge = Some(df => df.filter(col("k") =!= 11L))),
+      "matching purge against a single run must still fold")
+    assert(rows(base) == flatRows - ((11L, "v11")))
+  }
+
+  test("routed vacuous takedown skips the single-run rewrite too") {
+    val s = spark
+    import s.implicits._
+    val base = tmp("cmp-purgevacr-")
+    for (b <- 0 until 2)
+      IdempotentSink.writeRoutedBatch(
+        Seq((b * 2L, "a"), (b * 2L + 1, "b")).toDF("k", "route"),
+        base, "route", b)
+    assert(IdempotentSink.compactRouted(spark, base, "route",
+      shufflePartitions = 2), "initial routed fold must commit")
+    val coldBefore = dirNames(base).filter(_.matches("c\\d+"))
+    assert(!IdempotentSink.compactRouted(spark, base, "route",
+      shufflePartitions = 2,
+      purge = Some(df => df.filter(col("k") =!= -999L))),
+      "vacuous routed purge must not fold a single-run base")
+    assert(dirNames(base).filter(_.matches("c\\d+")) == coldBefore)
+    // matching purge still folds and lands physically
+    assert(IdempotentSink.compactRouted(spark, base, "route",
+      shufflePartitions = 2,
+      purge = Some(df => df.filter(col("k") =!= 1L))))
+    assert(IdempotentSink.readRouted(spark, base, "route").get
+      .collect().map(_.getLong(0)).toSet == Set(0L, 2L, 3L))
+  }
+
   test("flat purge to zero rows leaves a readable (empty, schema-bearing) artifact") {
     val s = spark
     import s.implicits._
@@ -260,9 +307,11 @@ class CompactionSpec extends SparkSuite {
     def all() = IdempotentSink.readRouted(spark, base, "route").get
       .collect().map(_.getLong(0)).toSet
     assert(all() == Set(9L))
-    assert(IdempotentSink.compactRouted(spark, base, "route", shufflePartitions = 2,
+    // an identity purge matches zero rows — the vacuous skip no-ops it
+    // on a single-run base (the artifact still physically satisfies it)
+    assert(!IdempotentSink.compactRouted(spark, base, "route", shufflePartitions = 2,
       purge = Some(df => df)))
-    assert(all() == Set(9L), "post-takedown fold changed content")
+    assert(all() == Set(9L), "vacuous post-takedown purge changed content")
   }
 
   private val flatRows: Set[(Long, String)] =
