@@ -1454,11 +1454,16 @@ object StreamQueries {
     // allows: every 5th chunk-0 doc PLUS any chunk-0 doc sharing an
     // exact digest with a later-chunk doc — exactly the docs whose
     // removal flips a batch-1/2 verdict; n_tombstones is
-    // oracle-recomputed so vacuosity would be visible. The keeper set is
-    // read back RAW (no logical filter), so the oracle compare itself
-    // certifies both deletion halves; the bits pin that ≥4 purge-bearing
-    // folds fired mid-stream and that no artifact — bands, digests,
-    // corpus, keepers — physically holds a tombstoned row afterwards.
+    // oracle-recomputed so vacuosity would be visible. The final keeper
+    // read applies the reader's LOGICAL tombstone anti-join — per
+    // IdempotentSink's own contract deletion is the reader's job until
+    // a fold runs, so the emitted rows stay correct even when a
+    // tombstone lands after the last policy fold (e.g. a larger maxHot)
+    // — while the `leaks` audit below stays RAW (hot+cold files, no
+    // filter): purged_ok is the PHYSICAL-deletion cert, and under this
+    // parameterization (maxHot=1, tombstones after batch 0 of 3) it
+    // pins that ≥4 purge-bearing folds fired mid-stream and no artifact
+    // — bands, digests, corpus, keepers — still holds a tombstoned row.
     "st39_stream_tombstone_takedown" -> { (s, dir) =>
       import s.implicits._
       val scratch = ensureDocChunks(s, dir, 3)
@@ -1498,6 +1503,7 @@ object StreamQueries {
           .select($"doc_id".as("k")))
         .join(tomb, $"k" === tomb("tid"), "left_semi").count()
       graft.stream.IdempotentSink.read(s, s"$base/keepers")
+        .join(tomb, col("doc_id") === tomb("tid"), "left_anti")
         .select($"doc_id", $"n_chars",
           lit(nTomb).as("n_tombstones"),
           lit(if (folds >= 4) 1L else 0L).as("purge_folds_ok"),
@@ -1790,6 +1796,13 @@ object StreamQueries {
         .crossJoin(broadcast(coverage))
         .crossJoin(broadcast(equal))
         .crossJoin(broadcast(subsetOk))
+        // the cert-regime switch made EXPLICIT (r19 advice): above
+        // CertFullMax, n_exact_drops means the probe-restricted count —
+        // the oracle always computes the full-corpus number and pins
+        // cert_sampled=0, so a testdata/SF change crossing the switch
+        // fails HERE, at the cause, not in a far-away count mismatch
+        .withColumn("cert_sampled",
+          lit(if (certIds.isDefined) 1L else 0L))
     },
 
     // STREAMING DETERMINISTIC FIXED-k SAMPLE — tx20's streaming twin,
@@ -2742,7 +2755,8 @@ object StreamQueries {
         |       CAST(3 AS BIGINT) AS n_index_batches,
         |       CAST(1 AS BIGINT) AS coverage_ok,
         |       CAST(1 AS BIGINT) AS stream_one_shot_equal,
-        |       CAST(1 AS BIGINT) AS drops_subset_ok""".stripMargin,
+        |       CAST(1 AS BIGINT) AS drops_subset_ok,
+        |       CAST(0 AS BIGINT) AS cert_sampled""".stripMargin,
 
     "st29_stream_lsh_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
