@@ -1687,6 +1687,92 @@ object StreamQueries {
         .crossJoin(broadcast(searchEqual))
     },
 
+    // STREAMING PQ ENCODE-AT-INGEST (st40) — an13's WRITE side closed
+    // the way st34 closed an12's: each micro-batch of newly arrived
+    // embeddings is ENCODED under the PERSISTED PQ codebooks (fixed
+    // quantizer geometry — refitting per batch would silently
+    // invalidate every earlier code) and appended to the (vec_id,
+    // codes) table through the per-batch atomic commit, so an
+    // at-least-once retry appends nothing. This is exactly the loop
+    // an13's contract names — "encode once at ingest, store, search
+    // forever" (ops/Similarity.scala pqCodeTable) — which no entry
+    // exercised end to end before. Certification (codes are
+    // kmeans-internal → st34's inline-bit pattern):
+    //  - n_vectors + coverage_ok: the accumulated code table covers
+    //    every corpus vector exactly once (count = DuckDB's);
+    //  - n_index_batches: the replay genuinely crossed 3 appends;
+    //  - ingest_equal: accumulated table ≡ one-shot pqCodeTable over
+    //    the full corpus, code array for code array — encoding is a
+    //    pure function of (vector, codebooks), so batch boundaries must
+    //    not move a single centroid assignment;
+    //  - search_equal: an an13-shape probe (pure-ADC candidates +
+    //    shortlist-20 exact re-rank via pqTopKWithIndex) served from
+    //    the ACCUMULATED table ≡ the same probe from the one-shot
+    //    table, bit for bit — the evolved index SERVES identically.
+    // Scale shape: per batch the work is one narrow (id, codes)
+    // projection over the batch rows (the m·ksub=256-centroid books
+    // ride the closure as literals, encoding is codegen arithmetic) +
+    // one atomic parquet commit — the accumulated table is never
+    // re-read during ingest and the books are never re-fit; at 100 TB
+    // the 16 B/vector code table is the only thing the ADC search tier
+    // ever scans.
+    "st40_stream_pq_ingest" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val (m, ksub) = (16, 16)
+      val books = graft.ops.Similarity.pqCodebooks(
+        emb, "vec_id", "embedding", s"emb-$dir", m, ksub, 42L)
+      val base = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
+        "pqingest-").toString
+      graft.stream.StreamRunner.deleteOnExit(base)
+      val codesDir = s"$base/pq_codes"
+      val scratch = ensureEmbChunks(s, dir, 3)
+      val stream = s.readStream.schema(Schemas.embeddings)
+        .option("maxFilesPerTrigger", 1).parquet(scratch)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b0: DataFrame, batchId: Long) =>
+          graft.stream.IdempotentSink.writeBatch(
+            graft.ops.Similarity.pqCodeTable(
+              b0, "vec_id", "embedding", books),
+            codesDir, batchId)
+        }
+        .start()
+      q.awaitTermination()
+      val streamedCodes = graft.stream.IdempotentSink.read(s, codesDir)
+      val oneShotCodes = graft.ops.Similarity.pqCodeTable(
+        emb, "vec_id", "embedding", books)
+      val nBatches = Option(new java.io.File(codesDir).listFiles())
+        .getOrElse(Array.empty).count(_.getName.startsWith("b"))
+      val coverage = streamedCodes.agg(
+        count(lit(1)).as("n_vectors"),
+        when(countDistinct($"vec_id") === count(lit(1)), 1L).otherwise(0L)
+          .as("coverage_ok"))
+      val ingestEqual = streamedCodes.select($"vec_id", $"codes".as("c_s"))
+        .join(oneShotCodes.select($"vec_id", $"codes".as("c_b")),
+          Seq("vec_id"), "full_outer")
+        .agg(sum(when(!($"c_s" <=> $"c_b"), 1L).otherwise(0L)).as("n_diff"))
+        .select(when($"n_diff" === 0, 1L).otherwise(0L).as("ingest_equal"))
+      val queries = emb.filter($"vec_id" < 10)
+      def probe(codes: DataFrame) = graft.ops.Similarity.pqTopKWithIndex(
+        emb, queries, "vec_id", "embedding", k = 5, books, codes,
+        shortlist = 20)
+      val searchEqual = probe(streamedCodes)
+        .select($"query_id", $"rank", $"neighbor_id".as("n_s"), $"cosine".as("c_s"))
+        .join(probe(oneShotCodes).select($"query_id", $"rank",
+          $"neighbor_id".as("n_b"), $"cosine".as("c_b")),
+          Seq("query_id", "rank"), "full_outer")
+        .agg(sum(when($"n_s".isNull || $"n_b".isNull || $"n_s" =!= $"n_b" ||
+            abs($"c_s" - $"c_b") > 1e-15, 1L).otherwise(0L)).as("n_diff"))
+        .select(when($"n_diff" === 0, 1L).otherwise(0L).as("search_equal"))
+      coverage
+        .withColumn("n_index_batches", lit(nBatches.toLong))
+        .crossJoin(broadcast(ingestEqual))
+        .crossJoin(broadcast(searchEqual))
+    },
+
     // STREAMING EMBEDDING NEAR-DUP INGEST GATE — st29's treatment for
     // the SEMANTIC tier, composing what already exists: per-batch
     // multi-probe assignment under PERSISTED centroids (st34's fixed
@@ -3241,6 +3327,16 @@ object StreamQueries {
     // and coverage bits plus the 3-append replay depth are pinned — the
     // an03/dd10 constant-oracle contract for quantizer-bound outputs
     "st34_stream_ann_ingest" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors,
+        |       CAST(1 AS BIGINT) AS coverage_ok,
+        |       CAST(3 AS BIGINT) AS n_index_batches,
+        |       CAST(1 AS BIGINT) AS ingest_equal,
+        |       CAST(1 AS BIGINT) AS search_equal""".stripMargin,
+
+    // st40: n_vectors is DuckDB's independent corpus count; the four
+    // equivalence/coverage bits are the constant-oracle part (codes are
+    // kmeans-internal — the st34/an13 cert posture).
+    "st40_stream_pq_ingest" ->
       """SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors,
         |       CAST(1 AS BIGINT) AS coverage_ok,
         |       CAST(3 AS BIGINT) AS n_index_batches,

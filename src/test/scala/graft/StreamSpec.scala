@@ -1075,6 +1075,50 @@ class StreamSpec extends SparkSuite {
         "the compaction boundary")
   }
 
+  test("st40: PQ encode-at-ingest survives a restart + compaction boundary — " +
+    "accumulated code table ≡ one-shot encode under the persisted books") {
+    val s = spark
+    import s.implicits._
+    val emb = graft.model.Tables.embeddings(s, sf)
+    val books = graft.ops.Similarity.pqCodebooks(
+      emb, "vec_id", "embedding", s"emb-$sf", 16, 16, 42L)
+    val chunks = graft.queries.StreamQueries.ensureEmbChunks(s, sf, 3)
+    val (scratch, add) = progressiveScratch(chunks)
+    add(0); add(1)
+    val base = java.nio.file.Files.createTempDirectory("st40-cmp-").toString
+    val codesDir = s"$base/pq_codes"
+    def run(): Unit = {
+      val q = s.readStream.schema(graft.model.Schemas.embeddings)
+        .option("maxFilesPerTrigger", 1).parquet(scratch)
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (b0: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            graft.stream.IdempotentSink.writeBatch(
+              graft.ops.Similarity.pqCodeTable(
+                b0, "vec_id", "embedding", books),
+              codesDir, batchId)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    // 2 batches landed; fold them, then a restart ingests the 3rd —
+    // the checkpoint + manifest must keep every code exactly once
+    graft.stream.IdempotentSink.compact(s, codesDir)
+    add(2)
+    run()
+    def codeSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"codes")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSet
+    val streamed = codeSet(graft.stream.IdempotentSink.read(s, codesDir))
+    val oneShot = codeSet(graft.ops.Similarity.pqCodeTable(
+      emb, "vec_id", "embedding", books))
+    assert(streamed == oneShot && streamed.nonEmpty,
+      "accumulated PQ codes diverged from the one-shot encode across " +
+        "the restart/compaction boundary")
+  }
+
   test("st35: cross-batch semantic drop caught; probe shuffle ∝ the batch's " +
     "touched cells, not the accumulated index — including over a compacted run") {
     val s = spark
