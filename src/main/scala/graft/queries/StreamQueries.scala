@@ -2066,6 +2066,75 @@ object StreamQueries {
         .orderBy($"day", $"event_type")
     },
 
+    // CDC BETWEEN SNAPSHOT VERSIONS (st41) — the last lakehouse verb
+    // after retention (st36) and time travel (st38):
+    // VersionedSnapshot.readChanges(a, b) emits the row-level
+    // insert/delete delta that turns snapshot a into snapshot b (an
+    // UPDATE surfaces as its delete+insert pair — snapshots carry no
+    // row identity; the Delta-without-change-files posture). The
+    // publisher is the st15-shaped merge loop over the per-source
+    // document aggregate, replayed across the three content-addressed
+    // doc_id%3 chunks, so version k is a pure function of the table —
+    // DuckDB independently REPLAYS both endpoint snapshots (v0 = chunk
+    // 0, v2 = full corpus) and takes the set difference each way: the
+    // oracle-checked rows ARE the change feed. Sources touched by later
+    // chunks show the delete+insert pair of their updated aggregate;
+    // sources first seen after chunk 0 show a pure insert.
+    // genesis_equiv_ok pins the other contract edge inline:
+    // readChanges(Genesis, latest) carries zero deletes and equals
+    // readAt(latest) row for row (SnapshotSpec pins the append-only and
+    // fail-fast-after-retention edges).
+    "st41_snapshot_changes" -> { (s, dir) =>
+      import s.implicits._
+      import graft.stream.VersionedSnapshot
+      val scratch = ensureDocChunks(s, dir, 3)
+      val base = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
+        "snapcdc-").toString
+      graft.stream.StreamRunner.deleteOnExit(base)
+      val vbase = s"$base/view"
+      val lastVersion = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val q = s.readStream.schema(Schemas.documents)
+        .option("maxFilesPerTrigger", 1).parquet(scratch)
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val delta = batch.groupBy(col("source"))
+            .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+          val prev = lastVersion.get()
+          val merged =
+            if (prev < 0) delta
+            else batch.sparkSession.read
+              .parquet(VersionedSnapshot.dir(vbase, prev))
+              .unionByName(delta)
+              .groupBy(col("source"))
+              .agg(sum(col("n")).as("n"), sum(col("sum_chars")).as("sum_chars"))
+          VersionedSnapshot.publish(merged, vbase, id)
+          lastVersion.set(id)
+        }
+        .start()
+      q.awaitTermination()
+      val lastV = lastVersion.get()
+      // the genesis edge: changes from the empty artifact are exactly
+      // the latest snapshot, all tagged insert (three bounded counts)
+      val genesis = VersionedSnapshot
+        .readChanges(s, vbase, VersionedSnapshot.Genesis, lastV)
+        .localCheckpoint()
+      val latest = VersionedSnapshot.readAt(s, vbase, lastV)
+      val gRows = genesis.filter($"_change_type" === "insert")
+        .drop("_change_type")
+      val genesisOk = genesis.filter($"_change_type" === "delete").count() == 0 &&
+        gRows.exceptAll(latest).count() == 0 &&
+        latest.exceptAll(gRows).count() == 0
+      VersionedSnapshot.readChanges(s, vbase, 0L, lastV)
+        .select($"source", $"n".cast("long").as("n"),
+          $"sum_chars".cast("long").as("sum_chars"),
+          $"_change_type".as("change_type"),
+          lit(if (genesisOk) 1L else 0L).as("genesis_equiv_ok"))
+        .orderBy($"change_type", $"source")
+    },
+
     "st12_stream_hll_window" -> { (s, dir) =>
       import s.implicits._
       val (finals, _) = windowedSketchReplay(s, dir, nFiles = 3)
@@ -3237,6 +3306,29 @@ object StreamQueries {
          |WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 2) < '80'
          |GROUP BY 1, 2
          |ORDER BY day, event_type""".stripMargin,
+
+    // st41: DuckDB independently replays BOTH endpoint snapshots of the
+    // content-addressed merge publisher (v0 = chunk doc_id%3=0, v2 =
+    // full corpus) and takes the set difference each way — the
+    // oracle-checked rows ARE the change feed; the genesis bit is the
+    // constant-oracle part (see the entry).
+    "st41_snapshot_changes" ->
+      """WITH va AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |            FROM documents WHERE doc_id % 3 = 0 GROUP BY source),
+        |     vb AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |            FROM documents GROUP BY source),
+        |     ins AS (SELECT source, n, sum_chars FROM vb
+        |             EXCEPT SELECT source, n, sum_chars FROM va),
+        |     del AS (SELECT source, n, sum_chars FROM va
+        |             EXCEPT SELECT source, n, sum_chars FROM vb)
+        |SELECT source, n, sum_chars, 'insert' AS change_type,
+        |       CAST(1 AS BIGINT) AS genesis_equiv_ok FROM ins
+        |UNION ALL
+        |SELECT source, n, sum_chars, 'delete' AS change_type,
+        |       CAST(1 AS BIGINT) AS genesis_equiv_ok FROM del
+        |ORDER BY change_type, source""".stripMargin,
 
     // st15's one-shot view plus the retention/immutability cert bits —
     // retention must not change the maintained content, so the oracle is
