@@ -339,18 +339,40 @@ object PipelineQueries {
         .agg(when(count(lit(1)) === 0, 1L).otherwise(0L).as("keeper_member_ok"))
       // the dd10 certificate inline: exact ground truth is materialized
       // once and feeds both the recall floor and the precision assert.
-      // The cert universe is GATED to a deterministic id range (the r17
-      // verdict's sanctioned posture for this entry): the O(n²) exact
-      // sweep is certification, not production, so at scale it runs over
-      // a fixed-size sub-corpus while the blocked production path above
-      // runs over everything. CertCap covers every driver-tested SF in
-      // full (sf0.1 tops out at vec_id 1999), so the gate only engages
-      // on ScaleUp blow-ups — where an ungated cert would grow 256× at
-      // 16× data and measure the cert, not the operator.
-      val CertCap = 4000L
-      val certPairs = pairs.filter($"id_a" < CertCap && $"id_b" < CertCap)
-      val exact = Similarity.allPairsCosine(emb.filter($"vec_id" < CertCap),
-        "vec_id", "embedding", threshold = 0.4).localCheckpoint()
+      // CERT REGIME (st35's sampled treatment, ported r20): the exact
+      // sweep is certification, not production. At or below CertFullMax
+      // corpus rows it runs in FULL — every driver-tested SF (sf0.1
+      // tops out at 2000 rows), so the DuckDB oracle's n_true_pairs is
+      // always the full-corpus number where the oracle actually runs;
+      // the cert_sampled column pins the regime so a testdata change
+      // crossing the switch fails at the cause. Above CertFullMax the
+      // cert covers the 1024 hash-smallest vec_ids via
+      // allPairsCosineProbed — O(n·1024), probe side broadcast; exact
+      // neighborhoods are complete for every probe id — so the 16×
+      // scale cell prices the OPERATOR, not a quadratic cert (the r17
+      // fixed-id-range gate this replaces froze the cert at a constant
+      // 4000²/2 sweep and a shrinking corpus fraction).
+      val CertFullMax = 4096L
+      val certIds: Option[org.apache.spark.sql.DataFrame] =
+        if (emb.count() <= CertFullMax) None
+        else Some(emb.select($"vec_id")
+          .orderBy(xxhash64($"vec_id"), $"vec_id").limit(1024)
+          .localCheckpoint())
+      val exact = (certIds match {
+        case None => Similarity.allPairsCosine(
+          emb, "vec_id", "embedding", threshold = 0.4)
+        case Some(ids) => Similarity.allPairsCosineProbed(
+          emb, "vec_id", "embedding", threshold = 0.4, ids)
+      }).localCheckpoint()
+      // the blocked pairs inside the cert universe: every pair touching
+      // ≥1 probe id (full regime: all of them) — exactly the pairs the
+      // probed exact set can verify
+      val certPairs = certIds.fold(pairs) { ids =>
+        pairs.join(ids.select($"vec_id".as("id_a")), Seq("id_a"), "left_semi")
+          .unionByName(
+            pairs.join(ids.select($"vec_id".as("id_b")), Seq("id_b"), "left_semi"))
+          .distinct()
+      }
       val truth = exact
         .join(certPairs.withColumn("hit", lit(1L)), Seq("id_a", "id_b"), "left")
         .agg(count(lit(1)).as("n_true_pairs"),
@@ -372,6 +394,8 @@ object PipelineQueries {
         .crossJoin(broadcast(edgesOk))
         .crossJoin(broadcast(keeperMin))
         .crossJoin(broadcast(keeperSelf))
+        .withColumn("cert_sampled",
+          lit(if (certIds.isDefined) 1L else 0L))
     },
 
     // Pair list → duplicate clusters (connected components over the exact
@@ -1927,13 +1951,12 @@ object PipelineQueries {
     // certificate bits are pinned to 1 — the an03/dd10 constant-oracle
     // contract for quantizer-bound operators.
     "dd19_semantic_keepers_blocked" ->
-      // vec_id < 4000 mirrors the entry's CertCap gate on the exact
-      // ground truth — a no-op at every driver-tested SF (sf0.1 tops out
-      // at 1999), engaged only on ScaleUp blow-ups
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings
-        |           WHERE vec_id < 4000),
-        |t AS (SELECT count(*) AS n_true_pairs
-        |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      // full-corpus exact truth: the entry's cert runs in FULL regime at
+      // every oracle-checked SF (≤ CertFullMax rows) and pins
+      // cert_sampled = 0 — a testdata change crossing the switch fails
+      // here, at the regime column, not in a far-away count mismatch
+      """WITH t AS (SELECT count(*) AS n_true_pairs
+        |      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4)
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_docs,
         |       CAST(1 AS BIGINT) AS coverage_ok,
@@ -1942,7 +1965,8 @@ object PipelineQueries {
         |       CAST(1 AS BIGINT) AS precision_ok,
         |       CAST(1 AS BIGINT) AS edges_ok,
         |       CAST(1 AS BIGINT) AS keeper_is_min_ok,
-        |       CAST(1 AS BIGINT) AS keeper_member_ok
+        |       CAST(1 AS BIGINT) AS keeper_member_ok,
+        |       CAST(0 AS BIGINT) AS cert_sampled
         |FROM t""".stripMargin,
 
     // Constant oracle, same contract as an03: PQ must clear each
