@@ -130,6 +130,27 @@ object Similarity {
       .distinct()
   }
 
+  /** Full-cert budget for the exact-truth certificates of the semantic
+    * dedup family (dd19, st35): at or below this many corpus rows the
+    * O(n²) exact sweep runs in full — every driver-tested SF — so the
+    * DuckDB oracles' truth counts are always full-corpus numbers where
+    * the oracles run; the entries pin the regime via a `cert_sampled`
+    * column. ONE constant for every entry so the switch can never
+    * diverge between them. */
+  val CertFullMax: Long = 4096L
+
+  /** The sampled-cert probe set, or None for the full regime: past
+    * [[CertFullMax]] corpus rows, the `sample` content-hash-smallest ids
+    * (deterministic under repartitioning and replay — the quantizer-
+    * sample selection rule) to feed [[allPairsCosineProbed]]. Owns the
+    * regime rule so dd19 and st35 cannot silently diverge. */
+  def certProbeIds(corpus: DataFrame, idCol: String,
+                   sample: Int = 1024): Option[DataFrame] =
+    if (corpus.count() <= CertFullMax) None
+    else Some(corpus.select(col(idCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sample)
+      .localCheckpoint())
+
   // ---------------------------------------------------------------- IVF —
 
   /** Memoized coarse quantizers: one index build per (corpus key, cells,

@@ -339,25 +339,22 @@ object PipelineQueries {
         .agg(when(count(lit(1)) === 0, 1L).otherwise(0L).as("keeper_member_ok"))
       // the dd10 certificate inline: exact ground truth is materialized
       // once and feeds both the recall floor and the precision assert.
-      // CERT REGIME (st35's sampled treatment, ported r20): the exact
-      // sweep is certification, not production. At or below CertFullMax
-      // corpus rows it runs in FULL — every driver-tested SF (sf0.1
-      // tops out at 2000 rows), so the DuckDB oracle's n_true_pairs is
-      // always the full-corpus number where the oracle actually runs;
-      // the cert_sampled column pins the regime so a testdata change
-      // crossing the switch fails at the cause. Above CertFullMax the
-      // cert covers the 1024 hash-smallest vec_ids via
-      // allPairsCosineProbed — O(n·1024), probe side broadcast; exact
-      // neighborhoods are complete for every probe id — so the 16×
-      // scale cell prices the OPERATOR, not a quadratic cert (the r17
-      // fixed-id-range gate this replaces froze the cert at a constant
-      // 4000²/2 sweep and a shrinking corpus fraction).
-      val CertFullMax = 4096L
-      val certIds: Option[org.apache.spark.sql.DataFrame] =
-        if (emb.count() <= CertFullMax) None
-        else Some(emb.select($"vec_id")
-          .orderBy(xxhash64($"vec_id"), $"vec_id").limit(1024)
-          .localCheckpoint())
+      // CERT REGIME (st35's sampled treatment, ported r20; the rule and
+      // its CertFullMax=4096 constant live in Similarity.certProbeIds so
+      // the two entries can never diverge): the exact sweep is
+      // certification, not production. At or below the budget it runs
+      // in FULL — every driver-tested SF (sf0.1 tops out at 2000 rows),
+      // so the DuckDB oracle's n_true_pairs is always the full-corpus
+      // number where the oracle actually runs; the cert_sampled column
+      // pins the regime so a testdata change crossing the switch fails
+      // at the cause. Above the budget the cert covers the 1024
+      // hash-smallest vec_ids via allPairsCosineProbed — O(n·1024),
+      // probe side broadcast; exact neighborhoods are complete for
+      // every probe id — so the 16× scale cell prices the OPERATOR,
+      // not a quadratic cert (the r17 fixed-id-range gate this replaces
+      // froze the cert at a constant 4000²/2 sweep and a shrinking
+      // corpus fraction).
+      val certIds = Similarity.certProbeIds(emb, "vec_id")
       val exact = (certIds match {
         case None => Similarity.allPairsCosine(
           emb, "vec_id", "embedding", threshold = 0.4)

@@ -1801,7 +1801,9 @@ object StreamQueries {
     //    production path never runs all-pairs).
     // CERT SAMPLING past the full-cert budget (the r18 scale cells
     // measured the CERT, not the operator — 16× ratio 5.6 was all
-    // all-pairs): above CertFullMax corpus rows the subset/recall certs
+    // all-pairs): above Similarity.CertFullMax corpus rows (the regime
+    // rule is Similarity.certProbeIds, shared with dd19 so the switch
+    // can never diverge) the subset/recall certs
     // run over the 1024 content-hash-smallest vec_ids — exact pair
     // neighborhoods for every probed doc via allPairsCosineProbed
     // (O(n·1024), probe side broadcast), drop-side membership decided
@@ -1841,12 +1843,7 @@ object StreamQueries {
         .agg(sum(when($"s".isNull || $"o".isNull, 1L).otherwise(0L)).as("nd"))
         .select(when(coalesce($"nd", lit(0L)) === 0, 1L).otherwise(0L)
           .as("stream_one_shot_equal"))
-      val CertFullMax = 4096L
-      val certIds: Option[DataFrame] =
-        if (emb.count() <= CertFullMax) None
-        else Some(emb.select($"vec_id")
-          .orderBy(xxhash64($"vec_id"), $"vec_id").limit(1024)
-          .localCheckpoint())
+      val certIds = graft.ops.Similarity.certProbeIds(emb, "vec_id")
       val exactPairs = certIds match {
         case None => graft.ops.Similarity.allPairsCosine(
           emb, "vec_id", "embedding", SemDedupThreshold)
@@ -1914,7 +1911,6 @@ object StreamQueries {
         java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
         "ksample-").toString
       graft.stream.StreamRunner.deleteOnExit(base)
-      def vDir(i: Long) = s"$base/v$i"
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
       def topK(df: DataFrame) = df
@@ -1929,9 +1925,13 @@ object StreamQueries {
           val s2 = b0.sparkSession
           val batchTop = topK(b0.select(col("source"), col("doc_id"),
             col("n_chars"), md5(col("text").cast("binary")).as("h")))
-          val merged =
-            if (batchId == 0) batchTop
-            else topK(s2.read.parquet(vDir(batchId - 1)).unionByName(batchTop))
+          // artifact-resolved predecessor through the repair-on-read
+          // path (see incrementalView) — restart- and race-safe
+          val prev = graft.stream.VersionedSnapshot.versionIds(s2, base)
+            .filter(_ < batchId).lastOption
+          val merged = prev.fold(batchTop)(p => topK(
+            graft.stream.VersionedSnapshot.read(s2, base, p)
+              .unionByName(batchTop)))
           graft.stream.VersionedSnapshot.publish(merged, base, batchId)
         }
         .start()
@@ -1941,8 +1941,8 @@ object StreamQueries {
       // the bounded-state certificate: EVERY version's artifact must fit
       // the n_sources × k budget (the whole point vs a naive reservoir)
       val boundedOk = versions.forall(v =>
-        s.read.parquet(vDir(v)).count() <= nSources * K)
-      s.read.parquet(vDir(versions.last))
+        graft.stream.VersionedSnapshot.read(s, base, v).count() <= nSources * K)
+      graft.stream.VersionedSnapshot.read(s, base, versions.last)
         .withColumn("rank", row_number().over(w).cast("long"))
         .select($"source", $"rank", $"doc_id", $"n_chars",
           lit(versions.length.toLong).as("n_versions"),
@@ -1980,10 +1980,9 @@ object StreamQueries {
             .cast("decimal(38,0)"))).head()
         (r.getLong(0), r.getDecimal(1))
       }
-      val snapDir = VersionedSnapshot.dir(base, lastV)
-      val before = digest(s.read.parquet(snapDir))
+      val before = digest(VersionedSnapshot.read(s, base, lastV))
       VersionedSnapshot.publish(s.range(1).toDF("bogus"), base, lastV)
-      val republishNoop = digest(s.read.parquet(snapDir)) == before
+      val republishNoop = digest(VersionedSnapshot.read(s, base, lastV)) == before
       view.select($"day", $"event_type", $"n", $"sum_value",
         lit(if (retainedOk) 1L else 0L).as("retention_ok"),
         lit(if (republishNoop) 1L else 0L).as("republish_noop_ok"))
@@ -2029,7 +2028,6 @@ object StreamQueries {
       }
       val v1AtCommit =
         new java.util.concurrent.atomic.AtomicReference[(Long, java.math.BigDecimal)]()
-      val lastVersion = new java.util.concurrent.atomic.AtomicLong(-1L)
       graft.stream.StreamRunner.pinnedStatePartitions(s) {
         val q = replay.writeStream
           .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -2037,15 +2035,16 @@ object StreamQueries {
             val delta = batch
               .groupBy(to_date(col("ts")).as("day"), col("event_type"))
               .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
-            val prev = lastVersion.get()
-            val merged =
-              if (prev < 0) delta
-              else s2.read.parquet(VersionedSnapshot.dir(base, prev))
+            // artifact-resolved predecessor through the repair-on-read
+            // path (see incrementalView) — restart- and race-safe
+            val prev = VersionedSnapshot.versionIds(s2, base)
+              .filter(_ < id).lastOption
+            val merged = prev.fold(delta)(p =>
+              VersionedSnapshot.read(s2, base, p)
                 .unionByName(delta)
                 .groupBy(col("day"), col("event_type"))
-                .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+                .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents")))
             VersionedSnapshot.publish(merged, base, id)
-            lastVersion.set(id)
             if (id == 1L)
               v1AtCommit.set(digest(VersionedSnapshot.read(s2, base, 1L)))
           }
@@ -2093,7 +2092,6 @@ object StreamQueries {
         "snapcdc-").toString
       graft.stream.StreamRunner.deleteOnExit(base)
       val vbase = s"$base/view"
-      val lastVersion = new java.util.concurrent.atomic.AtomicLong(-1L)
       val q = s.readStream.schema(Schemas.documents)
         .option("maxFilesPerTrigger", 1).parquet(scratch)
         .writeStream
@@ -2102,20 +2100,25 @@ object StreamQueries {
         .foreachBatch { (batch: DataFrame, id: Long) =>
           val delta = batch.groupBy(col("source"))
             .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
-          val prev = lastVersion.get()
-          val merged =
-            if (prev < 0) delta
-            else batch.sparkSession.read
-              .parquet(VersionedSnapshot.dir(vbase, prev))
+          // merge input = the newest COMMITTED predecessor, resolved
+          // from the artifact itself — a restarted stream (checkpoint
+          // skips replayed batches, driver memory gone) resumes from
+          // the right state instead of silently re-baselining to the
+          // batch's own delta; on a retry of a committed id the merge
+          // is computed and then discarded by publish's no-op
+          val prev = VersionedSnapshot.versionIds(batch.sparkSession, vbase)
+            .filter(_ < id).lastOption
+          val merged = prev.fold(delta)(p =>
+            VersionedSnapshot.read(batch.sparkSession, vbase, p)
               .unionByName(delta)
               .groupBy(col("source"))
-              .agg(sum(col("n")).as("n"), sum(col("sum_chars")).as("sum_chars"))
+              .agg(sum(col("n")).as("n"), sum(col("sum_chars")).as("sum_chars")))
           VersionedSnapshot.publish(merged, vbase, id)
-          lastVersion.set(id)
         }
         .start()
       q.awaitTermination()
-      val lastV = lastVersion.get()
+      val lastV = VersionedSnapshot.latestId(s, vbase).getOrElse(
+        sys.error(s"st41 replay published no snapshot versions under $vbase"))
       // the genesis edge: changes from the empty artifact are exactly
       // the latest snapshot, all tagged insert (three bounded counts)
       val genesis = VersionedSnapshot
@@ -2177,24 +2180,28 @@ object StreamQueries {
       java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
       "ivm-").toString
     graft.stream.StreamRunner.deleteOnExit(viewBase)
-    val lastVersion = new java.util.concurrent.atomic.AtomicLong(-1L)
     graft.stream.StreamRunner.pinnedStatePartitions(s) {
     val q = replay.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s2 = batch.sparkSession
         val delta = batch
           .groupBy(to_date(col("ts")).as("day"), col("event_type"))
           .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
-        val prev = lastVersion.get()
-        val merged =
-          if (prev < 0) delta
-          else batch.sparkSession.read.parquet(s"$viewBase/v$prev")
+        // merge input resolved from the ARTIFACT (newest committed
+        // predecessor, read through the repair-on-read path), not from
+        // driver memory — a restarted stream resumes from real state,
+        // and a retry's recomputed merge is discarded by publish's
+        // committed-version no-op
+        val prev = graft.stream.VersionedSnapshot.versionIds(s2, viewBase)
+          .filter(_ < id).lastOption
+        val merged = prev.fold(delta)(p =>
+          graft.stream.VersionedSnapshot.read(s2, viewBase, p)
             .unionByName(delta)
             .groupBy(col("day"), col("event_type"))
-            .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+            .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents")))
         graft.stream.VersionedSnapshot.publish(merged, viewBase, id)
         retainKeep.foreach(k =>
-          graft.stream.VersionedSnapshot.retain(batch.sparkSession, viewBase, k))
-        lastVersion.set(id)
+          graft.stream.VersionedSnapshot.retain(s2, viewBase, k))
       }
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
@@ -2202,11 +2209,13 @@ object StreamQueries {
       .start()
     q.awaitTermination()
     }
-    val view = s.read.parquet(s"$viewBase/v${lastVersion.get()}")
+    val lastV = graft.stream.VersionedSnapshot.latestId(s, viewBase).getOrElse(
+      sys.error(s"incremental-view replay published no versions under $viewBase"))
+    val view = graft.stream.VersionedSnapshot.read(s, viewBase, lastV)
       .select(date_format($"day", "yyyy-MM-dd").as("day"), $"event_type",
         $"n", ($"sum_cents" / 100.0).as("sum_value"))
       .orderBy($"day", $"event_type")
-    (view, lastVersion.get(), viewBase)
+    (view, lastV, viewBase)
   }
 
   /** st12's streaming leg, shared with StreamSpec: chunked replay of

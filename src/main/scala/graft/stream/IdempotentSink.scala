@@ -271,12 +271,12 @@ object IdempotentSink {
     * Returns true iff a fold COMMITTED — the caller's signal that a
     * requested purge physically landed. A single visible run no-ops when
     * no purge was requested, or when the requested purge is VACUOUS —
-    * the tombstone set matches zero artifact rows, checked by two counts
-    * over the single run (key-pruned scans, far cheaper than the rewrite
-    * they skip) — in both cases false truthfully means the artifact
-    * already physically satisfies the request. A purge that matches rows
-    * still folds even a single run (the bytes must be provably gone, not
-    * merely tombstoned forever). */
+    * the tombstone set matches zero artifact rows, decided by two counts
+    * over the single run, which is CACHED so the counts and any rewrite
+    * share one scan of the underlying files — in both cases false
+    * truthfully means the artifact already physically satisfies the
+    * request. A purge that matches rows still folds even a single run
+    * (the bytes must be provably gone, not merely tombstoned forever). */
   def compact(spark: SparkSession, dir: String, targetFiles: Int = 1,
               purge: Option[DataFrame => DataFrame] = None): Boolean = {
     val base = new Path(dir)
@@ -286,20 +286,26 @@ object IdempotentSink {
     val (g, consumed, paths) = visibleFlat(fs, base)
     // nothing to fold: empty sink, or one run and no purge requested
     if (paths.isEmpty || (paths.size <= 1 && purge.isEmpty)) return false
-    val folded0 = spark.read.option("recursiveFileLookup", "true")
+    val folded = spark.read.option("recursiveFileLookup", "true")
       .parquet(paths.map(_.toString): _*)
     // vacuous-takedown skip: the fold would run ONLY to serve the purge,
-    // so count before rewriting — zero matched rows = bytes already
-    // physically absent, no rewrite owed (CompactionSpec pins it)
-    if (paths.size <= 1 &&
-        purge.exists(p => p(folded0).count() == folded0.count()))
-      return false
+    // so decide before rewriting — zero matched rows = bytes already
+    // physically absent, no rewrite owed (CompactionSpec pins it). The
+    // single run is cached so the two counts and a non-vacuous rewrite
+    // share one scan of the files.
+    if (paths.size <= 1 && purge.isDefined) {
+      folded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (purge.get(folded).count() == folded.count()) {
+        folded.unpersist()
+        return false
+      }
+    }
     val gen = g + 1
     val staged = new Path(base, s"_staging/c$gen")
-    val folded = folded0
     purge.fold(folded)(_(folded))
       .coalesce(targetFiles)
       .write.mode("overwrite").parquet(staged.toString)
+    folded.unpersist() // no-op unless the vacuity check cached it
     commitDir(fs, staged, new Path(base, s"c$gen"))
     commitManifest(fs, base, gen, consumed ++ paths.map(_.getName))
     // past the commit point: cleanup only (re-runnable by recovery)
@@ -429,9 +435,14 @@ object IdempotentSink {
     }
     // vacuous-takedown skip, [[compact]]'s: a single visible run folds
     // for the purge alone — skip the rewrite when it matches zero rows
-    if (hot.size + cold.size <= 1 &&
-        purge.exists(p => p(all).count() == all.count()))
-      return false
+    // (the run cached so counts + rewrite share one scan)
+    if (hot.size + cold.size <= 1 && purge.isDefined) {
+      all.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (purge.get(all).count() == all.count()) {
+        all.unpersist()
+        return false
+      }
+    }
     val gen = g + 1
     val staged = new Path(base, s"_staging/c$gen")
     val folded = purge.fold(all)(_(all))
@@ -445,6 +456,7 @@ object IdempotentSink {
         .write.mode("overwrite").partitionBy(routeCol).parquet(staged.toString)
       commitDir(fs, staged, new Path(base, s"c$gen"))
     }
+    all.unpersist() // no-op unless the vacuity check cached it
     commitManifest(fs, base, gen,
       consumed ++ hot.map(_._1) ++ cold.map(_.getName))
     hot.foreach { case (_, p) => fs.delete(p, true) }
