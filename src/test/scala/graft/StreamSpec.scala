@@ -1119,6 +1119,55 @@ class StreamSpec extends SparkSuite {
         "the restart/compaction boundary")
   }
 
+  test("st41: snapshot merge publisher survives a RESTART — predecessor " +
+    "resolved from the artifact, not driver memory") {
+    val s = spark
+    import s.implicits._
+    import graft.stream.VersionedSnapshot
+    val chunks = graft.queries.StreamQueries.ensureDocChunks(s, sf, 3)
+    val (scratch, add) = progressiveScratch(chunks)
+    add(0); add(1)
+    val base = java.nio.file.Files.createTempDirectory("snap-restart-").toString
+    val vbase = s"$base/view"
+    // the st41 publisher shape: every run is a FRESH closure with no
+    // carried driver state — the r20 self-review fix this test pins
+    // (an AtomicLong-prev publisher re-baselines batch 2 to its own
+    // delta after the restart, losing every chunk-0/1 count)
+    def run(): Unit = {
+      val q = s.readStream.schema(graft.model.Schemas.documents)
+        .option("maxFilesPerTrigger", 1).parquet(scratch)
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val s2 = batch.sparkSession
+          val delta = batch.groupBy(col("source"))
+            .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+          val prev = VersionedSnapshot.versionIds(s2, vbase)
+            .filter(_ < id).lastOption
+          val merged = prev.fold(delta)(p =>
+            VersionedSnapshot.read(s2, vbase, p)
+              .unionByName(delta).groupBy(col("source"))
+              .agg(sum(col("n")).as("n"), sum(col("sum_chars")).as("sum_chars")))
+          VersionedSnapshot.publish(merged, vbase, id)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    run() // batches 0,1 commit v0,v1; the driver's memory "dies" here
+    add(2)
+    run() // restart: the checkpoint skips 0-1, batch 2 must merge v1
+    val lastV = VersionedSnapshot.latestId(s, vbase)
+      .getOrElse(fail("no versions published"))
+    val got = VersionedSnapshot.read(s, vbase, lastV)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.model.Tables.documents(s, sf).groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("sum_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty,
+      "restarted merge publisher lost accumulated state (re-baselined " +
+        "to its own delta instead of resuming from the artifact)")
+  }
+
   test("st35: cross-batch semantic drop caught; probe shuffle ∝ the batch's " +
     "touched cells, not the accumulated index — including over a compacted run") {
     val s = spark
