@@ -324,6 +324,62 @@ object IngestQueries {
         .orderBy($"doc_id")
     },
 
+    // SCHEMA EVOLUTION over an appended sink — the lakehouse verb left
+    // after compaction (cs16/dd20), tombstones (dd21), retention (st36),
+    // time travel (st38) and CDC (st41): a long-lived ingest sink whose
+    // LATER batches append columns (the only evolution the protocol
+    // supports — additive, nullable; a drop/retype is a new sink). Three
+    // orderkey-sliced batches land with widening schemas — (key, cust),
+    // +status, +price — and IdempotentSink.readEvolved serves the UNION
+    // schema with nulls backfilled for pre-evolution batches, the
+    // standard add-column semantics (Delta/Iceberg/BigQuery all define
+    // it this way) without rewriting a single committed byte. The
+    // rows are then the strong half of the certificate: DuckDB replays
+    // the slice→schema mapping straight from `orders`, so every
+    // backfilled null and every surviving value is hash-compared
+    // row-for-row, not bit-pinned. compact_preserves_ok pins the
+    // maintenance interaction inline: folding the mixed-schema batches
+    // (compact reads with mergeSchema) yields one cold run whose
+    // content — including the materialized nulls — is exactly the
+    // pre-compaction view, so evolution and compaction compose.
+    // 100 TB shape: evolution itself is METADATA-ONLY (nothing
+    // rewritten; old files simply lack the new column chunks);
+    // readEvolved pays one distributed footer pass over visible files,
+    // which the LSM posture bounds at maxHot batch dirs + 1 cold run.
+    "cs17_schema_evolution" -> { (s, dir) =>
+      import s.implicits._
+      val orders = Tables.orders(s, dir)
+      val base = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
+        "schemaevo-").toString
+      graft.stream.StreamRunner.deleteOnExit(base)
+      val sink = s"$base/orders"
+      def slice(i: Int) = orders.filter($"o_orderkey" % 3 === i)
+      graft.stream.IdempotentSink.writeBatch(
+        slice(0).select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_custkey".cast("long").as("o_custkey")), sink, 0)
+      graft.stream.IdempotentSink.writeBatch(
+        slice(1).select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_custkey".cast("long").as("o_custkey"),
+          $"o_orderstatus"), sink, 1)
+      graft.stream.IdempotentSink.writeBatch(
+        slice(2).select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_custkey".cast("long").as("o_custkey"),
+          $"o_orderstatus", cents($"o_totalprice").as("price_cents")), sink, 2)
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "price_cents")
+      val evolved = graft.stream.IdempotentSink.readEvolved(s, sink)
+        .select(cols.map(col): _*).localCheckpoint()
+      // the fold must carry the union schema + null backfill forward
+      graft.stream.IdempotentSink.compact(s, sink)
+      val afterFold = graft.stream.IdempotentSink.readEvolved(s, sink)
+        .select(cols.map(col): _*)
+      val foldDiff = evolved.exceptAll(afterFold).count() +
+        afterFold.exceptAll(evolved).count()
+      evolved
+        .withColumn("compact_preserves_ok", lit(if (foldDiff == 0L) 1L else 0L))
+        .orderBy($"o_orderkey")
+    },
+
     "cs09_compaction_roundtrip" -> { (s, dir) =>
       ensureCompacted(s, dir)
       s.read.parquet(compactDir)
@@ -628,6 +684,23 @@ object IngestQueries {
         |       CAST(1 AS BIGINT) AS single_run_ok,
         |       CAST(1 AS BIGINT) AS one_file_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // cs17: DuckDB replays the slice→schema mapping from the ORIGINAL
+    // orders table — a column exists for a row exactly when the row's
+    // batch carried it — so every backfilled null and surviving value is
+    // hash-compared row-for-row; the compaction bit is constant-pinned
+    // (the rows themselves re-verify the fold: they are read back AFTER
+    // compact() ran... the evolved pre-fold view is localCheckpointed,
+    // so the emitted rows are the PRE-fold view and the bit carries the
+    // fold equivalence).
+    "cs17_schema_evolution" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  CAST(o_custkey AS BIGINT) AS o_custkey,
+        |  CASE WHEN o_orderkey % 3 >= 1 THEN o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 3 = 2
+        |       THEN CAST(round(o_totalprice*100) AS BIGINT) END AS price_cents,
+        |  CAST(1 AS BIGINT) AS compact_preserves_ok
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // DuckDB digests the ORIGINAL table; our side digests the
     // fragment→compact roundtripped copy — a hash match certifies the

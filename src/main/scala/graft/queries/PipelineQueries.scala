@@ -843,6 +843,128 @@ object PipelineQueries {
           $"pq_rerank_match", $"opq_rerank_match")
     },
 
+    // TOMBSTONE DELETION for the PERSISTED ANN INDEX (an14) — dd21's
+    // takedown contract carried to the similarity tier, the one index
+    // family that had no deletion story: the LSH band index deletes
+    // (dd21, live in st39), but a production vector index must serve the
+    // same right-to-be-forgotten without refitting. The deletable layout
+    // is the honest IVF shape: the assignment table lands CELL-ROUTED
+    // through IdempotentSink (one posting-list directory per cell, three
+    // id-sliced ingest batches), so a probe reads only its queries'
+    // nProbe cells — directory skip hot, partition filter cold — and
+    // dd20's compaction applies verbatim. The takedown, in dd21's two
+    // phases: (1) LOGICAL at probe time — the reader anti-joins the tiny
+    // tombstone artifact against the postings; deleted vectors drop from
+    // the corpus-join by construction (no corpus-side filter needed —
+    // a vector with no posting row is unreachable); effective
+    // immediately, zero rewrite; (2) PHYSICAL at the next compaction —
+    // the purge rides compactRouted's fold, after which the postings
+    // physically hold zero tombstoned rows. The CENTROIDS are a model,
+    // not member content, so they survive the takedown (the
+    // FAISS/Milvus remove_ids posture: postings shrink, geometry
+    // stands). Certs: no post-takedown result touches a tombstone; the
+    // purged artifact holds zero tombstoned postings; the post-purge
+    // probe (no logical filter) is bit-identical to the logical-phase
+    // probe; and the takedown is EXACT — results equal a fresh
+    // assignment table built from the live corpus under the same
+    // centroids (full_outer on (query, rank), cosines ≤1e-15 — same
+    // arithmetic on the same surviving pairs). takedown_effective_ok
+    // guards vacuity: either the pre-delete results really carried
+    // tombstoned neighbors (the deletion moved results) or deletion
+    // changed nothing AND no tombstone ever surfaced.
+    // n_queries/n_tombstones are DuckDB-recomputed so the tombstone rule
+    // (every 7th vector outside the query set) does real work wherever
+    // the corpus allows. 100 TB shape: tombstones are a broadcast-sized
+    // artifact; the logical phase adds one anti-join on the pruned
+    // postings read; the physical phase rides a rewrite the LSM layout
+    // already pays for.
+    "an14_ivf_index_tombstones" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter($"vec_id" < 10)
+      val key = s"emb-$dir"
+      val centers = Similarity.coarseQuantizer(emb, "vec_id", "embedding",
+        key, 16, 42L)
+      val base = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
+        "anntomb-").toString
+      graft.stream.StreamRunner.deleteOnExit(base)
+      val aDir = s"$base/postings"
+      // cell-routed posting-list ingest, three id-sliced batches; the
+      // route is a STRING copy of the payload cell (partitionBy strips
+      // the route column from the files; the payload copy is what
+      // ivfTopKWithIndex joins on)
+      (0 until 3).foreach { i =>
+        graft.stream.IdempotentSink.writeRoutedBatch(
+          Similarity.ivfAssignments(emb.filter($"vec_id" % 3 === i),
+              "vec_id", "embedding", centers)
+            .withColumn("cell_route", $"cell".cast("string")),
+          aDir, "cell_route", i)
+      }
+      // the takedown request, persisted as its own tiny artifact — every
+      // 7th vector outside the query set
+      emb.filter($"vec_id" % 7 === 3 && $"vec_id" >= 10)
+        .select($"vec_id".as("tid"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/tombstones")
+      val tomb = s.read.parquet(s"$base/tombstones").localCheckpoint()
+      val nTomb = tomb.count()
+      // bounded driver pull (the st34 posture): the queries' probed
+      // cells (≤ |queries| × nProbe ints) select which posting
+      // directories are even listed
+      val probedCells = Similarity.dupProbeRows(queries, "vec_id",
+          "embedding", centers, 4)
+        .select($"cell").distinct().collect().map(_.get(0).toString).toSeq
+      def postings() = graft.stream.IdempotentSink
+        .readRouted(s, aDir, "cell_route", Some(probedCells)).get
+      def search(assign: org.apache.spark.sql.DataFrame) =
+        Similarity.ivfTopKWithIndex(emb, queries, "vec_id", "embedding",
+          k = 5, centers = centers, assignments = assign, nProbe = 4)
+      def cmp(a: org.apache.spark.sql.DataFrame,
+              b: org.apache.spark.sql.DataFrame) =
+        a.select($"query_id", $"rank", $"neighbor_id".as("n_a"),
+            $"cosine".as("c_a"))
+          .join(b.select($"query_id", $"rank", $"neighbor_id".as("n_b"),
+            $"cosine".as("c_b")), Seq("query_id", "rank"), "full_outer")
+          .filter($"n_a".isNull || $"n_b".isNull || $"n_a" =!= $"n_b" ||
+            abs($"c_a" - $"c_b") > 1e-15)
+          .count()
+      // pre-delete probe: did the corpus even have tombstoned neighbors
+      // in range? (feeds the vacuity guard)
+      val pre = search(postings()).localCheckpoint()
+      val preTombHits = pre.join(tomb, pre("neighbor_id") === tomb("tid"),
+        "left_semi").count()
+      // (1) LOGICAL: anti-join the tombstones at probe time — no rewrite
+      val res1 = search(postings().join(tomb, col("vec_id") === col("tid"),
+        "left_anti")).localCheckpoint()
+      val tombHits = res1.join(tomb, res1("neighbor_id") === tomb("tid"),
+        "left_semi").count()
+      val effective = preTombHits > 0 || cmp(pre, res1) == 0
+      // (2) PHYSICAL: the purge rides the compaction fold
+      graft.stream.IdempotentSink.compactRouted(s, aDir, "cell_route",
+        shufflePartitions = 16,
+        purge = Some(df => df.join(tomb, df("vec_id") === tomb("tid"),
+          "left_anti")))
+      val allAfter = graft.stream.IdempotentSink
+        .readRouted(s, aDir, "cell_route").get
+      val purgedRows = allAfter.join(tomb, allAfter("vec_id") === tomb("tid"),
+        "left_semi").count()
+      // (3) post-purge probe needs no logical filter
+      val reprobeDiff = cmp(res1, search(postings()))
+      // (4) exactness: ≡ fresh postings from the live corpus, same centers
+      val liveCorpus = emb.join(tomb, emb("vec_id") === tomb("tid"),
+        "left_anti")
+      val freshDiff = cmp(res1, search(
+        Similarity.ivfAssignments(liveCorpus, "vec_id", "embedding", centers)))
+      queries.agg(count(lit(1)).cast("long").as("n_queries"))
+        .select($"n_queries",
+          lit(nTomb).as("n_tombstones"),
+          lit(if (tombHits == 0L) 1L else 0L).as("no_tombstone_hit_ok"),
+          lit(if (effective) 1L else 0L).as("takedown_effective_ok"),
+          lit(if (purgedRows == 0L) 1L else 0L).as("purged_ok"),
+          lit(if (reprobeDiff == 0L) 1L else 0L).as("reprobe_equal_ok"),
+          lit(if (freshDiff == 0L) 1L else 0L).as("fresh_equal_ok"))
+    },
+
     // Text-similarity search baseline: exact Jaccard top-3 neighbors for
     // the first 5 documents, via an inverted shingle index — candidates
     // are (query, doc) pairs sharing at least one 3-shingle, intersection
@@ -2024,6 +2146,23 @@ object PipelineQueries {
         |  CAST(1 AS BIGINT) AS pq_rerank_match,
         |  CAST(1 AS BIGINT) AS opq_rerank_match
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // an14: n_queries and n_tombstones recomputed independently (the
+    // takedown rule must do real work — a vacuous tombstone set would
+    // show up as a count mismatch); the five takedown bits are the
+    // constant-oracle part (see the an14 entry for what each pins).
+    "an14_ivf_index_tombstones" ->
+      """SELECT
+        |  CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10)
+        |    AS BIGINT) AS n_queries,
+        |  CAST((SELECT COUNT(*) FROM embeddings
+        |        WHERE vec_id % 7 = 3 AND vec_id >= 10)
+        |    AS BIGINT) AS n_tombstones,
+        |  CAST(1 AS BIGINT) AS no_tombstone_hit_ok,
+        |  CAST(1 AS BIGINT) AS takedown_effective_ok,
+        |  CAST(1 AS BIGINT) AS purged_ok,
+        |  CAST(1 AS BIGINT) AS reprobe_equal_ok,
+        |  CAST(1 AS BIGINT) AS fresh_equal_ok""".stripMargin,
 
     // n_points recomputed independently; the three quality bits are the
     // constant-oracle part (see the ml07 entry for what each pins).

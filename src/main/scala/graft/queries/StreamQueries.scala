@@ -2086,39 +2086,11 @@ object StreamQueries {
     "st41_snapshot_changes" -> { (s, dir) =>
       import s.implicits._
       import graft.stream.VersionedSnapshot
-      val scratch = ensureDocChunks(s, dir, 3)
       val base = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
         "snapcdc-").toString
       graft.stream.StreamRunner.deleteOnExit(base)
-      val vbase = s"$base/view"
-      val q = s.readStream.schema(Schemas.documents)
-        .option("maxFilesPerTrigger", 1).parquet(scratch)
-        .writeStream
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          val delta = batch.groupBy(col("source"))
-            .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
-          // merge input = the newest COMMITTED predecessor, resolved
-          // from the artifact itself — a restarted stream (checkpoint
-          // skips replayed batches, driver memory gone) resumes from
-          // the right state instead of silently re-baselining to the
-          // batch's own delta; on a retry of a committed id the merge
-          // is computed and then discarded by publish's no-op
-          val prev = VersionedSnapshot.versionIds(batch.sparkSession, vbase)
-            .filter(_ < id).lastOption
-          val merged = prev.fold(delta)(p =>
-            VersionedSnapshot.read(batch.sparkSession, vbase, p)
-              .unionByName(delta)
-              .groupBy(col("source"))
-              .agg(sum(col("n")).as("n"), sum(col("sum_chars")).as("sum_chars")))
-          VersionedSnapshot.publish(merged, vbase, id)
-        }
-        .start()
-      q.awaitTermination()
-      val lastV = VersionedSnapshot.latestId(s, vbase).getOrElse(
-        sys.error(s"st41 replay published no snapshot versions under $vbase"))
+      val (vbase, lastV) = sourceAggSnapshots(s, dir, base)
       // the genesis edge: changes from the empty artifact are exactly
       // the latest snapshot, all tagged insert (three bounded counts)
       val genesis = VersionedSnapshot
@@ -2138,6 +2110,98 @@ object StreamQueries {
         .orderBy($"change_type", $"source")
     },
 
+    // CDC CONSUMER: INCREMENTAL VIEW MAINTENANCE from the change feed
+    // (st42) — st41 produces the insert/delete delta; this entry is the
+    // op that feed EXISTS FOR: a downstream aggregate maintained by
+    // applying each version-to-version delta as SIGNED contributions
+    // (insert = +1, delete = −1 — count and sum are abelian-group
+    // aggregates, so an update's delete+insert pair nets to the value
+    // change; the classic IVM treatment), never rescanning the upstream
+    // snapshot. The downstream view (per source-group: #sources, total
+    // docs, total chars) is itself a VersionedSnapshot artifact whose
+    // version ids MIRROR the upstream's, and the consumer resolves its
+    // resume point from that artifact — a restarted consumer picks up
+    // exactly where its last committed version left off (the merge
+    // publisher's restart posture; SnapshotSpec pins the two-session
+    // replay). Certs: all_versions_equal_ok replays EVERY downstream
+    // version against a from-scratch aggregate over the upstream
+    // snapshot it consumed (delta application is exact at every step,
+    // not just the last); the emitted rows are the final maintained
+    // view, which DuckDB recomputes END-TO-END from the documents table
+    // — a consumer that dropped a delete or double-applied an insert
+    // hash-mismatches in the values, not in a bit. 100 TB shape: each
+    // consumer step touches |delta| rows + the bounded downstream view
+    // (one exceptAll-free merge join on the group key), never the
+    // upstream corpus; the from-scratch replays are the CERT, priced
+    // only at test SFs.
+    "st42_cdc_incremental_view" -> { (s, dir) =>
+      import s.implicits._
+      import graft.stream.VersionedSnapshot
+      val base = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
+        "cdcivm-").toString
+      graft.stream.StreamRunner.deleteOnExit(base)
+      val (vbase, lastV) = sourceAggSnapshots(s, dir, base)
+      val dbase = s"$base/downstream"
+      def groupKey(c: org.apache.spark.sql.Column) =
+        substring(c, 4, 10).cast("long") % 4
+      val outCols = Seq($"src_group", $"n_sources", $"total_docs",
+        $"total_chars")
+      VersionedSnapshot.versionIds(s, vbase).foreach { id =>
+        // resume point from the DOWNSTREAM artifact, not driver memory
+        val prev = VersionedSnapshot.versionIds(s, dbase)
+          .filter(_ < id).lastOption
+        val delta = VersionedSnapshot.readChanges(s, vbase,
+            prev.getOrElse(VersionedSnapshot.Genesis), id)
+          .withColumn("sgn",
+            when($"_change_type" === "insert", 1L).otherwise(-1L))
+          .groupBy(groupKey($"source").as("src_group"))
+          .agg(sum($"sgn").as("d_sources"),
+            sum($"sgn" * $"n").as("d_docs"),
+            sum($"sgn" * $"sum_chars").as("d_chars"))
+        val merged = prev match {
+          case None => delta
+            .select($"src_group", $"d_sources".as("n_sources"),
+              $"d_docs".as("total_docs"), $"d_chars".as("total_chars"))
+            .filter($"n_sources" > 0)
+          case Some(p) => VersionedSnapshot.read(s, dbase, p)
+            .join(delta, Seq("src_group"), "full_outer")
+            .select($"src_group",
+              (coalesce($"n_sources", lit(0L)) +
+                coalesce($"d_sources", lit(0L))).as("n_sources"),
+              (coalesce($"total_docs", lit(0L)) +
+                coalesce($"d_docs", lit(0L))).as("total_docs"),
+              (coalesce($"total_chars", lit(0L)) +
+                coalesce($"d_chars", lit(0L))).as("total_chars"))
+            // a group whose last source vanished leaves the view (the
+            // delete half of IVM; pure-growth upstreams never hit it)
+            .filter($"n_sources" > 0)
+        }
+        VersionedSnapshot.publish(merged.select(outCols: _*), dbase, id)
+      }
+      // cert: EVERY downstream version ≡ a from-scratch aggregate over
+      // the upstream snapshot it consumed (bounded: one pair of bounded
+      // frames per version; versions = micro-batches = 3 here)
+      def scratchOf(id: Long) = VersionedSnapshot.readAt(s, vbase, id)
+        .groupBy(groupKey($"source").as("src_group"))
+        .agg(count(lit(1)).as("n_sources"), sum($"n").as("total_docs"),
+          sum($"sum_chars").as("total_chars"))
+        .select(outCols: _*)
+      val nVersions = VersionedSnapshot.versionIds(s, dbase).length
+      val allEqual = VersionedSnapshot.versionIds(s, dbase).forall { id =>
+        val inc = VersionedSnapshot.readAt(s, dbase, id).select(outCols: _*)
+        val sc = scratchOf(id)
+        inc.exceptAll(sc).count() == 0 && sc.exceptAll(inc).count() == 0
+      }
+      VersionedSnapshot.readAt(s, dbase, lastV)
+        .select($"src_group", $"n_sources".cast("long").as("n_sources"),
+          $"total_docs".cast("long").as("total_docs"),
+          $"total_chars".cast("long").as("total_chars"),
+          lit(nVersions.toLong).as("n_versions"),
+          lit(if (allEqual) 1L else 0L).as("all_versions_equal_ok"))
+        .orderBy($"src_group")
+    },
+
     "st12_stream_hll_window" -> { (s, dir) =>
       import s.implicits._
       val (finals, _) = windowedSketchReplay(s, dir, nFiles = 3)
@@ -2152,6 +2216,47 @@ object StreamQueries {
             .otherwise(0L).as("sketch_ok"))
         .orderBy($"w_start")
     })
+
+  /** st41/st42's shared upstream publisher: the st15-shaped merge loop
+    * over the per-source document aggregate, replayed across the three
+    * content-addressed doc_id%3 chunks — each micro-batch publishes a
+    * full (source, n, sum_chars) snapshot version through
+    * [[graft.stream.VersionedSnapshot]]. The merge input is the newest
+    * COMMITTED predecessor, resolved from the artifact itself — a
+    * restarted stream (checkpoint skips replayed batches, driver memory
+    * gone) resumes from the right state instead of silently
+    * re-baselining to the batch's own delta; on a retry of a committed
+    * id the merge is computed and then discarded by publish's no-op
+    * (StreamSpec pins the two-session replay). Returns (vbase, last
+    * committed version id). */
+  private def sourceAggSnapshots(s: org.apache.spark.sql.SparkSession,
+                                 dir: String, base: String): (String, Long) = {
+    import graft.stream.VersionedSnapshot
+    val scratch = ensureDocChunks(s, dir, 3)
+    val vbase = s"$base/view"
+    val q = s.readStream.schema(Schemas.documents)
+      .option("maxFilesPerTrigger", 1).parquet(scratch)
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val delta = batch.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        val prev = VersionedSnapshot.versionIds(batch.sparkSession, vbase)
+          .filter(_ < id).lastOption
+        val merged = prev.fold(delta)(p =>
+          VersionedSnapshot.read(batch.sparkSession, vbase, p)
+            .unionByName(delta)
+            .groupBy(col("source"))
+            .agg(sum(col("n")).as("n"), sum(col("sum_chars")).as("sum_chars")))
+        VersionedSnapshot.publish(merged, vbase, id)
+      }
+      .start()
+    q.awaitTermination()
+    val lastV = VersionedSnapshot.latestId(s, vbase).getOrElse(
+      sys.error(s"snapshot replay published no versions under $vbase"))
+    (vbase, lastV)
+  }
 
   /** st15's engine, shared with StreamSpec and st36: maintain the
     * per-(day, type) aggregate view across a chunked `nFiles`-micro-batch
@@ -3338,6 +3443,24 @@ object StreamQueries {
         |SELECT source, n, sum_chars, 'delete' AS change_type,
         |       CAST(1 AS BIGINT) AS genesis_equiv_ok FROM del
         |ORDER BY change_type, source""".stripMargin,
+
+    // st42: DuckDB recomputes the final maintained view END-TO-END from
+    // the documents table (per-source aggregate → source-group rollup) —
+    // a consumer that dropped a delete or double-applied an insert
+    // mismatches in the VALUES; n_versions (3 chunks) and the
+    // every-version replay bit are the constant-oracle part.
+    "st42_cdc_incremental_view" ->
+      """WITH per_source AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY source)
+        |SELECT CAST(substr(source, 4) AS BIGINT) % 4 AS src_group,
+        |  CAST(count(*) AS BIGINT) AS n_sources,
+        |  CAST(sum(n) AS BIGINT) AS total_docs,
+        |  CAST(sum(sum_chars) AS BIGINT) AS total_chars,
+        |  CAST(3 AS BIGINT) AS n_versions,
+        |  CAST(1 AS BIGINT) AS all_versions_equal_ok
+        |FROM per_source GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // st15's one-shot view plus the retention/immutability cert bits —
     // retention must not change the maintained content, so the oracle is

@@ -112,10 +112,31 @@ object IdempotentSink {
     * a crash interrupted compaction's cleanup; the manifest, not the
     * listing, is the source of truth). A never-compacted sink takes the
     * original single recursive scan. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readVisible(spark, dir, mergeSchema = false)
+
+  /** [[read]] with parquet schema MERGING — the reader for a sink whose
+    * later batches evolved the schema. Supported evolution is ADDITIVE
+    * ONLY (a later batch may append nullable columns; never drop or
+    * retype one — that is a new sink): older batches surface the new
+    * columns as nulls, the standard lakehouse add-column semantics.
+    * Merging costs a distributed footer read over every visible file,
+    * which is why it is a separate verb instead of [[read]]'s default —
+    * a fixed-schema consumer should not pay it per probe. [[compact]]
+    * folds with merging unconditionally (it scans those files fully
+    * anyway), so compaction PRESERVES an evolved sink: the cold run
+    * carries the union schema with nulls materialized (cs17 certifies
+    * the round-trip; CompactionSpec pins the null backfill). */
+  def readEvolved(spark: SparkSession, dir: String): DataFrame =
+    readVisible(spark, dir, mergeSchema = true)
+
+  private def readVisible(spark: SparkSession, dir: String,
+                          mergeSchema: Boolean): DataFrame = {
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (g, _, paths) = visibleFlat(fs, base)
+    val reader = spark.read.option("recursiveFileLookup", "true")
+      .option("mergeSchema", mergeSchema)
     // the single recursive scan is only safe while no c-run exists AT
     // ALL: an orphan run from a compaction that crashed before its
     // manifest committed (even a FIRST compaction, when no manifest
@@ -123,10 +144,8 @@ object IdempotentSink {
     // list guarantees and a blind recursive scan would not
     val anyCold = fs.exists(base) &&
       fs.listStatus(base).exists(st => isGenDir(st.getPath.getName, 'c'))
-    if ((g == 0L && !anyCold) || paths.isEmpty)
-      spark.read.option("recursiveFileLookup", "true").parquet(dir)
-    else spark.read.option("recursiveFileLookup", "true")
-      .parquet(paths.map(_.toString): _*)
+    if ((g == 0L && !anyCold) || paths.isEmpty) reader.parquet(dir)
+    else reader.parquet(paths.map(_.toString): _*)
   }
 
   /** Run every partition of a re-attempted batch without writing anything
@@ -286,7 +305,14 @@ object IdempotentSink {
     val (g, consumed, paths) = visibleFlat(fs, base)
     // nothing to fold: empty sink, or one run and no purge requested
     if (paths.isEmpty || (paths.size <= 1 && purge.isEmpty)) return false
+    // mergeSchema: an ADDITIVELY-evolved sink (see readEvolved) must fold
+    // to the union schema with nulls backfilled — without it the fold's
+    // schema is whichever file's footer wins, silently DROPPING evolved
+    // columns from the cold run. Uniform sinks are unaffected (merging
+    // identical schemas is the identity) and the fold scans these files
+    // fully anyway, so the footer pass is noise here.
     val folded = spark.read.option("recursiveFileLookup", "true")
+      .option("mergeSchema", "true")
       .parquet(paths.map(_.toString): _*)
     // vacuous-takedown skip: the fold would run ONLY to serve the purge,
     // so decide before rewriting — zero matched rows = bytes already

@@ -337,4 +337,45 @@ class CompactionSpec extends SparkSuite {
     assert(got == (0L until 8L).toSet, "routed policy folds changed content")
     assert(dirNames(base).count(_.matches("c\\d+")) == 1)
   }
+
+  test("schema evolution: readEvolved serves the union schema with null " +
+    "backfill; committed bytes untouched (cs17's contract)") {
+    val s = spark
+    import s.implicits._
+    val base = tmp("cmp-evo-")
+    IdempotentSink.writeBatch(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), base, 0)
+    val b0Files = ls(s"$base/b0").filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).sorted
+    IdempotentSink.writeBatch(
+      Seq((3L, "c", 30L)).toDF("k", "v", "extra"), base, 1)
+    val evolved = IdempotentSink.readEvolved(spark, base)
+      .select(col("k"), col("v"), col("extra"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(evolved == Set((1L, "a", -1L), (2L, "b", -1L), (3L, "c", 30L)),
+      "evolved read must null-backfill the added column for older batches")
+    // evolution is metadata-only: batch 0's committed files are untouched
+    val b0After = ls(s"$base/b0").filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).sorted
+    assert(b0After == b0Files, "adding a column must rewrite nothing")
+  }
+
+  test("schema evolution: compact folds to the union schema — evolved " +
+    "columns survive the rewrite with nulls materialized") {
+    val s = spark
+    import s.implicits._
+    val base = tmp("cmp-evo2-")
+    IdempotentSink.writeBatch(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), base, 0)
+    IdempotentSink.writeBatch(
+      Seq((3L, "c", 30L)).toDF("k", "v", "extra"), base, 1)
+    assert(IdempotentSink.compact(spark, base))
+    val folded = IdempotentSink.read(spark, base) // one run: merge not needed
+    assert(folded.columns.toSet == Set("k", "v", "extra"),
+      s"fold dropped evolved columns: ${folded.columns.mkString(",")}")
+    val got = folded.select(col("k"), col("v"), col("extra"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set((1L, "a", -1L), (2L, "b", -1L), (3L, "c", 30L)),
+      "fold must preserve evolved content incl. backfilled nulls")
+  }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.stream.VersionedSnapshot
 
 /** The versioned-snapshot artifact (stream/VersionedSnapshot): atomic
@@ -206,5 +208,61 @@ class SnapshotSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("1, 2"),
       s"pruned from-endpoint must fail fast naming committed ids: ${e.getMessage}")
+  }
+
+  test("CDC consumer (st42's loop) resumes from its own artifact: a " +
+    "two-session consume equals the one-shot maintenance") {
+    val s = spark
+    import s.implicits._
+    val up = tmp("snap-ivm-up-")
+    // upstream merge publisher with an UPDATE (k=1 changes value) so the
+    // consumer must net a delete+insert pair, not just apply inserts
+    VersionedSnapshot.publish(Seq((1L, 10L), (2L, 5L)).toDF("k", "x"), up, 0L)
+    VersionedSnapshot.publish(Seq((1L, 12L), (2L, 5L), (3L, 7L)).toDF("k", "x"), up, 1L)
+    VersionedSnapshot.publish(Seq((1L, 12L), (3L, 9L)).toDF("k", "x"), up, 2L)
+    // one step of the st42 loop: fold the signed delta into downstream
+    // (group = k % 2), resolving the resume point from the artifact
+    def step(down: String, id: Long): Unit = {
+      val prev = VersionedSnapshot.versionIds(s, down).filter(_ < id).lastOption
+      val delta = VersionedSnapshot.readChanges(s, up,
+          prev.getOrElse(VersionedSnapshot.Genesis), id)
+        .withColumn("sgn", when(col("_change_type") === "insert", 1L)
+          .otherwise(-1L))
+        .groupBy((col("k") % 2).as("g"))
+        .agg(sum(col("sgn")).as("d_n"), sum(col("sgn") * col("x")).as("d_x"))
+      val merged = prev match {
+        case None => delta.select(col("g"), col("d_n").as("n"),
+          col("d_x").as("sx")).filter(col("n") > 0)
+        case Some(p) => VersionedSnapshot.read(s, down, p)
+          .join(delta, Seq("g"), "full_outer")
+          .select(col("g"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n"),
+            (coalesce(col("sx"), lit(0L)) + coalesce(col("d_x"), lit(0L))).as("sx"))
+          .filter(col("n") > 0)
+      }
+      VersionedSnapshot.publish(merged, down, id)
+    }
+    def viewOf(down: String) = VersionedSnapshot
+      .readAt(s, down, VersionedSnapshot.latestId(s, down).get)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = tmp("snap-ivm-a-")
+    Seq(0L, 1L, 2L).foreach(step(oneShot, _))
+    val twoSession = tmp("snap-ivm-b-")
+    step(twoSession, 0L) // session one ends after version 0
+    // session two: fresh loop over every upstream version; the resume
+    // point comes from the downstream artifact, and re-stepping the
+    // already-consumed version is discarded by publish's no-op
+    Seq(0L, 1L, 2L).foreach(step(twoSession, _))
+    val expected = Set((1L, 2L, 21L), (0L, 0L, 0L)) // g=1: k=1,3 → n=2, 12+9
+      .filter(_._2 > 0)
+    assert(viewOf(oneShot) == expected, s"one-shot view wrong: ${viewOf(oneShot)}")
+    assert(viewOf(twoSession) == viewOf(oneShot),
+      "two-session consume diverged from one-shot")
+    // and both equal a from-scratch aggregate over the latest upstream
+    val scratch = VersionedSnapshot.readAt(s, up, 2L)
+      .groupBy((col("k") % 2).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viewOf(oneShot) == scratch, "incremental view != scratch recompute")
   }
 }
