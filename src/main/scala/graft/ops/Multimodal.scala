@@ -421,6 +421,32 @@ object Multimodal {
     (sumR, sumG, sumB, momR)
   }
 
+  /** 64-bit average-hash (aHash) of a raster, the classic perceptual
+    * image fingerprint: nearest-resize to 8×8, integer grayscale
+    * `(r+g+b)/3` per cell, one bit per cell set iff the cell is at or
+    * above the grid mean. Pure integer arithmetic throughout — the mean
+    * comparison is `gray·64 ≥ Σgray`, never a float divide — so the
+    * DuckDB oracle replays every bit from the pixel generator. Emitted
+    * as a 64-char '0'/'1' string in row-major bit order: exact to
+    * hash-compare, and substring-sliceable into Hamming-join bands
+    * without sign games on packed longs. */
+  def aHash64Bits(r: Raster): String = {
+    val t = resizeNearest(r, 8, 8)
+    val gray = new Array[Int](64)
+    var sum = 0L
+    var k = 0
+    while (k < 64) {
+      val p = t.rgb(k)
+      gray(k) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+      sum += gray(k)
+      k += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    k = 0
+    while (k < 64) { sb.append(if (gray(k) * 64L >= sum) '1' else '0'); k += 1 }
+    sb.toString
+  }
+
   /** Thumbnail pipeline over payload rows: REAL decode → nearest-neighbor
     * resize → REAL re-encode as BMP → REAL second decode → exact stats of
     * the re-decoded thumbnail. The double round-trip means the emitted
@@ -498,9 +524,16 @@ object Multimodal {
   /** Canonical 16-bit mono PCM WAV: RIFF header, `fmt ` chunk (PCM,
     * rates/alignment derived, not hardcoded garbage), `data` chunk with
     * little-endian samples. */
-  def encodeWav(docId: Long): Array[Byte] = {
-    val n = nSamplesOf(docId)
-    val rate = sampleRateOf(docId)
+  def encodeWav(docId: Long): Array[Byte] =
+    encodeWavPcm(sampleRateOf(docId),
+      Array.tabulate(nSamplesOf(docId))(i => sampleAt(docId, i)))
+
+  /** WAV writer for an arbitrary sample array — the derived-audio encode
+    * path (mm08's resampled output), with [[encodeWav]] delegating for
+    * generator audio (MultimodalSpec's WAV byte pins certify the
+    * delegation is bit-exact). */
+  def encodeWavPcm(rate: Int, samples: Array[Int]): Array[Byte] = {
+    val n = samples.length
     val dataSize = 2 * n
     val b = java.nio.ByteBuffer.allocate(44 + dataSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -515,7 +548,7 @@ object Multimodal {
       .putShort(16)           // bits per sample
     b.put("data".getBytes("US-ASCII")).putInt(dataSize)
     var i = 0
-    while (i < n) { b.putShort(sampleAt(docId, i).toShort); i += 1 }
+    while (i < n) { b.putShort(samples(i).toShort); i += 1 }
     b.array()
   }
 
@@ -559,6 +592,71 @@ object Multimodal {
     }
     require(nSamples > 0, "no data chunk found")
     AudioMeta(rate, channels, bits, nSamples, sumS, sumAbs, momS)
+  }
+
+  /** Full PCM sample decode — the input to per-sample transforms
+    * (resample, trim, gain), where [[decodeWav]] folds to statistics.
+    * Same chunk walk; returns (sampleRate, samples). */
+  def decodeWavSamples(p: Array[Byte]): (Int, Array[Int]) = {
+    require(p != null && p.length >= 12, "truncated WAV payload")
+    val b = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(p, off, 4, "US-ASCII")
+    require(tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"not a RIFF/WAVE payload: ${tag(0)}/${tag(8)}")
+    var off = 12
+    var rate = -1
+    var samples: Array[Int] = null
+    while (off + 8 <= p.length) {
+      val id = tag(off); val size = b.getInt(off + 4)
+      id match {
+        case "fmt " =>
+          require(b.getShort(off + 8) == 1 && b.getShort(off + 10) == 1 &&
+            b.getShort(off + 22) == 16, "PCM 16-bit mono only")
+          rate = b.getInt(off + 12)
+        case "data" =>
+          require(rate > 0, "WAV data chunk before fmt chunk")
+          val n = size / 2
+          samples = new Array[Int](n)
+          var i = 0
+          while (i < n) { samples(i) = b.getShort(off + 8 + 2 * i).toInt; i += 1 }
+        case _ => // unknown chunk: skip
+      }
+      off += 8 + size + (size & 1)
+    }
+    require(samples != null && samples.length > 0, "no data chunk found")
+    (rate, samples)
+  }
+
+  /** Integer-exact linear resample of mono PCM to `dstRate`. Output j
+    * sits at source position j·srcRate/dstRate, held as the exact
+    * rational (idx = j·src div dst, frac = (j·src) mod dst — both
+    * non-negative); the interpolated value is
+    * (s[idx]·(dst−frac) + s[idx+1]·frac) / dst with division TRUNCATED
+    * toward zero — the native integer division of both Java and
+    * DuckDB's `//` (which truncates, NOT floors: −5 // 2 = −2), so the
+    * oracle replays every sample with the bare operator on both sides.
+    * n_out = (n_in−1)·dst div src + 1 — every output position lands
+    * inside the source span, and frac = 0 whenever idx is the last
+    * sample, so s[idx+1] is never read out of bounds. At src = dst this
+    * degenerates to the identity (frac = 0 everywhere) — the pin
+    * MultimodalSpec asserts. */
+  def resampleLinear(samples: Array[Int], srcRate: Int, dstRate: Int): Array[Int] = {
+    require(srcRate > 0 && dstRate > 0, s"bad rates $srcRate -> $dstRate")
+    val nIn = samples.length
+    val nOut = ((nIn - 1).toLong * dstRate / srcRate).toInt + 1
+    val out = new Array[Int](nOut)
+    var j = 0
+    while (j < nOut) {
+      val posNum = j.toLong * srcRate
+      val idx = (posNum / dstRate).toInt
+      val frac = posNum % dstRate
+      out(j) =
+        if (frac == 0) samples(idx)
+        else ((samples(idx).toLong * (dstRate - frac) +
+          samples(idx + 1).toLong * frac) / dstRate).toInt
+      j += 1
+    }
+    out
   }
 
   /** Attach a real WAV payload per document (the audio sibling of

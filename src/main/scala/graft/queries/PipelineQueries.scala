@@ -1482,6 +1482,117 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // AUDIO RESAMPLE — the per-sample transform tier for the audio
+    // column (mm05's role on the WAV corpus): REAL chunk-walk decode to
+    // the full PCM array → integer-exact linear resample to a common
+    // 8 kHz (the ASR-pipeline normalization step; the corpus mixes
+    // 8/12/16 kHz) → derived-audio WAV re-encode → second decode →
+    // exact integer stats of the re-decoded samples. One hash certifies
+    // decode, the rational-arithmetic interpolation (TRUNCATING integer
+    // division on both sides — DuckDB's `//` truncates toward zero,
+    // −5 // 2 = −2, exactly like Java's `/`; a floorDiv here would
+    // diverge on negative samples), the derived encode, and the second
+    // decode at once; the
+    // 8 kHz third of the corpus pins the identity path (frac = 0
+    // everywhere). Per-partition codec batching as everywhere in mm*.
+    "mm08_audio_resample" -> { (s, dir) =>
+      import s.implicits._
+      Multimodal.withAudioPayload(Tables.documents(s, dir))
+        .select(col("doc_id").as("id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, p) =>
+            val (rate, smp) = Multimodal.decodeWavSamples(p)
+            val derived = Multimodal.encodeWavPcm(8000,
+              Multimodal.resampleLinear(smp, rate, 8000))
+            val (rate2, out) = Multimodal.decodeWavSamples(derived)
+            var sumS = 0L; var sumAbs = 0L; var mom = 0L
+            var j = 0
+            while (j < out.length) {
+              val v = out(j)
+              sumS += v; sumAbs += math.abs(v); mom += j.toLong * v
+              j += 1
+            }
+            (id, rate.toLong, rate2.toLong, smp.length.toLong,
+              out.length.toLong, sumS, sumAbs, mom)
+          }
+        }
+        .toDF("doc_id", "src_rate", "dst_rate", "n_in", "n_out",
+          "sum_out", "sum_abs_out", "mom_out")
+        .orderBy($"doc_id")
+    },
+
+    // PERCEPTUAL-HASH NEAR-DUP over the BINARY image corpus — the
+    // multimodal twin of dd01: near-duplicate detection where "content"
+    // is pixels, not text (the CommonCrawl-image / LAION curation step).
+    // Pipeline, every stage REAL and replayed bit-exact by the oracle:
+    //  1. decode payload (BMP/PPM walkers) → aHash64 (8×8 nearest
+    //     resize, integer grayscale, mean threshold — Multimodal
+    //     .aHash64Bits), emitted as the hash-checked `ahash` column;
+    //  2. a PLANTED near-duplicate twin per doc: source pixel (0,0)'s
+    //     red channel bumped `(r+8) % 256`, re-encoded through the BMP
+    //     writer, re-decoded, re-hashed — a real "same image, touched
+    //     up + recompressed" neighbor with known ground truth;
+    //  3. banded Hamming join: 4 bands × 16 bits, originals ⋈ twins on
+    //     band equality — by pigeonhole COMPLETE for Hamming ≤ 3, so
+    //     `n_neardups` (verified cross-doc pairs at ≤ 3) is EXACT, and
+    //     `guarantee_ok` (twin found whenever its distance ≤ 3) is
+    //     computed per doc, never pinned.
+    // Scale shape: the fingerprint pass is one narrow map (64 chars +
+    // id per image — the persisted-index candidate, cf. dd17); the join
+    // shuffles bands, never payloads; candidate volume is banding's,
+    // not n² (hot-band caps would ride in via dd12's machinery). The
+    // fingerprint frame is computed once and reused across all four
+    // consumers (twin distance, both band sides, verify) — cache, not
+    // recompute, is the right call for a bounded derived table.
+    "mm07_phash_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val hashes = Multimodal.withPayload(Tables.documents(s, dir))
+        .select(col("doc_id").as("id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, payload) =>
+            val src = Multimodal.decodePixels(payload)
+            val ha = Multimodal.aHash64Bits(src)
+            val twinRgb = src.rgb.clone()
+            val p0 = twinRgb(0)
+            twinRgb(0) = (((((p0 >> 16) & 0xff) + 8) % 256) << 16) | (p0 & 0xffff)
+            val twinBytes = Multimodal.encodeBmpPixels(src.width, src.height, twinRgb)
+            val ht = Multimodal.aHash64Bits(Multimodal.decodePixels(twinBytes))
+            (id, ha, ht)
+          }
+        }.toDF("doc_id", "ahash", "ahash_twin").cache()
+      def bandsOf(hashCol: String, idAs: String) = hashes
+        .select(col("doc_id").as(idAs),
+          explode(expr("sequence(0, 3)")).as("b"), col(hashCol))
+        .select(col(idAs), col("b"),
+          expr(s"substring($hashCol, b*16 + 1, 16)").as("band"))
+      val cand = bandsOf("ahash", "id_o").join(bandsOf("ahash_twin", "id_t"),
+          Seq("b", "band"))
+        .select($"id_o", $"id_t").distinct()
+      val hamming = (a: String, b: String) => expr(
+        s"CAST(aggregate(sequence(1, 64), 0, (acc, i) -> acc + " +
+          s"IF(substring($a, i, 1) = substring($b, i, 1), 0, 1)) AS LONG)")
+      val verified = cand
+        .join(hashes.select($"doc_id".as("id_o"), $"ahash".as("ha")), "id_o")
+        .join(hashes.select($"doc_id".as("id_t"), $"ahash_twin".as("ht")), "id_t")
+        .withColumn("dist", hamming("ha", "ht"))
+      val perDoc = verified.groupBy($"id_o".as("doc_id")).agg(
+        count(when($"id_t" =!= $"id_o", 1)).as("n_band_cands"),
+        count(when($"id_t" =!= $"id_o" && $"dist" <= 3, 1)).as("n_neardups"),
+        max(when($"id_t" === $"id_o", 1L).otherwise(0L)).as("twin_found"))
+      hashes
+        .withColumn("twin_dist", hamming("ahash", "ahash_twin"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select($"doc_id", $"ahash", $"twin_dist",
+          coalesce($"twin_found", lit(0L)).as("twin_found"),
+          when($"twin_dist" > 3 || coalesce($"twin_found", lit(0L)) === 1L, 1L)
+            .otherwise(0L).as("guarantee_ok"),
+          coalesce($"n_band_cands", lit(0L)).as("n_band_cands"),
+          coalesce($"n_neardups", lit(0L)).as("n_neardups"))
+        .orderBy($"doc_id")
+    },
+
     // Trained KMeans over embeddings, upgraded from rows-only to a
     // SELF-CERTIFYING oracle row (the an03/dd06 pattern): the fit runs on
     // a bounded deterministic hash sample (single-partition, sorted — see
@@ -2576,6 +2687,95 @@ object PipelineQueries {
         |  CAST(agg.sum_b AS BIGINT) AS sum_b,
         |  CAST(agg.mom_r AS BIGINT) AS mom_r
         |FROM d JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Replays the whole perceptual pipeline from the pixel GENERATOR:
+    // 8×8 nearest resize (mm05's coordinate election), integer
+    // grayscale, the `gray·64 ≥ Σgray` mean threshold, the planted
+    // (r+8)%256 perturbation, 4×16 banding, candidate verify — so the
+    // hash compare certifies decode, resize, threshold, band join, AND
+    // the Hamming verify at once. The guarantee bit is COMPUTED on both
+    // sides (twin found whenever its distance ≤ 3 — banding's pigeonhole
+    // completeness), never pinned.
+    "mm07_phash_neardup" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 21) + 4 AS w, (doc_id % 13) + 3 AS h
+        |           FROM documents),
+        |ys AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS oy FROM d),
+        |xs AS (SELECT doc_id, w, h, oy, unnest(range(0, 8)) AS ox FROM ys),
+        |px AS (SELECT doc_id, oy, ox, (oy*h)//8 AS sy, (ox*w)//8 AS sx FROM xs),
+        |g AS (SELECT doc_id, oy, ox,
+        |        (((doc_id*7 + 11*sy + 13*sx) % 256) + ((doc_id*5 + 3*sy + 17*sx) % 256)
+        |          + ((doc_id*3 + 19*sy + 5*sx) % 256)) // 3 AS gray,
+        |        (((doc_id*7 + 11*sy + 13*sx + CASE WHEN sy = 0 AND sx = 0 THEN 8 ELSE 0 END) % 256)
+        |          + ((doc_id*5 + 3*sy + 17*sx) % 256)
+        |          + ((doc_id*3 + 19*sy + 5*sx) % 256)) // 3 AS gray_t
+        |      FROM px),
+        |tot AS (SELECT doc_id, sum(gray) AS sg, sum(gray_t) AS sgt FROM g GROUP BY doc_id),
+        |bits AS (SELECT g.doc_id, oy, ox,
+        |           CASE WHEN gray*64 >= sg THEN 1 ELSE 0 END AS bo,
+        |           CASE WHEN gray_t*64 >= sgt THEN 1 ELSE 0 END AS bt
+        |         FROM g JOIN tot USING (doc_id)),
+        |h AS (SELECT doc_id,
+        |        string_agg(CAST(bo AS VARCHAR), '' ORDER BY oy, ox) AS ha,
+        |        string_agg(CAST(bt AS VARCHAR), '' ORDER BY oy, ox) AS ht,
+        |        CAST(sum(CASE WHEN bo <> bt THEN 1 ELSE 0 END) AS BIGINT) AS twin_dist
+        |      FROM bits GROUP BY doc_id),
+        |bnd AS (SELECT doc_id, unnest(range(0, 4)) AS b, ha, ht FROM h),
+        |po AS (SELECT doc_id, b, substr(ha, CAST(b*16 + 1 AS INT), 16) AS band FROM bnd),
+        |pt AS (SELECT doc_id, b, substr(ht, CAST(b*16 + 1 AS INT), 16) AS band FROM bnd),
+        |cand AS (SELECT DISTINCT po.doc_id AS id_o, pt.doc_id AS id_t
+        |         FROM po JOIN pt ON po.b = pt.b AND po.band = pt.band),
+        |vc AS (SELECT c.id_o, c.id_t,
+        |         len(list_filter(range(1, 65),
+        |             i -> substr(a.ha, CAST(i AS INT), 1) <> substr(b.ht, CAST(i AS INT), 1))) AS dist
+        |       FROM cand c JOIN h a ON c.id_o = a.doc_id JOIN h b ON c.id_t = b.doc_id),
+        |agg AS (SELECT id_o AS doc_id,
+        |          CAST(count(CASE WHEN id_t <> id_o THEN 1 END) AS BIGINT) AS n_band_cands,
+        |          CAST(count(CASE WHEN id_t <> id_o AND dist <= 3 THEN 1 END) AS BIGINT) AS n_neardups,
+        |          CAST(max(CASE WHEN id_t = id_o THEN 1 ELSE 0 END) AS BIGINT) AS twin_found
+        |        FROM vc GROUP BY id_o)
+        |SELECT h.doc_id, h.ha AS ahash, h.twin_dist,
+        |       COALESCE(agg.twin_found, 0) AS twin_found,
+        |       CAST(CASE WHEN h.twin_dist > 3 OR COALESCE(agg.twin_found, 0) = 1
+        |            THEN 1 ELSE 0 END AS BIGINT) AS guarantee_ok,
+        |       COALESCE(agg.n_band_cands, 0) AS n_band_cands,
+        |       COALESCE(agg.n_neardups, 0) AS n_neardups
+        |FROM h LEFT JOIN agg USING (doc_id)
+        |ORDER BY h.doc_id""".stripMargin,
+
+    // Replays generator → rational resample arithmetic (idx/frac from
+    // integer division; interpolation divides with `//`, which in
+    // DuckDB TRUNCATES toward zero — matching Java's `/` on the Spark
+    // side) — the WAV codec round-trips are certified by the hash
+    // matching at all: a misdecoded or misencoded sample breaks
+    // sum/abs/moment.
+    "mm08_audio_resample" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 400) + 100 AS n_in,
+        |                  8000 + (doc_id % 3) * 4000 AS src_rate
+        |           FROM documents),
+        |js AS (SELECT doc_id, n_in, src_rate,
+        |              unnest(range(0, ((n_in - 1) * 8000) // src_rate + 1)) AS j
+        |       FROM d),
+        |pos AS (SELECT doc_id, n_in, src_rate, j,
+        |               (j * src_rate) // 8000 AS idx,
+        |               (j * src_rate) % 8000 AS frac
+        |        FROM js),
+        |o AS (SELECT doc_id, n_in, src_rate, j,
+        |             CASE WHEN frac = 0
+        |               THEN ((doc_id*13 + 7*idx) % 65536) - 32768
+        |               ELSE ((((doc_id*13 + 7*idx) % 65536) - 32768) * (8000 - frac)
+        |                     + ((((doc_id*13 + 7*(idx+1)) % 65536) - 32768) * frac)) // 8000
+        |             END AS v
+        |      FROM pos)
+        |SELECT doc_id,
+        |       CAST(src_rate AS BIGINT) AS src_rate,
+        |       CAST(8000 AS BIGINT) AS dst_rate,
+        |       CAST(n_in AS BIGINT) AS n_in,
+        |       CAST(count(*) AS BIGINT) AS n_out,
+        |       CAST(sum(v) AS BIGINT) AS sum_out,
+        |       CAST(sum(abs(v)) AS BIGINT) AS sum_abs_out,
+        |       CAST(sum(j * v) AS BIGINT) AS mom_out
+        |FROM o GROUP BY doc_id, src_rate, n_in
+        |ORDER BY doc_id""".stripMargin,
 
     // Replays the WAV sample GENERATOR (never the codec) — see mm01's
     // contract; the moment column is what fails if the decoder misreads

@@ -228,6 +228,61 @@ object SketchQueries {
         s"persisted synopsis artifact has k=${ks.mkString(",")}, " +
           s"this reader expects k=$ThetaK — refusing to mix parameters")
       thetaOverlapAudit(s, loaded.drop("k"), du)
+    },
+
+    // SKETCH ROLLUP CUBE — the pre-aggregated serving pattern: HLL
+    // sketches built ONCE at the finest grain (returnflag × linestatus)
+    // and persisted; every COARSER grain (per-flag, grand total) is then
+    // answered by MERGING the persisted sketches alone — `hll_union_agg`
+    // over a 6-row KB-sized artifact, the fact table never rescanned.
+    // This is the property exact COUNT DISTINCT lacks (distincts don't
+    // add across cells: an orderkey spans linestatuses) and the reason
+    // sketch cubes exist at 100 TB: one fact pass funds every grain of
+    // the hierarchy forever after. The exact rollup twin — which must
+    // re-shuffle the FACT once per grain (Spark expands ROLLUP to
+    // grouping-set duplicates) — is the certification cost, not the
+    // serving path. Hash-checked columns: the exact distincts per cell;
+    // pinned: each merged estimate within 5% (lgK=12, ~3σ — sk01's
+    // bound) of its cell's exact.
+    "sk08_sketch_rollup_cube" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val artifactDir = new java.io.File(
+        s"target/fixtures/hll_rollup_${new java.io.File(dir).getName}")
+        .getAbsolutePath
+      li.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(expr("hll_sketch_agg(l_orderkey, 12)").as("sk"))
+        .withColumn("lg_k", lit(12))
+        .write.mode("overwrite").parquet(artifactDir)
+      val fine = s.read.parquet(artifactDir)
+      val lgks = fine.select($"lg_k").distinct().collect().map(_.getInt(0))
+      require(lgks.sameElements(Array(12)),
+        s"persisted HLL rollup artifact has lg_k=${lgks.mkString(",")}, " +
+          "this reader expects lg_k=12 — refusing to mix parameters")
+      val cellEst = fine.select(
+        lit("flag_status").as("grain"), $"l_returnflag".as("k1"),
+        $"l_linestatus".as("k2"), expr("hll_sketch_estimate(sk)").as("est"))
+      val flagEst = fine.groupBy($"l_returnflag")
+        .agg(expr("hll_union_agg(sk, false)").as("sk"))
+        .select(lit("flag").as("grain"), $"l_returnflag".as("k1"),
+          lit("").as("k2"), expr("hll_sketch_estimate(sk)").as("est"))
+      val totalEst = fine.agg(expr("hll_union_agg(sk, false)").as("sk"))
+        .select(lit("total").as("grain"), lit("").as("k1"),
+          lit("").as("k2"), expr("hll_sketch_estimate(sk)").as("est"))
+      val exact = li.rollup($"l_returnflag", $"l_linestatus")
+        .agg(countDistinct($"l_orderkey").as("n_exact"))
+        .select(
+          when($"l_returnflag".isNull, "total")
+            .when($"l_linestatus".isNull, "flag")
+            .otherwise("flag_status").as("grain"),
+          coalesce($"l_returnflag", lit("")).as("k1"),
+          coalesce($"l_linestatus", lit("")).as("k2"),
+          $"n_exact")
+      exact.join(cellEst.union(flagEst).union(totalEst),
+          Seq("grain", "k1", "k2"))
+        .select($"grain", $"k1", $"k2", $"n_exact".cast("long").as("n_exact"),
+          withinPct($"est", $"n_exact", 0.05).as("est_ok"))
+        .orderBy($"grain", $"k1", $"k2")
     })
 
   /** sk06/sk07's synopsis size. */
@@ -371,5 +426,21 @@ object SketchQueries {
         |       CAST(1 AS BIGINT) AS est_union_ok,
         |       CAST(1 AS BIGINT) AS est_inter_ok
         |FROM pairs JOIN sizes sa ON sa.p = p_a JOIN sizes sb ON sb.p = p_b
-        |ORDER BY p_a, p_b""".stripMargin)
+        |ORDER BY p_a, p_b""".stripMargin,
+
+    // Exact distincts at every grain of the hierarchy, straight from the
+    // fact (DuckDB's ROLLUP mirrors Spark's grouping-set expansion); the
+    // per-cell merged-sketch quality bits are pinned to 1 (sk01's 5%
+    // bound at lgK=12)
+    "sk08_sketch_rollup_cube" ->
+      """SELECT CASE WHEN l_returnflag IS NULL THEN 'total'
+        |            WHEN l_linestatus IS NULL THEN 'flag'
+        |            ELSE 'flag_status' END AS grain,
+        |       COALESCE(l_returnflag, '') AS k1,
+        |       COALESCE(l_linestatus, '') AS k2,
+        |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+        |       CAST(1 AS BIGINT) AS est_ok
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY grain, k1, k2""".stripMargin)
 }

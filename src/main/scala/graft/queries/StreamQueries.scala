@@ -2202,6 +2202,116 @@ object StreamQueries {
         .orderBy($"src_group")
     },
 
+    // CDC JOIN-VIEW MAINTENANCE (st43) — st42's IVM lifted from one
+    // upstream to TWO: a fact feed (the per-source aggregate snapshots)
+    // and a CHURNING dimension feed (source → tier, where every version
+    // REASSIGNS every tier — the worst-case SCD-2 churn), with the
+    // downstream per-tier join view maintained by the exact delta-join
+    // algebra: ΔV = ΔA ⋈ B_new + A_old ⋈ ΔB (signed multiplicities
+    // multiply; the ΔA⋈ΔB cross term folds into the first term because
+    // B_new = B_old + ΔB). Per version the work is each delta joined
+    // against ONE side's maintained artifact — never A ⋈ B recomputed,
+    // never the upstream corpus rescanned; that |Δ|-proportional shape is
+    // the whole point of join IVM at 100 TB. Certs as in st42:
+    // all_versions_equal_ok replays EVERY downstream version against a
+    // from-scratch join of the two upstream snapshots it consumed, and
+    // the final view is recomputed END-TO-END by DuckDB (a dropped
+    // delete, a double-applied insert, or a term1/term2 sign slip all
+    // mismatch in the values).
+    "st43_cdc_join_view" -> { (s, dir) =>
+      import s.implicits._
+      import graft.stream.VersionedSnapshot
+      val base = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(new java.io.File("target").getAbsolutePath),
+        "cdcjoin-").toString
+      graft.stream.StreamRunner.deleteOnExit(base)
+      val (abase, lastV) = sourceAggSnapshots(s, dir, base)
+      val ids = VersionedSnapshot.versionIds(s, abase)
+      // the oracle pins tier = (key + lastV) % 3 and n_versions = 3; a
+      // driver change to the chunk replay must fail HERE, at the cause
+      require(ids == Seq(0L, 1L, 2L) && lastV == 2L,
+        s"st43 expects upstream versions 0,1,2 — got ${ids.mkString(",")}")
+      def keyOf(c: org.apache.spark.sql.Column) =
+        substring(c, 4, 10).cast("long")
+      // dimension upstream: full (source, tier) snapshot per version;
+      // tier = (key + id) % 3 reassigns EVERY source each version, so
+      // ΔB is a full delete+insert wave — the maximal-churn stress for
+      // the A_old ⋈ ΔB term (production churn is sparse; the algebra
+      // is the same)
+      val bbase = s"$base/dim"
+      ids.foreach { id =>
+        val dim = VersionedSnapshot.readAt(s, abase, id)
+          .select($"source").distinct()
+          .withColumn("tier", (keyOf($"source") + id) % 3)
+        VersionedSnapshot.publish(dim, bbase, id)
+      }
+      val dbase = s"$base/joined"
+      val outCols = Seq($"tier", $"n_sources", $"total_docs", $"total_chars")
+      ids.foreach { id =>
+        val prev = VersionedSnapshot.versionIds(s, dbase)
+          .filter(_ < id).lastOption
+        val from = prev.getOrElse(VersionedSnapshot.Genesis)
+        def signed(vb: String) = VersionedSnapshot.readChanges(s, vb, from, id)
+          .withColumn("sgn",
+            when($"_change_type" === "insert", 1L).otherwise(-1L))
+        val term1 = signed(abase)
+          .join(VersionedSnapshot.readAt(s, bbase, id), "source")
+          .groupBy($"tier").agg(sum($"sgn").as("d_sources"),
+            sum($"sgn" * $"n").as("d_docs"),
+            sum($"sgn" * $"sum_chars").as("d_chars"))
+        val delta = prev match {
+          case None => term1
+          case Some(p) =>
+            val term2 = VersionedSnapshot.readAt(s, abase, p)
+              .join(signed(bbase), "source")
+              .groupBy($"tier").agg(sum($"sgn").as("d_sources"),
+                sum($"sgn" * $"n").as("d_docs"),
+                sum($"sgn" * $"sum_chars").as("d_chars"))
+            term1.unionByName(term2).groupBy($"tier")
+              .agg(sum($"d_sources").as("d_sources"),
+                sum($"d_docs").as("d_docs"), sum($"d_chars").as("d_chars"))
+        }
+        val merged = prev match {
+          case None => delta
+            .select($"tier", $"d_sources".as("n_sources"),
+              $"d_docs".as("total_docs"), $"d_chars".as("total_chars"))
+            .filter($"n_sources" > 0)
+          case Some(p) => VersionedSnapshot.read(s, dbase, p)
+            .join(delta, Seq("tier"), "full_outer")
+            .select($"tier",
+              (coalesce($"n_sources", lit(0L)) +
+                coalesce($"d_sources", lit(0L))).as("n_sources"),
+              (coalesce($"total_docs", lit(0L)) +
+                coalesce($"d_docs", lit(0L))).as("total_docs"),
+              (coalesce($"total_chars", lit(0L)) +
+                coalesce($"d_chars", lit(0L))).as("total_chars"))
+            .filter($"n_sources" > 0)
+        }
+        VersionedSnapshot.publish(merged.select(outCols: _*), dbase, id)
+      }
+      // cert: every downstream version ≡ a from-scratch JOIN of the two
+      // upstream snapshots it consumed
+      def scratchOf(id: Long) = VersionedSnapshot.readAt(s, abase, id)
+        .join(VersionedSnapshot.readAt(s, bbase, id), "source")
+        .groupBy($"tier").agg(count(lit(1)).as("n_sources"),
+          sum($"n").as("total_docs"), sum($"sum_chars").as("total_chars"))
+        .select(outCols: _*)
+      val dIds = VersionedSnapshot.versionIds(s, dbase)
+      val allEqual = dIds.forall { id =>
+        val inc = VersionedSnapshot.readAt(s, dbase, id).select(outCols: _*)
+        val sc = scratchOf(id)
+        inc.exceptAll(sc).count() == 0 && sc.exceptAll(inc).count() == 0
+      }
+      VersionedSnapshot.readAt(s, dbase, lastV)
+        .select($"tier".cast("long").as("tier"),
+          $"n_sources".cast("long").as("n_sources"),
+          $"total_docs".cast("long").as("total_docs"),
+          $"total_chars".cast("long").as("total_chars"),
+          lit(dIds.length.toLong).as("n_versions"),
+          lit(if (allEqual) 1L else 0L).as("all_versions_equal_ok"))
+        .orderBy($"tier")
+    },
+
     "st12_stream_hll_window" -> { (s, dir) =>
       import s.implicits._
       val (finals, _) = windowedSketchReplay(s, dir, nFiles = 3)
@@ -3455,6 +3565,23 @@ object StreamQueries {
         |         CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |  FROM documents GROUP BY source)
         |SELECT CAST(substr(source, 4) AS BIGINT) % 4 AS src_group,
+        |  CAST(count(*) AS BIGINT) AS n_sources,
+        |  CAST(sum(n) AS BIGINT) AS total_docs,
+        |  CAST(sum(sum_chars) AS BIGINT) AS total_chars,
+        |  CAST(3 AS BIGINT) AS n_versions,
+        |  CAST(1 AS BIGINT) AS all_versions_equal_ok
+        |FROM per_source GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // st43: the final JOIN view recomputed END-TO-END — per-source
+    // aggregate joined to the LAST dimension version's tier assignment
+    // (tier = (key + 2) % 3; the query asserts version ids 0,1,2 at the
+    // cause, so the +2 can never silently drift).
+    "st43_cdc_join_view" ->
+      """WITH per_source AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY source)
+        |SELECT (CAST(substr(source, 4) AS BIGINT) + 2) % 3 AS tier,
         |  CAST(count(*) AS BIGINT) AS n_sources,
         |  CAST(sum(n) AS BIGINT) AS total_docs,
         |  CAST(sum(sum_chars) AS BIGINT) AS total_chars,

@@ -239,6 +239,85 @@ class MultimodalSpec extends SparkSuite {
     assert(!Multimodal.decodePixels(bad).rgb.sameElements(thumb.rgb))
   }
 
+  test("aHash64Bits matches a generator-only replay (no codec in the expectation)") {
+    // mm07's hash column, recomputed here WITHOUT decode/resize code:
+    // straight from the pixel formulas at the floor-elected coordinates —
+    // the same independent path the DuckDB oracle takes.
+    for (docId <- Seq(0L, 1L, 4L, 7L, 13L, 200L)) {
+      val w = Multimodal.widthOf(docId); val h = Multimodal.heightOf(docId)
+      val gray = for (oy <- 0 until 8; ox <- 0 until 8) yield {
+        val sy = (oy * h) / 8; val sx = (ox * w) / 8
+        (Multimodal.pixelR(docId, sx, sy) + Multimodal.pixelG(docId, sx, sy) +
+          Multimodal.pixelB(docId, sx, sy)) / 3
+      }
+      val sum = gray.map(_.toLong).sum
+      val expected = gray.map(g => if (g * 64L >= sum) '1' else '0').mkString
+      val got = Multimodal.aHash64Bits(
+        Multimodal.decodePixels(Multimodal.encodeImage(docId)))
+      assert(got == expected, s"aHash mismatch for doc $docId")
+      assert(got.length == 64 && got.forall(c => c == '0' || c == '1'))
+    }
+  }
+
+  test("aHash64Bits is stable under the planted-twin perturbation regime") {
+    // The mm07 twin (one source pixel's red +8 mod 256) moves the hash by
+    // a small Hamming distance on a typical image — the property that
+    // makes aHash a NEAR-dup key rather than an exact digest. Not a
+    // universal bound (a mean straddle can flip many bits; mm07's
+    // guarantee bit only claims completeness for distance <= 3), so pin
+    // on one known-stable doc rather than quantifying over the corpus.
+    val src = Multimodal.decodePixels(Multimodal.encodeImage(4L))
+    val twinRgb = src.rgb.clone()
+    val p0 = twinRgb(0)
+    twinRgb(0) = (((((p0 >> 16) & 0xff) + 8) % 256) << 16) | (p0 & 0xffff)
+    val twin = Multimodal.decodePixels(
+      Multimodal.encodeBmpPixels(src.width, src.height, twinRgb))
+    val d = Multimodal.aHash64Bits(src).zip(Multimodal.aHash64Bits(twin))
+      .count { case (a, b) => a != b }
+    assert(d <= 3, s"twin Hamming distance $d > 3 on the pinned doc")
+  }
+
+  test("resampleLinear: identity, hand-computed interpolation, truncation on negatives") {
+    // identity at equal rates — the frac=0-everywhere path
+    val s = Array(10, -20, 30, -32768, 32767)
+    assert(Multimodal.resampleLinear(s, 8000, 8000).sameElements(s))
+    // 2:1 downsample picks every other sample (frac always 0)
+    assert(Multimodal.resampleLinear(s, 16000, 8000).sameElements(Array(10, 30, 32767)))
+    // 1:2 upsample: n_out = 2·(n−1)+1; odd outputs are exact
+    // midpoints, truncated toward zero: (10−20)/2 = −5,
+    // (−20+30)/2 = 5, (30−32768)/2 = trunc(−16369.0) = −16369; even
+    // outputs are the sources, including the final sample
+    val up = Multimodal.resampleLinear(Array(10, -20, 30, -32768), 8000, 16000)
+    assert(up.sameElements(Array(10, -5, -20, 5, 30, -16369, -32768)))
+    // truncation (NOT floor) on a negative non-integer midpoint:
+    //   (0 + -5)/2 = -2.5 → -2, matching DuckDB's `//` (which
+    //   truncates: -5 // 2 = -2; a floorDiv here would hash-mismatch
+    //   the oracle on every negative odd numerator)
+    assert(Multimodal.resampleLinear(Array(0, -5), 8000, 16000)(1) == -2)
+    // boundary: 101 samples at 12000→8000 — (n−1)·dst % src = 8000 ≠ 0,
+    // so the LAST output sits at source index 99 exactly (j_max·src/dst
+    // = 66·12000/8000 = 99, frac 0), one short of the final sample: the
+    // n_out formula never extrapolates past the source span
+    val r = Multimodal.resampleLinear(Array.tabulate(101)(i => i), 12000, 8000)
+    assert(r.length == ((101 - 1) * 8000) / 12000 + 1)
+    assert(r.last == 99)
+  }
+
+  test("encodeWavPcm: generator delegation is bit-exact; derived round-trip") {
+    // encodeWav(doc) must equal encodeWavPcm over the generator samples
+    for (doc <- Seq(0L, 5L, 11L)) {
+      val direct = Multimodal.encodeWav(doc)
+      val viaPcm = Multimodal.encodeWavPcm(Multimodal.sampleRateOf(doc),
+        Array.tabulate(Multimodal.nSamplesOf(doc))(i => Multimodal.sampleAt(doc, i)))
+      assert(direct.sameElements(viaPcm), s"WAV delegation drifted for doc $doc")
+    }
+    // a derived (resampled) array round-trips losslessly
+    val (rate, smp) = Multimodal.decodeWavSamples(Multimodal.encodeWav(7L))
+    val res = Multimodal.resampleLinear(smp, rate, 8000)
+    val (r2, back) = Multimodal.decodeWavSamples(Multimodal.encodeWavPcm(8000, res))
+    assert(r2 == 8000 && back.sameElements(res))
+  }
+
   test("decodeMeta runs the codec at the mapPartitions boundary") {
     import org.apache.spark.sql.functions._
     val docs = graft.model.Tables.documents(spark, sf).limit(8)
