@@ -1540,8 +1540,16 @@ object PipelineQueries {
     //     computed per doc, never pinned.
     // Scale shape: the fingerprint pass is one narrow map (64 chars +
     // id per image — the persisted-index candidate, cf. dd17); the join
-    // shuffles bands, never payloads; candidate volume is banding's,
-    // not n² (hot-band caps would ride in via dd12's machinery). The
+    // shuffles bands, never payloads. Gradient-heavy thresholded hashes
+    // make band values COLLIDE (the sf0.1 profile: 5k docs, hottest
+    // band 139, pair volume Σn² ≈ 400k — quadratic in corpus), so past
+    // CorpusCapMax docs each (b, band) group keeps only its PerBandCap
+    // smallest doc_ids per side — pair volume drops to ≤ cap·4n, linear
+    // (dd12's hot-bucket treatment). The regime is EXPLICIT: a `capped`
+    // column the oracle pins to 0 — a testdata/SF change crossing the
+    // threshold fails at the regime column, at the cause (the dd19/st35
+    // posture); in the capped regime guarantee_ok stays HONEST (a
+    // planted pair dropped by the cap reads 0, not a pinned 1). The
     // fingerprint frame is computed once and reused across all four
     // consumers (twin distance, both band sides, verify) — cache, not
     // recompute, is the right call for a bounded derived table.
@@ -1562,11 +1570,20 @@ object PipelineQueries {
             (id, ha, ht)
           }
         }.toDF("doc_id", "ahash", "ahash_twin").cache()
-      def bandsOf(hashCol: String, idAs: String) = hashes
-        .select(col("doc_id").as(idAs),
-          explode(expr("sequence(0, 3)")).as("b"), col(hashCol))
-        .select(col(idAs), col("b"),
-          expr(s"substring($hashCol, b*16 + 1, 16)").as("band"))
+      val CorpusCapMax = 8192L; val PerBandCap = 64
+      val isCapped = hashes.count() > CorpusCapMax
+      def bandsOf(hashCol: String, idAs: String) = {
+        val b = hashes
+          .select(col("doc_id").as(idAs),
+            explode(expr("sequence(0, 3)")).as("b"), col(hashCol))
+          .select(col(idAs), col("b"),
+            expr(s"substring($hashCol, b*16 + 1, 16)").as("band"))
+        if (!isCapped) b
+        else b.withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"b", $"band").orderBy(col(idAs))))
+          .filter($"rn" <= PerBandCap).drop("rn")
+      }
       val cand = bandsOf("ahash", "id_o").join(bandsOf("ahash_twin", "id_t"),
           Seq("b", "band"))
         .select($"id_o", $"id_t").distinct()
@@ -1589,7 +1606,8 @@ object PipelineQueries {
           when($"twin_dist" > 3 || coalesce($"twin_found", lit(0L)) === 1L, 1L)
             .otherwise(0L).as("guarantee_ok"),
           coalesce($"n_band_cands", lit(0L)).as("n_band_cands"),
-          coalesce($"n_neardups", lit(0L)).as("n_neardups"))
+          coalesce($"n_neardups", lit(0L)).as("n_neardups"),
+          lit(if (isCapped) 1L else 0L).as("capped"))
         .orderBy($"doc_id")
     },
 
@@ -2738,7 +2756,8 @@ object PipelineQueries {
         |       CAST(CASE WHEN h.twin_dist > 3 OR COALESCE(agg.twin_found, 0) = 1
         |            THEN 1 ELSE 0 END AS BIGINT) AS guarantee_ok,
         |       COALESCE(agg.n_band_cands, 0) AS n_band_cands,
-        |       COALESCE(agg.n_neardups, 0) AS n_neardups
+        |       COALESCE(agg.n_neardups, 0) AS n_neardups,
+        |       CAST(0 AS BIGINT) AS capped
         |FROM h LEFT JOIN agg USING (doc_id)
         |ORDER BY h.doc_id""".stripMargin,
 
