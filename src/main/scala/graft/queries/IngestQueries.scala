@@ -166,9 +166,38 @@ object IngestQueries {
       }
     }
 
+  /** Zone-map fixture: the events table clustered on `user_id` into
+    * ≤32 range files (fid = user_id·32 / (max+1) — one hash shuffle so
+    * each file holds exactly one fid) plus a per-file min/max/count
+    * MANIFEST computed from the data. This is the lakehouse data-
+    * skipping read path: stats live in a KB-sized side table, and a
+    * range query plans its scan from the manifest alone — the payoff
+    * side of clustering (ev10 certifies the layout tool; cs18 certifies
+    * that the layout actually saves the scan). */
+  private[graft] val zonemapDir = new java.io.File("target/fixtures/events_zonemap").getAbsolutePath
+  private var zonemapFor: String = null
+  private[graft] def ensureZonemap(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    writeLock.synchronized {
+      if (zonemapFor != dir) {
+        val m = Tables.events(s, dir).agg(max(col("user_id"))).head.getLong(0) + 1L
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), cents(col("value")).as("v_cents"),
+            (col("user_id") * 32L / m).cast("long").as("fid"))
+        e.repartition(col("fid")).write.mode("overwrite")
+          .partitionBy("fid").parquet(s"$zonemapDir/data")
+        // exact per-file stats — what a lakehouse footer/manifest carries
+        e.groupBy(col("fid"))
+          .agg(min(col("user_id")).as("min_uid"), max(col("user_id")).as("max_uid"),
+            count(lit(1)).as("n_rows"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$zonemapDir/manifest")
+        zonemapFor = dir
+      }
+    }
+
   /** The fixture writes, exposed as timed builds (otherwise they land
     * on whichever cs* query the bench runs first). */
   val builds: Map[String, QueryUtil.B] = Map(
+    "build_zonemap_fixture" -> ((s, dir) => ensureZonemap(s, dir)),
     "build_csv_fixture" -> ((s, dir) => ensureFixture(s, dir)),
     "build_orc_fixture" -> ((s, dir) => ensureOrc(s, dir)),
     "build_jsonl_fixture" -> ((s, dir) => ensureJsonl(s, dir)),
@@ -378,6 +407,65 @@ object IngestQueries {
       evolved
         .withColumn("compact_preserves_ok", lit(if (foldDiff == 0L) 1L else 0L))
         .orderBy($"o_orderkey")
+    },
+
+    // ZONE-MAP DATA SKIPPING — the READ-side payoff of clustering, and
+    // the capability every lakehouse table format (Delta/Iceberg/Hudi)
+    // builds its scan planning on: per-file min/max stats consulted
+    // BEFORE any data file is opened, so a selective range predicate
+    // reads only the files whose [min,max] overlaps it. ev10 certifies
+    // the layout tool (Z-order); this entry certifies the skip itself,
+    // with the guarantee computed — never assumed:
+    //  - the manifest rows (fid, min_uid, max_uid, n_rows) are exact
+    //    per-file stats, hash-compared against DuckDB recomputing them
+    //    from the clustering rule;
+    //  - `scanned` marks the files the [25%,35%) user-id range query
+    //    must touch (overlap test — both engines compute it);
+    //  - `q_rows`/`q_sum_cents` are the range query's answer AS SERVED
+    //    FROM THE PRUNED FILE SET ONLY (Spark reads just those
+    //    directories), hash-compared against DuckDB answering from the
+    //    full table — a false skip loses rows and breaks the compare;
+    //  - `prune_equal_ok` re-runs the aggregate over ALL files inside
+    //    this plan and compares — the no-false-negative bit.
+    // 100 TB shape: the manifest is #files rows (KB — the quantizer/
+    // synopsis artifact class, cf. sk07/an12); pruning collects only
+    // the MATCHING file ids (bounded by query selectivity, exactly what
+    // Spark's own FileIndex hands the driver); the residual filter
+    // handles zone coarseness, so correctness never depends on stats
+    // tightness — only the I/O saved does.
+    "cs18_zonemap_skipping" -> { (s, dir) =>
+      import s.implicits._
+      ensureZonemap(s, dir)
+      val man = s.read.parquet(s"$zonemapDir/manifest")
+      val m = Tables.events(s, dir).agg(max($"user_id")).head.getLong(0) + 1L
+      val lo = m * 25L / 100L
+      val hi = m * 35L / 100L - 1L
+      val marked = man.withColumn("scanned",
+        (($"min_uid" <= hi) && ($"max_uid" >= lo)).cast("long")).cache()
+      val fids = marked.filter($"scanned" === 1L).select($"fid")
+        .as[Long].collect().sorted
+      val pruned = s.read.parquet(fids.map(f => s"$zonemapDir/data/fid=$f"): _*)
+        .filter($"user_id".between(lo, hi))
+        .agg(count(lit(1)).cast("long").as("q_rows"),
+          coalesce(sum($"v_cents"), lit(0L)).as("q_sum_cents"))
+      val full = s.read.parquet(s"$zonemapDir/data")
+        .filter($"user_id".between(lo, hi))
+        .agg(count(lit(1)).cast("long").as("f_rows"),
+          coalesce(sum($"v_cents"), lit(0L)).as("f_sum_cents"))
+      val summary = pruned.crossJoin(full)
+        .withColumn("prune_equal_ok",
+          (($"q_rows" === $"f_rows") && ($"q_sum_cents" === $"f_sum_cents")).cast("long"))
+        .drop("f_rows", "f_sum_cents")
+      marked
+        .select($"fid".cast("long").as("fid"), $"min_uid", $"max_uid",
+          $"n_rows".cast("long").as("n_rows"), $"scanned")
+        .crossJoin(broadcast(summary))
+        .crossJoin(broadcast(marked.agg(
+          count(lit(1)).cast("long").as("n_files"),
+          sum($"scanned").as("n_files_read"))))
+        .select($"fid", $"min_uid", $"max_uid", $"n_rows", $"scanned",
+          $"n_files", $"n_files_read", $"q_rows", $"q_sum_cents", $"prune_equal_ok")
+        .orderBy($"fid")
     },
 
     "cs09_compaction_roundtrip" -> { (s, dir) =>
@@ -701,6 +789,36 @@ object IngestQueries {
         |       THEN CAST(round(o_totalprice*100) AS BIGINT) END AS price_cents,
         |  CAST(1 AS BIGINT) AS compact_preserves_ok
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // cs18: DuckDB replays the clustering rule (fid = user_id·32 //
+    // (max+1)), recomputes the per-file stats, the overlap test, and the
+    // range aggregate from the RAW events table — so a wrong manifest,
+    // a wrong skip decision, or a row lost to pruning all break the
+    // hash. The prune-equality bit is the one constant pin (Spark
+    // computes it by re-aggregating over all files; DuckDB has no file
+    // boundary to see).
+    "cs18_zonemap_skipping" ->
+      """WITH mx AS (SELECT max(user_id) + 1 AS m FROM events),
+        |e AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS vc,
+        |             (user_id * 32) // m AS fid FROM events, mx),
+        |b AS (SELECT (m*25)//100 AS lo, (m*35)//100 - 1 AS hi FROM mx),
+        |man AS (SELECT fid, min(user_id) AS mn, max(user_id) AS mxx,
+        |               count(*) AS n FROM e GROUP BY fid),
+        |q AS (SELECT CAST(count(*) AS BIGINT) AS q_rows,
+        |             CAST(COALESCE(sum(vc), 0) AS BIGINT) AS q_sum
+        |      FROM e, b WHERE user_id BETWEEN lo AND hi),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS nf,
+        |              CAST(sum(CASE WHEN mn <= hi AND mxx >= lo
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS nr
+        |       FROM man, b)
+        |SELECT CAST(man.fid AS BIGINT) AS fid, man.mn AS min_uid,
+        |       man.mxx AS max_uid, CAST(man.n AS BIGINT) AS n_rows,
+        |       CAST(CASE WHEN man.mn <= b.hi AND man.mxx >= b.lo
+        |            THEN 1 ELSE 0 END AS BIGINT) AS scanned,
+        |       st.nf AS n_files, st.nr AS n_files_read,
+        |       q.q_rows, q.q_sum AS q_sum_cents,
+        |       CAST(1 AS BIGINT) AS prune_equal_ok
+        |FROM man, b, q, st ORDER BY fid""".stripMargin,
 
     // DuckDB digests the ORIGINAL table; our side digests the
     // fragment→compact roundtripped copy — a hash match certifies the

@@ -85,4 +85,43 @@ class IngestSpec extends SparkSuite {
     assert(checksums(base)("b") == checksums(mutated)("b"),
       "untouched groups must keep their checksum")
   }
+
+  test("cs18: the pruned scan opens ONLY manifest-matching files and loses no rows") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    IngestQueries.ensureZonemap(s, sf)
+    val zd = IngestQueries.zonemapDir
+    val man = s.read.parquet(s"$zd/manifest")
+    val nFiles = man.count()
+    val m = graft.model.Tables.events(s, sf).agg(max($"user_id")).head.getLong(0) + 1L
+    val lo = m * 25L / 100L
+    val hi = m * 35L / 100L - 1L
+    val matching = man.filter($"min_uid" <= hi && $"max_uid" >= lo)
+      .select($"fid").as[Long].collect().toSet
+    assert(matching.nonEmpty && matching.size < nFiles,
+      s"the [25%,35%) range must prune: ${matching.size} of $nFiles files match")
+    // the pruned reader's actual input files all live under matching fid dirs
+    val pruned = s.read.parquet(
+      matching.toSeq.sorted.map(f => s"$zd/data/fid=$f"): _*)
+    val dirsTouched = pruned.inputFiles
+      .map(p => p.split("/fid=")(1).split("/")(0).toLong).toSet
+    assert(dirsTouched == matching,
+      s"pruned scan must touch exactly the matching dirs: $dirsTouched vs $matching")
+    // no false negatives: pruned answer == full-table answer
+    val a = pruned.filter($"user_id".between(lo, hi))
+      .agg(count(lit(1)), coalesce(sum($"v_cents"), lit(0L))).head
+    val b = s.read.parquet(s"$zd/data").filter($"user_id".between(lo, hi))
+      .agg(count(lit(1)), coalesce(sum($"v_cents"), lit(0L))).head
+    assert(a == b, s"pruned scan lost rows: $a vs $b")
+    assert(a.getLong(0) > 0L, "the range query must be non-empty")
+    // a range inside ONE file's span reads exactly that file's dir
+    val one = man.orderBy($"fid").limit(1)
+      .select($"fid", $"min_uid", $"max_uid").head
+    val oneMatch = man
+      .filter($"min_uid" <= one.getLong(1) && $"max_uid" >= one.getLong(1))
+      .count()
+    assert(oneMatch == 1L,
+      s"a point at file ${one.getLong(0)}'s min should match only that file (got $oneMatch)")
+  }
 }
