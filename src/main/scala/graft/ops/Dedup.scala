@@ -36,7 +36,7 @@ object Dedup {
   /** (id, shingles) projection with the token array materialized in its
     * own project (multiply-referenced non-trivial alias — CollapseProject
     * keeps it, so the split happens once per row). */
-  private def shingled(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+  private[graft] def shingled(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     docs
       .withColumn("_toks", TextOps.tokens(col(textCol)))
       .select(col(idCol).as("id"), shingleHashes(col("_toks"), k).as("shingles"))
@@ -133,17 +133,33 @@ object Dedup {
                       shingleK: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
                       threshold: Double = 0.7, maxBucket: Int = 64): DataFrame = {
     val sh = shingled(docs, idCol, textCol, shingleK)
-    // Candidate generation shuffles (band, id) only — 16 bytes a row; the
-    // wide shingle arrays rejoin *after* the pair-level distinct. The
-    // minhash signature (the expensive expression: bands×rows hashes per
-    // shingle) is materialized as its own projection so the 32
-    // `element_at(sig, …)` band references share ONE evaluation —
-    // inlining it into bandKeys would copy the whole signature expression
-    // into every band key (32× the work; CollapseProject keeps a
-    // multiply-referenced non-trivial alias as a separate project).
-    val banded = sh
-      .withColumn("sig", minHashSignature(col("shingles"), numBands * rowsPerBand))
+    minHashDupPairsFrom(sh, bandedOf(sh, numBands, rowsPerBand),
+      threshold, maxBucket)
+  }
+
+  /** The banded-signature projection of a [[shingled]] frame.
+    * Candidate generation shuffles (band, id) only — 16 bytes a row; the
+    * wide shingle arrays rejoin *after* the pair-level distinct. The
+    * minhash signature (the expensive expression: bands×rows hashes per
+    * shingle) is materialized as its own projection so the 32
+    * `element_at(sig, …)` band references share ONE evaluation —
+    * inlining it into bandKeys would copy the whole signature expression
+    * into every band key (32× the work; CollapseProject keeps a
+    * multiply-referenced non-trivial alias as a separate project). */
+  private[graft] def bandedOf(sh: DataFrame, numBands: Int,
+                              rowsPerBand: Int): DataFrame =
+    sh.withColumn("sig", minHashSignature(col("shingles"), numBands * rowsPerBand))
       .select(col("id"), explode(bandKeys(col("sig"), numBands, rowsPerBand)).as("band"))
+
+  /** [[minHashDupPairs]]'s candidate+verify tail over PRECOMPUTED
+    * [[shingled]] / [[bandedOf]] frames — for callers that reuse one
+    * shingle/signature pass across several pair computations (dd12 runs
+    * the detector on a corpus, on a sub-corpus, and audits bucket
+    * occupancy: one pass, three consumers, instead of three full
+    * MinHash pipelines over overlapping inputs). */
+  private[graft] def minHashDupPairsFrom(sh: DataFrame, banded: DataFrame,
+                                         threshold: Double,
+                                         maxBucket: Int): DataFrame = {
     val cand = bucketPairs(banded, "band", col("id"), maxBucket)
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()

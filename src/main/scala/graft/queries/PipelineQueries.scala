@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.etl.InvoiceFeaturizer
 import graft.ml.{ModelStore, Scoring, Training}
 import graft.model.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Multiset, Similarity, TextOps}
 import QueryUtil._
 
 /** Training-data-pipeline operators: dedup (MinHash/LSH, SimHash,
@@ -89,17 +89,23 @@ object PipelineQueries {
         lit("identical boilerplate footer paragraph repeated verbatim " +
           "across every crawled page of the mirrored site").as("text"))
       val skewed = docs.unionByName(boiler)
-      val found = Dedup.minHashDupPairs(skewed, "doc_id", "text",
-        shingleK = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+      // ONE shingle pass + ONE MinHash-signature pass serve all three
+      // consumers (skewed detector, boiler-free baseline detector, hot-
+      // bucket audit) — the per-doc frames are pure row functions, so
+      // the baseline's inputs are exactly the skewed frames restricted
+      // to the real corpus ids; previously each consumer re-ran the full
+      // tokenize→shingle→sign pipeline (3× the dominant expression)
+      val sh = Dedup.shingled(skewed, "doc_id", "text", 3).localCheckpoint()
+      val banded = Dedup.bandedOf(sh, 8, 4).localCheckpoint()
+      val found = Dedup.minHashDupPairsFrom(sh, banded,
+          threshold = 0.5, maxBucket = 64)
         .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
-      val baseline = Dedup.minHashDupPairs(docs, "doc_id", "text",
-        shingleK = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+      val baseline = Dedup.minHashDupPairsFrom(
+          sh.filter(col("id") < BoilerBase),
+          banded.filter(col("id") < BoilerBase),
+          threshold = 0.5, maxBucket = 64)
         .select(col("id_a"), col("id_b"))
-      val hotOk = skewed
-        .select(explode(Dedup.bandKeys(
-          Dedup.minHashSignature(
-            Dedup.shingleHashes(TextOps.tokens(col("text")), 3), 32),
-          8, 4)).as("band"))
+      val hotOk = banded
         .groupBy(col("band")).agg(count(lit(1)).as("n"))
         .agg(max(col("n")).as("mx"))
         .select(when(col("mx") > 64, 1L).otherwise(0L).as("hot_bucket_seen"))
@@ -1262,10 +1268,17 @@ object PipelineQueries {
         "bandcompact-").toString
       graft.stream.StreamRunner.deleteOnExit(base)
       val bandsDir = s"$base/bands"
-      def bandsOf(i: Int) = Dedup.lshBandIndex(
-          docs.filter($"doc_id" % 3 === i), "doc_id", "text",
-          shingleK = 3, numBands = 8, rowsPerBand = 4)
+      // ONE shingle+signature pass over the corpus serves all four band
+      // consumers (3 batch writes + the post-fold redelivery, whose
+      // committed-batch no-op still materializes its input frame): the
+      // band rows are a pure per-doc function, so each batch is the
+      // checkpointed frame filtered to its slice — previously every
+      // consumer re-ran the full tokenize→shingle→sign pipeline
+      val allBands = Dedup.bandedOf(
+          Dedup.shingled(docs, "doc_id", "text", 3), 8, 4)
         .withColumn("band_bucket", Dedup.bandBucket($"band"))
+        .localCheckpoint()
+      def bandsOf(i: Int) = allBands.filter($"id" % 3 === i)
       (0 until 3).foreach { i =>
         graft.stream.IdempotentSink.writeRoutedBatch(
           bandsOf(i), bandsDir, "band_bucket", i)
@@ -1338,21 +1351,28 @@ object PipelineQueries {
         "tombidx-").toString
       graft.stream.StreamRunner.deleteOnExit(base)
       val bandsDir = s"$base/bands"
-      def bandsOf(i: Int) = Dedup.lshBandIndex(
-          hist.filter($"doc_id" % 3 === i), "doc_id", "text",
-          shingleK = 3, numBands = 8, rowsPerBand = 4)
+      // ONE shingle+signature pass over history serves all three batch
+      // writes (the dd20/dd12 treatment: band rows are a pure per-doc
+      // function, each batch is the checkpointed frame filtered to its
+      // slice — previously each write re-ran the full MinHash pipeline)
+      val histBands = Dedup.bandedOf(
+          Dedup.shingled(hist, "doc_id", "text", 3), 8, 4)
         .withColumn("band_bucket", Dedup.bandBucket($"band"))
+        .localCheckpoint()
       (0 until 3).foreach { i =>
         graft.stream.IdempotentSink.writeRoutedBatch(
-          bandsOf(i), bandsDir, "band_bucket", i)
+          histBands.filter($"id" % 3 === i), bandsDir, "band_bucket", i)
       }
-      // id-keyed digest artifact (the deletable twin of dd17's digests)
-      hist.select($"doc_id".as("id"), md5($"text".cast("binary")).as("h"))
+      // one md5 pass over history text feeds both the id-keyed digest
+      // artifact (the deletable twin of dd17's digests) and the
+      // digest-collision half of the tombstone rule
+      val histH = hist.select($"doc_id", md5($"text".cast("binary")).as("h"))
+        .localCheckpoint()
+      histH.select($"doc_id".as("id"), $"h")
         .write.mode("overwrite").parquet(s"$base/digests")
       // the takedown request, persisted as its own tiny artifact
-      val histH = hist.select($"doc_id", md5($"text".cast("binary")).as("h"))
       val batchH = batch.select(md5($"text".cast("binary")).as("h")).distinct()
-      hist.filter($"doc_id" % 5 === 0).select($"doc_id".as("tid"))
+      histH.filter($"doc_id" % 5 === 0).select($"doc_id".as("tid"))
         .unionByName(histH.join(batchH, Seq("h"), "left_semi")
           .select($"doc_id".as("tid")))
         .distinct()
@@ -1360,9 +1380,18 @@ object PipelineQueries {
       val tomb = s.read.parquet(s"$base/tombstones").localCheckpoint()
       val nTomb = tomb.count()
       val liveHist = hist.join(tomb, hist("doc_id") === tomb("tid"), "left_anti")
+      // the batch's band frame + summary are probe-invariant: build them
+      // ONCE and feed both probes (each probe call would otherwise
+      // re-run the MinHash signature pass — the expensive expression —
+      // plus its own persist/summary job over the same batch)
+      val batchBands = Dedup.lshBandIndex(batch, "doc_id", "text",
+          shingleK = 3, numBands = 8, rowsPerBand = 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val batchSummary = Dedup.bandSummary(batchBands)
       def probe(bands: org.apache.spark.sql.DataFrame) = Dedup.minHashDupPairsWithIndex(
           batch, bands, liveHist, "doc_id", "text",
-          shingleK = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+          shingleK = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5,
+          newBands = Some(batchBands), newBandSummary = Some(batchSummary))
         .select($"id_a", $"id_b")
       // (1) LOGICAL: anti-join the tombstones at read — no rewrite yet
       val rawBands = graft.stream.IdempotentSink
@@ -1370,9 +1399,12 @@ object PipelineQueries {
       val liveBands = rawBands.join(tomb, rawBands("id") === tomb("tid"),
         "left_anti")
       val pairs1 = probe(liveBands).localCheckpoint()
-      val tombTouches = pairs1.join(tomb,
-        pairs1("id_a") === tomb("tid") || pairs1("id_b") === tomb("tid"),
-        "left_semi").count()
+      // endpoint-exploded hash semi join: the OR-condition form
+      // (id_a = tid OR id_b = tid) cannot hash-partition and plans as a
+      // nested-loop join; zero-ness of the count is all the bit needs
+      val tombTouches = pairs1
+        .select(explode(array($"id_a", $"id_b")).as("k"))
+        .join(tomb, $"k" === tomb("tid"), "left_semi").count()
       // (2) PHYSICAL: the purge rides the compaction fold
       graft.stream.IdempotentSink.compactRouted(s, bandsDir, "band_bucket",
         shufflePartitions = Dedup.BandBuckets,
@@ -1381,10 +1413,12 @@ object PipelineQueries {
         .readRouted(s, bandsDir, "band_bucket").get
       val purgedRows = afterBands.join(tomb, afterBands("id") === tomb("tid"),
         "left_semi").count()
-      // (3) the post-purge probe needs no logical filter
+      // (3) the post-purge probe needs no logical filter; equality via
+      // one signed-count job (vs two exceptAll counts — each of which
+      // would re-run the whole probe pipeline as its second input scan)
       val pairs2 = probe(afterBands)
-      val reprobeDiff = pairs1.exceptAll(pairs2).count() +
-        pairs2.exceptAll(pairs1).count()
+      val reprobeSame = Multiset.equal(pairs1, pairs2)
+      batchBands.unpersist(blocking = false)
       // keepers: dd15/dd17's drop rules over the LIVE corpus, digests by
       // anti-joined id-keyed artifact (never a history text rescan)
       val liveDigests = s.read.parquet(s"$base/digests")
@@ -1413,7 +1447,7 @@ object PipelineQueries {
           lit(nTomb).as("n_tombstones"),
           lit(if (tombTouches == 0L) 1L else 0L).as("no_tombstone_pair_ok"),
           lit(if (purgedRows == 0L) 1L else 0L).as("purged_ok"),
-          lit(if (reprobeDiff == 0L) 1L else 0L).as("reprobe_equal_ok"))
+          lit(if (reprobeSame) 1L else 0L).as("reprobe_equal_ok"))
         .orderBy($"doc_id")
     },
 

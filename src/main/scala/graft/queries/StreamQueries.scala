@@ -2190,8 +2190,8 @@ object StreamQueries {
       val nVersions = VersionedSnapshot.versionIds(s, dbase).length
       val allEqual = VersionedSnapshot.versionIds(s, dbase).forall { id =>
         val inc = VersionedSnapshot.readAt(s, dbase, id).select(outCols: _*)
-        val sc = scratchOf(id)
-        inc.exceptAll(sc).count() == 0 && sc.exceptAll(inc).count() == 0
+        // one signed-count job per version (vs two exceptAll counts)
+        graft.ops.Multiset.equal(inc, scratchOf(id))
       }
       VersionedSnapshot.readAt(s, dbase, lastV)
         .select($"src_group", $"n_sources".cast("long").as("n_sources"),
@@ -2299,8 +2299,8 @@ object StreamQueries {
       val dIds = VersionedSnapshot.versionIds(s, dbase)
       val allEqual = dIds.forall { id =>
         val inc = VersionedSnapshot.readAt(s, dbase, id).select(outCols: _*)
-        val sc = scratchOf(id)
-        inc.exceptAll(sc).count() == 0 && sc.exceptAll(inc).count() == 0
+        // one signed-count job per version (vs two exceptAll counts)
+        graft.ops.Multiset.equal(inc, scratchOf(id))
       }
       VersionedSnapshot.readAt(s, dbase, lastV)
         .select($"tier".cast("long").as("tier"),

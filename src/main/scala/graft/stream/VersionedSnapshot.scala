@@ -2,7 +2,6 @@ package graft.stream
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
 
 /** Atomic versioned-SNAPSHOT artifact: `base/v<id>` directories, each a
   * self-contained full snapshot of some maintained state (an incremental
@@ -164,11 +163,14 @@ object VersionedSnapshot {
     * together with time travel, never silently re-baselining `from` to
     * empty.
     *
-    * Scale shape: two snapshot scans + one `exceptAll` shuffle each way
-    * on the full row — the price of CDC without per-version change
-    * files; a publisher that needs cheaper CDC at 100 TB should persist
-    * its per-batch deltas through [[graft.stream.IdempotentSink]] and
-    * keep snapshots for serving. */
+    * Scale shape: one snapshot scan per endpoint + ONE full-row shuffle
+    * (the signed-count diff of [[graft.ops.Multiset.diffTagged]] — the
+    * exceptAll-each-way formulation this replaces scanned both
+    * endpoints twice and shuffled twice for the identical multiset) —
+    * the price of CDC without per-version change files; a publisher
+    * that needs cheaper CDC at 100 TB should persist its per-batch
+    * deltas through [[graft.stream.IdempotentSink]] and keep snapshots
+    * for serving. */
   def readChanges(spark: SparkSession, base: String,
                   from: Long, to: Long): DataFrame = {
     require(from == Genesis || from < to,
@@ -176,9 +178,8 @@ object VersionedSnapshot {
     val toDf = readAt(spark, base, to)
     val fromDf =
       if (from == Genesis) toDf.limit(0) else readAt(spark, base, from)
-    toDf.exceptAll(fromDf).withColumn("_change_type", lit("insert"))
-      .unionByName(
-        fromDf.exceptAll(toDf).withColumn("_change_type", lit("delete")))
+    graft.ops.Multiset.diffTagged(toDf, fromDf,
+      "_change_type", "insert", "delete")
   }
 
   /** Delete all but the newest `keep` committed versions (and any stale
