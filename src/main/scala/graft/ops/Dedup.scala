@@ -503,8 +503,11 @@ object Dedup {
                           checkpointDir: Option[String] = None): DataFrame = {
     def cut(df: DataFrame) = Lineage.truncate(df, checkpointDir)
     val spark = pairs.sparkSession
-    val edges = cut(pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    // one evaluation of the caller's pair pipeline, not one per union
+    // branch — dd05/dd11 feed full near-dup detectors here
+    val p = cut(pairs)
+    val edges = cut(p.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(p.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct())
     var labels = cut(edges.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id")))

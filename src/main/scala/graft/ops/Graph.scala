@@ -67,9 +67,14 @@ object Graph {
                   broadcastRanks: Boolean = true): DataFrame = {
     def cut(df: DataFrame) = Lineage.truncate(df, checkpointDir)
     def side(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
-    val edges = pairs
+    // materialize the edge frame BEFORE the out-weight self-join: `edges`
+    // appears on both sides of that join (and each side unions the input
+    // twice), so an un-truncated caller pipeline — q27 feeds the full
+    // co-purchase pair aggregate here — would be re-evaluated 4× before
+    // the first round even starts
+    val edges = cut(pairs
       .select(col("item_a").as("u"), col("item_b").as("v"), col("w"))
-      .union(pairs.select(col("item_b").as("u"), col("item_a").as("v"), col("w")))
+      .union(pairs.select(col("item_b").as("u"), col("item_a").as("v"), col("w"))))
     val ewRaw = edges
       .join(edges.groupBy(col("u")).agg(sum(col("w")).as("outw")), "u")
     val ew = cut(if (broadcastRanks) ewRaw else ewRaw.repartition(col("u")))
@@ -118,9 +123,13 @@ object Graph {
     */
   def triangleParticipation(pairs: DataFrame,
                             checkpointDir: Option[String] = None): DataFrame = {
-    val und = Lineage.truncate(pairs
+    // the caller's pair pipeline feeds three consumers (both union
+    // branches of `und` plus the wedge-closure join below) — materialize
+    // it once instead of re-running it per consumer
+    val p = Lineage.truncate(pairs, checkpointDir)
+    val und = Lineage.truncate(p
       .select(col("item_a").as("u"), col("item_b").as("v"))
-      .union(pairs.select(col("item_b").as("u"), col("item_a").as("v")))
+      .union(p.select(col("item_b").as("u"), col("item_a").as("v")))
       .distinct(), checkpointDir)
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     // Orient u→v iff (deg(u), u) < (deg(v), v): a total order, so each
@@ -139,7 +148,7 @@ object Graph {
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
       .select(col("e1.u").as("apex"), col("e1.v").as("a"), col("e2.v").as("b"))
     val tris = wedges
-      .join(pairs.select(col("item_a").as("a"), col("item_b").as("b")), Seq("a", "b"))
+      .join(p.select(col("item_a").as("a"), col("item_b").as("b")), Seq("a", "b"))
     val perNode = tris
       .select(explode(array(col("apex"), col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
@@ -177,9 +186,11 @@ object Graph {
     val spark = pairs.sparkSession
     import spark.implicits._
     def cut(df: DataFrame) = Lineage.truncate(df, checkpointDir)
-    val und = cut(pairs
+    // one evaluation of the caller's pair pipeline, not one per union branch
+    val p = cut(pairs)
+    val und = cut(p
       .select(col("item_a").as("u"), col("item_b").as("v"))
-      .union(pairs.select(col("item_b").as("u"), col("item_a").as("v")))
+      .union(p.select(col("item_b").as("u"), col("item_a").as("v")))
       .distinct())
     var visited = cut(Seq((source, 0)).toDF("node", "dist"))
     var frontier = visited.select(col("node"))
