@@ -1172,9 +1172,11 @@ object PipelineQueries {
         .partitionBy($"h").orderBy($"doc_id")
       val dropExactBatch = batch.withColumn("rn", row_number().over(wD))
         .filter($"rn" > 1).select($"doc_id")
+      // checkpointed: the swapped union below consumes the pair pipeline
+      // twice — uncut, the whole MinHash+verify stack would run per branch
       val pairs = Dedup.minHashDupPairs(docs, "doc_id", "text",
         shingleK = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
-        .select($"id_a", $"id_b")
+        .select($"id_a", $"id_b").localCheckpoint()
       val undirected = pairs
         .unionByName(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
       val dropNear = undirected
@@ -1224,10 +1226,13 @@ object PipelineQueries {
         .partitionBy($"h").orderBy($"doc_id")
       val dropExactBatch = withMeta.withColumn("rn", row_number().over(wD))
         .filter($"rn" > 1).select($"doc_id")
+      // checkpointed: the swapped union below consumes the probe pipeline
+      // twice — uncut, the verify tail (batch re-shingle + partner fetch)
+      // would run per branch
       val pairs = Dedup.minHashDupPairsWithIndex(batch, bands, hist,
           "doc_id", "text", shingleK = 3, numBands = 8, rowsPerBand = 4,
           threshold = 0.5)
-        .select($"id_a", $"id_b")
+        .select($"id_a", $"id_b").localCheckpoint()
       val undirected = pairs
         .unionByName(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
       val dropNear = undirected

@@ -2751,11 +2751,14 @@ object StreamQueries {
       val history =
         if (have(corpusDir)) live(rd(corpusDir), "doc_id")
         else Seq.empty[(Long, String)].toDF("doc_id", "text")
+      // checkpointed: the swapped union below consumes the probe pipeline
+      // twice per batch — uncut, the verify tail (batch re-shingle +
+      // partner fetch) would run per branch, every micro-batch
       val pairs = graft.ops.Dedup.minHashDupPairsWithIndex(
           batch, bands, history, "doc_id", "text",
           shingleK = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5,
           newBands = Some(newBands), newBandSummary = Some(summary))
-        .select($"id_a", $"id_b")
+        .select($"id_a", $"id_b").localCheckpoint()
       val und = pairs
         .unionByName(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
       val batchIds = batch.select($"doc_id")
@@ -2829,7 +2832,10 @@ object StreamQueries {
           .select($"id", $"vec", $"vnorm", $"cell", lit(1).as("fresh")))
       val pairs = graft.ops.Similarity.blockedDupPairs(banded,
         SemDedupThreshold, SemDedupMaxCell)
-      val und = pairs.filter($"fresh_a" + $"fresh_b" >= 1)
+      // checkpointed: the swapped union below consumes the blocked-pair
+      // pipeline twice per batch — uncut, the cell aggregate + exact
+      // verify would run per branch, every micro-batch
+      val und = pairs.filter($"fresh_a" + $"fresh_b" >= 1).localCheckpoint()
       val undBoth = und
         .select($"id_a".as("a"), $"id_b".as("b"),
           $"fresh_a".as("fa"), $"fresh_b".as("fb"))

@@ -855,6 +855,10 @@ object TextQueries {
             md5(concat_ws(" ", slice($"w", i, lit(3))).cast("binary")).as("tg"),
             md5(concat_ws(" ", slice($"w", i, lit(2))).cast("binary")).as("bg")))).as("g"))
         .select($"doc_id", $"g.tg".as("tg"), $"g.bg".as("bg"))
+        // checkpointed: three consumers (c3, c2, per) shuffle on three
+        // different keys — no exchange reuse, so uncut the tokenize+
+        // explode+digest pipeline would run once per consumer
+        .localCheckpoint()
       val c3 = tri.groupBy($"tg").agg(count(lit(1)).as("c3"))
       val c2 = tri.groupBy($"bg").agg(count(lit(1)).as("c2"))
       val vocab = docs.select(explode(TextOps.tokens($"text")).as("tok"))
